@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing is per-query wall clock of plan construction + execution to a count
+(results are not collected to the driver - the action materializes the full
+result like the driver's hash would).  Each query runs twice; warm time
+is reported (matches BASELINE.md's warm DuckDB numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pei_nwdaf_data_ingestion_spark import registry
+from pei_nwdaf_data_ingestion_spark.session import get_spark
+
+# Headline set: the shapes BASELINE.md times, plus one per extension family.
+HEADLINE = [
+    "agg_groupby_hash",    # TPC-H Q1 shape        (baseline 71 ms)
+    "join_multiway",       # 5-way star join       (baseline 95 ms)
+    "win_rank_topk",       # per-key top-3 window  (baseline 70 ms)
+    "win_tumbling_1h",     # hourly JSON/agg       (baseline 41 ms)
+    "json_extract",
+    "explode_unnest",      # 64-dim unnest + agg   (baseline 7 ms)
+    "agg_distinct",        # distinct pairs        (baseline 8 ms)
+    "join_anti",           # NOT EXISTS            (baseline 9 ms)
+    "topk_orderby_limit",
+    "dedup_exact",
+    "dedup_near_jaccard",
+    "sim_cosine_topk",
+    "text_token_stats",
+    "multimodal_join",
+    "ref_context_enrich",
+    "ref_upsert_lastwins",
+]
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all()
+    spark = get_spark(app_name="bench")
+    # warm the JVM/reader path once
+    registry.QUERIES["agg_global"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        times[name] = round(time_query(fn, spark, sf_dir), 4)
+
+    total = round(sum(times.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Fixture-table catalog.
+
+The driver materializes ten parquet tables per scale factor at
+/root/testdata/sf{0.001,0.01,0.1}/<table>.parquet (TESTDATA.md).  All query
+builders load through here so that scan behavior (schema, pushdown) is
+uniform and a future move to a real catalog (Delta/Iceberg/HMS) is one-file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Parquet scan of one fixture table.
+
+    Plain `spark.read.parquet` so Catalyst gets full predicate pushdown,
+    column pruning, and row-group skipping on whatever the caller selects.
+    """
+    if table not in TABLES:
+        raise KeyError(f"unknown fixture table {table!r}; known: {TABLES}")
+    # Oracle parity requires UTC rendering of timestamps regardless of the
+    # caller's session defaults (the driver builds its own SparkSession);
+    # session timeZone is a dynamic conf, so pin it at every load.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if table == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read it as nanos-long and truncate to microseconds
+        # (TimestampType) - same truncation DuckDB applies, so oracle parity
+        # holds.  The conf is session-dynamic, safe to set here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views (for spark.sql queries)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,435 @@
+"""LLM-data-pipeline operators over documents/embeddings (SURVEY.md 2.9,
+north-star mandate BASELINE.json:6): deduplication, similarity search,
+text analysis, multimodal columns.
+
+Scale design:
+- exact dedup = hash-groupBy (map-side partial agg collapses duplicates
+  before the shuffle);
+- near-dup = blocked pairwise Jaccard here (oracle-checkable) + MinHash-LSH
+  banding as the 100TB path (dedup_minhash_lsh, rows-only);
+- ANN = brute-force cosine vs broadcast probe as the exact baseline
+  (scan-bound, embarrassingly parallel) + LSH-bucketed join as the scale
+  path (sim_knn_join, rows-only);
+- all vector math is sequential-fold double arithmetic (F.aggregate /
+  zip_with) so results are bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import pround
+from ..registry import query
+
+
+def _dot(a, b):
+    """Sequential-fold double dot product - deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content dedup as hash-groupBy: keep the lowest doc_id per
+    distinct text (deterministic survivor), report copy counts.  At 100TB
+    you group on md5/sha of the content, never the content itself - the
+    hash is the shuffle key here too."""
+    d = load(spark, sf, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    ).select(F.md5("text").alias("content_hash"), "keep_doc_id", "n_copies")
+
+
+@query(
+    "dedup_near_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS tokens
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor((CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tokens, b.tokens)))) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.8
+    """,
+)
+def dedup_near_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup detection: token-set Jaccard >= 0.8 within (lang, source)
+    blocks.  Blocking bounds the pairwise quadratic to per-block cardinality
+    (the classic candidate-generation step); the unblocked scale path is
+    dedup_minhash_lsh."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).cast("double")
+    union = F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens")))
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            pround(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: hash-family choice is engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash banding - the 100TB near-dup path: shingle -> K minhashes ->
+    band signatures -> group by band bucket -> candidate pairs only within
+    buckets (no quadratic blowup).  Pure column expressions: xxhash64 with
+    per-function salts as the hash family, min-aggregate over token arrays.
+    """
+    d = load(spark, sf, "documents")
+    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tokens"))
+    n_hashes, n_bands = 12, 4  # 3 rows per band
+    sig = toks
+    for i in range(n_hashes):
+        sig = sig.withColumn(
+            f"mh{i}",
+            F.array_min(
+                F.transform(F.col("tokens"), lambda t, i=i: F.xxhash64(t, F.lit(i)))
+            ),
+        )
+    rows_per_band = n_hashes // n_bands
+    bands = [
+        F.hash(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(n_bands)
+    ]
+    banded = sig.select("doc_id", "tokens", *bands)
+    pairs = None
+    for bnd in range(n_bands):
+        x = banded.alias("x")
+        y = banded.alias("y")
+        p = x.join(
+            y,
+            (F.col(f"x.band{bnd}") == F.col(f"y.band{bnd}"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ).select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        pairs = p if pairs is None else pairs.unionAll(p)
+    cand = pairs.distinct()
+    # verify candidates with true Jaccard (standard LSH verify step)
+    toks_a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("ta"))
+    toks_b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    return (
+        cand.join(toks_a, "doc_a")
+        .join(toks_b, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", pround(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           floor((list_dot_product(embedding::DOUBLE[], p)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(p, p)))) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM embeddings, probe
+    WHERE vec_id <> 0
+    ORDER BY list_dot_product(embedding::DOUBLE[], p)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(p, p))) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-K against a probe vector (vec_id=0) - the
+    exact ANN baseline.  Probe is a 1-row broadcast cross join; the scan is
+    embarrassingly parallel and the top-K is a per-partition heap.  Ordering
+    on the unrounded cosine with vec_id tiebreak keeps selection stable."""
+    e = load(spark, sf, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+    cos = _dot(F.col("embedding"), F.col("p")) / (
+        _norm(F.col("embedding")) * _norm(F.col("p"))
+    )
+    return (
+        joined.select("vec_id", "label", cos.alias("_cos"))
+        .orderBy(F.desc("_cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", pround("_cos", 4).alias("cosine"))
+    )
+
+
+@query("sim_knn_join")  # rows-only: LSH bucketing is approximate by design
+def sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate similarity self-join - the 100TB ANN path: random
+    hyperplane signatures (SimHash-style LSH) bucket vectors; pairs are
+    generated only within buckets, then verified with exact cosine.
+    Deterministic hyperplanes (seeded from dimension index) instead of
+    Spark ML's randomly-initialized BucketedRandomProjectionLSH so the
+    output is stable across runs."""
+    e = load(spark, sf, "embeddings")
+    # 8 deterministic pseudo-random hyperplanes: sign of sum(v[i] * h(i,j))
+    n_planes = 8
+    vec = F.col("embedding")
+
+    def _plane_term(j):
+        # hash-derived +-1 weights per dimension (2-arg lambda via closure -
+        # zip_with inspects the signature, so the plane index can't be a
+        # default arg)
+        return lambda v, i: v.cast("double") * F.when(
+            F.pmod(F.xxhash64(i, F.lit(j)), 2) == 0, 1.0
+        ).otherwise(-1.0)
+
+    bits = []
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(63)), _plane_term(j)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    sig = F.concat_ws("", *[b.cast("string") for b in bits])
+    bucketed = e.select("vec_id", "label", "embedding", sig.alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            pround(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+    )
+
+
+@query(
+    "sim_label_centroid",
+    oracle="""
+    SELECT label, dim,
+           count(*) AS n,
+           floor((avg(CAST(embedding[dim] AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS centroid_val
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+    GROUP BY label, dim
+    """,
+)
+def sim_label_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid (cluster-ish agg): posexplode + group-avg per
+    (label, dimension).  The reassembled vector form (collect_list) is used
+    by the pipeline library; the query exposes the exploded form for oracle
+    comparison."""
+    e = load(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            pround(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenize + corpus term/document frequencies - the building block for
+    TF-IDF and quality scoring."""
+    d = load(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           floor((avg(n_chars)) * 100.0 + 0.5) / 100.0 AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           floor((avg(len(string_split(text, ' ')))) * 100.0 + 0.5) / 100.0 AS avg_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus profile by language/source - the language-ID / quality-scoring
+    aggregation shape."""
+    d = load(spark, sf, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        pround(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        pround(F.avg(F.size(F.split("text", " "))), 2).alias("avg_tokens"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
+           floor((CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))) * 100.0 + 0.5) / 100.0
+             AS avg_token_len,
+           CAST(len(string_split(text, ' ')) BETWEEN 20 AND 90
+                AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')) > 0.2 AS INTEGER) AS passes
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality scoring (length band + lexical diversity) - the
+    classic pretraining-data filter, as pure column math."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        pround(distinct_ratio, 4).alias("distinct_ratio"),
+        pround(F.col("n_chars").cast("double") / n_tokens, 2).alias("avg_token_len"),
+        (n_tokens.between(20, 90) & (distinct_ratio > 0.2)).cast("int").alias("passes"),
+    )
+
+
+@query("text_tfidf")  # rows-only: idf formula variants are engine-specific
+def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit TF-IDF via two aggregations + a broadcast join of the tiny
+    document-frequency table; top term per doc via max_by with token
+    tiebreak.  (Spark ML HashingTF/IDF would hash tokens into buckets -
+    the explicit formulation keeps tokens readable.)"""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n_docs = d.count()
+    df = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    idf = df.select(
+        "token", (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf")
+    )
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "doc_id", "token", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.max_by("token", F.struct(F.col("tfidf"), F.col("token"))).alias("top_token"),
+        pround(F.max("tfidf"), 4).alias("top_tfidf"),
+    )
+
+
+@query(
+    "text_lang_profile",
+    oracle="""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+    SELECT lang, token, count(*) AS n
+    FROM tok
+    WHERE token IN ('the', 'a', 'of')
+    GROUP BY lang, token
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID building block: stopword-frequency profile per declared
+    language (n-gram heuristic over a fixed marker set)."""
+    d = load(spark, sf, "documents")
+    return (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin("the", "a", "of"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, label,
+           len(embedding) AS dim,
+           floor((list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+             AS embedding_norm2
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    """,
+)
+def multimodal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal row: text + typed metadata + vector in one relation.
+    Binary modalities (image/audio) follow the same pattern with an opaque
+    binary column - see pipeline/multimodal.py for the decode plumbing."""
+    d = load(spark, sf, "documents")
+    e = load(spark, sf, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        pround(_dot(F.col("embedding"), F.col("embedding")), 4).alias("embedding_norm2"),
+    )

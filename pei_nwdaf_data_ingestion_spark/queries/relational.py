@@ -1,0 +1,581 @@
+"""Relational core: scans, filters, joins, aggregations, set ops, top-K.
+
+All [EXT] per SURVEY.md section 2 - the reference delegates querying to
+downstream consumers (reference receiver.py:445 is the last hop), so this is
+the relational surface that makes the ingested data queryable.
+
+Scale notes:
+- joins are written declaratively; Catalyst + AQE pick broadcast vs
+  sort-merge and split skewed partitions.  Small dims (region/nation/
+  supplier) are explicitly `broadcast()` where the cardinality is known.
+- every aggregation is a partial (map-side) + final hash agg automatically;
+  no collect()-based logic anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import pround
+from ..registry import query
+
+
+# ---------------------------------------------------------------------------
+# scans / filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem
+    """,
+)
+def scan_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection + computed column; Catalyst prunes the parquet scan to the
+    four referenced columns (check ReadSchema in explain)."""
+    li = load(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+    )
+
+
+@query(
+    "scan_filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1000.0
+      AND o_orderstatus IN ('O', 'F')
+      AND o_orderpriority NOT LIKE '3%'
+    """,
+)
+def scan_filter_pred(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive/disjunctive predicate surface; all three conjuncts push
+    down to the parquet scan (PushedFilters)."""
+    o = load(spark, sf, "orders")
+    return o.filter(
+        (F.col("o_totalprice") > 1000.0)
+        & F.col("o_orderstatus").isin("O", "F")
+        & ~F.col("o_orderpriority").like("3%")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "explode_unnest",
+    oracle="""
+    SELECT dim,
+           count(*) AS n,
+           floor((avg(CAST(embedding[dim] AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS avg_val
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+    GROUP BY dim
+    """,
+)
+def explode_unnest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested-array flatten (the reference's eventNotifs[] x infos[] loop,
+    receiver.py:377-387, generalized): posexplode + per-position agg."""
+    e = load(spark, sf, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            pround(F.avg(F.col("val").cast("double")), 4).alias("avg_val"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT r_name, n_name,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf: str) -> DataFrame:
+    """5-table star.  supplier/nation/region are tiny dims -> explicit
+    broadcast keeps the big fact table shuffle-free on those hops; the
+    lineitem-orders hop is the only real shuffle (AQE may broadcast it too
+    at small SF)."""
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    o = load(spark, sf, "orders")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           floor((coalesce(sum(o_totalprice), 0.0)) * 100.0 + 0.5) / 100.0 AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            pround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH s AS (SELECT user_id, count(*) AS n_signup FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (SELECT user_id, count(*) AS n_purchase FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT coalesce(s.user_id, p.user_id) AS user_id,
+           coalesce(n_signup, 0) AS n_signup,
+           coalesce(n_purchase, 0) AS n_purchase
+    FROM s FULL OUTER JOIN p ON s.user_id = p.user_id
+    """,
+)
+def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    # rename join keys up front: both sides derive from the same scan, so
+    # qualified refs would be ambiguous after a self-joining full outer
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.col("user_id").alias("s_uid"))
+        .agg(F.count("*").alias("n_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_uid"))
+        .agg(F.count("*").alias("n_purchase"))
+    )
+    return s.join(p, s.s_uid == p.p_uid, "full").select(
+        F.coalesce("s_uid", "p_uid").alias("user_id"),
+        F.coalesce("n_signup", F.lit(0)).alias("n_signup"),
+        F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 40000.0)
+    """,
+)
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice") > 40000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT r_regionkey AS band, count(*) AS n_customers,
+           floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS bal_sum
+    FROM customer JOIN region
+      ON c_nationkey >= r_regionkey * 5 AND c_nationkey < (r_regionkey + 1) * 5
+    GROUP BY r_regionkey
+    """,
+)
+def join_theta_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-equi band join: planned as BroadcastNestedLoopJoin with the
+    5-row band table broadcast - the only sane physical shape for theta."""
+    c = load(spark, sf, "customer")
+    r = load(spark, sf, "region")
+    cond = (c.c_nationkey >= r.r_regionkey * 5) & (c.c_nationkey < (r.r_regionkey + 1) * 5)
+    return (
+        c.join(F.broadcast(r), cond)
+        .groupBy(F.col("r_regionkey").alias("band"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            pround(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+    )
+
+
+@query(
+    "join_asof_lastsignup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           max(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_signup_ms
+    FROM events
+    """,
+)
+def join_asof_lastsignup(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (latest earlier signup per key) via a running-max window -
+    no shuffle beyond the single hash partition on user_id; the same
+    formulation scales because state per key is O(1)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.max(
+            F.when(F.col("event_type") == "signup", F.unix_millis("ts"))
+        ).over(w).alias("last_signup_ms"),
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_in_window,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS price_sum
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderstatus
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi key + temporal band: the equi conjunct keeps this a hash join
+    (the range is a post-join filter), so it scales like a normal join."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_in_window"),
+            pround(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           floor((avg(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price,
+           floor((min(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS min_price,
+           floor((max(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS max_price,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        pround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        pround(F.min("l_extendedprice"), 2).alias("min_price"),
+        pround(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_groupby_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+           floor((avg(l_quantity)) * 100.0 + 0.5) / 100.0 AS avg_qty,
+           floor((avg(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price,
+           floor((avg(l_discount)) * 100.0 + 0.5) / 100.0 AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape - the flagship query (entry() runs this).  Partial
+    hash agg on the scan side collapses 600k rows to ~6 groups before any
+    shuffle, so this is scan-bound at every scale."""
+    li = load(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 2).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            pround(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "events").select("user_id", "event_type").distinct()
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimate is engine-dependent
+def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) - the 100TB path for
+    cardinality; exact countDistinct is the oracle-checked variant."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 12
+    """,
+)
+def agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("spent"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(pround(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*) AS n, floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), pround(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "agg_maxby",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderstatus, o_orderkey) AS latest_status,
+           min_by(o_orderpriority, o_orderkey) AS first_priority,
+           max(o_orderkey) AS latest_orderkey
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_maxby(spark: SparkSession, sf: str) -> DataFrame:
+    """max_by/min_by keyed on the unique o_orderkey so ties are impossible
+    (determinism convention, SURVEY.md 7.4)."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderstatus", "o_orderkey").alias("latest_status"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+        F.max("o_orderkey").alias("latest_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orderby_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-K: planned as TakeOrderedAndProject (per-partition heap +
+    driver merge), never a full sort - this is the shape that survives 100TB.
+    Unique-key tiebreak per determinism convention."""
+    o = load(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier
+    """,
+)
+def set_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    s = load(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return c.unionAll(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "signup").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would be EXCEPT ALL
+    return a.subtract(b)

@@ -1,0 +1,207 @@
+"""Streaming + UDF/UDTF declared queries (rows-only per SURVEY.md 2.10 -
+streaming state and Python-UDF paths have no clean single-statement SQL
+dual; the driver records rows-only checks and pytest asserts semantics).
+
+Each streaming query drives a bounded Structured Streaming job to
+completion synchronously (availableNow trigger + memory sink) and returns
+the result as a DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..pipeline.normalize import parse_bitrate_mbps
+from ..functions import pround
+from ..registry import query
+
+
+def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """File-source stream over the events fixture (production source is
+    Kafka with identical downstream plans).  The file source needs a
+    directory, and events.ts is parquet TIMESTAMP(NANOS) - so the single
+    file is linked into a temp dir, read with the raw nanos-as-long schema,
+    and converted to TimestampType exactly as catalog.load does."""
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(src, os.path.join(d, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(d)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain(df: DataFrame, name: str, mode: str = "append") -> None:
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query("stream_ingest_pipeline")
+def stream_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The ingest pipeline shape (3.1) on a stream: event-time watermark +
+    tumbling window + per-type agg, drained with availableNow.  Matches
+    win_tumbling_1h output on the same data (asserted in tests)."""
+    ev = _events_stream(spark, sf)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), pround(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+    name = "stream_ingest_out"
+    _drain(agg, name)
+    return spark.table(name)
+
+
+@query("stream_dedup")
+def stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup: the stream unioned with itself (every record twice)
+    -> dropDuplicatesWithinWatermark on event_id -> counts equal the
+    original stream's."""
+    ev = _events_stream(spark, sf)
+    doubled = ev.unionAll(ev)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    name = "stream_dedup_out"
+    _drain(deduped, name, mode="complete")
+    return spark.table(name)
+
+
+@query("stream_late_drop")
+def stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark late-data drop: two micro-batches (recent half first, old
+    half second via file mtimes + maxFilesPerTrigger=1); after batch 1 the
+    watermark passes the old rows' event times, so batch 2 contributes
+    nothing - output counts < total counts (asserted in tests)."""
+    ev = load(spark, sf, "events")
+    split_ts = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("m")).collect()[0]["m"]
+    with tempfile.TemporaryDirectory(prefix="late_drop_") as tmp:
+        recent = ev.filter(F.col("ts") >= split_ts)
+        old = ev.filter(F.col("ts") < split_ts)
+        recent_path = os.path.join(tmp, "b1")
+        old_path = os.path.join(tmp, "b2")
+        recent.coalesce(1).write.parquet(recent_path)
+        old.coalesce(1).write.parquet(old_path)
+        now = time.time()
+        for d, mtime in ((recent_path, now - 60), (old_path, now)):
+            for fn in os.listdir(d):
+                p = os.path.join(d, fn)
+                os.utime(p, (mtime, mtime))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(tmp, "*"))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                "n",
+            )
+        )
+        name = "stream_late_out"
+        _drain(agg, name)
+        return spark.table(name)
+
+
+@query("udf_scalar_parse")
+def udf_scalar_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized Pandas UDF bitrate parse - must produce output identical
+    to the native-expression ref_unit_parse (self-oracle, asserted in
+    tests).  Demonstrates the Arrow-batched slow path used only when column
+    expressions can't express the semantics."""
+    import re
+
+    units = {"bps": 1e-6, "Kbps": 1e-3, "Mbps": 1.0, "Gbps": 1e3, "Tbps": 1e6}
+    pat = re.compile(r"^\s*([0-9]+(?:\.[0-9]+)?)\s*(bps|Kbps|Mbps|Gbps|Tbps)\s*$")
+
+    @F.pandas_udf(T.DoubleType())
+    def parse_mbps(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            m = pat.match(v)
+            if not m:
+                return None
+            # same floor-based rounding formula as the native pround()
+            import math
+
+            return math.floor(float(m.group(1)) * units[m.group(2)] * 1e6 + 0.5) / 1e6
+
+        return s.map(one)
+
+    p = load(spark, sf, "part")
+    unit_arr = F.array(*[F.lit(u) for u in ["bps", "Kbps", "Mbps", "Gbps", "Tbps"]])
+    raw = F.format_string(
+        "%.2f %s",
+        pround("p_retailprice", 2),
+        F.element_at(unit_arr, (F.col("p_partkey") % 5 + 1).cast("int")),
+    )
+    return p.select(
+        "p_partkey",
+        raw.alias("raw_bitrate"),
+        parse_mbps(raw).alias("mbps"),
+    )
+
+
+@query("udtf_normalize")
+def udtf_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """UDTF-shaped normalizer via mapInPandas: each input row maps to 0-or-1
+    record rows (the reference's normalizer contract, receiver.py:199-203),
+    here over events with the 'error' type dropped.  Arrow-batched; the
+    production normalizers are pure column expressions (pipeline/nef.py) -
+    this demonstrates the extension point for logic Spark can't express."""
+    ev = load(spark, sf, "events")
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event", T.StringType()),
+            T.StructField("tag_user", T.StringType()),
+            T.StructField("metric_value", T.DoubleType()),
+        ]
+    )
+
+    def normalize(batches):
+        for pdf in batches:
+            keep = pdf[pdf["event_type"] != "error"]
+            yield pd.DataFrame(
+                {
+                    "event_id": keep["event_id"],
+                    "event": keep["event_type"].str.upper(),
+                    "tag_user": "user-" + keep["user_id"].astype(str),
+                    "metric_value": (keep["value"] * 2).round(2),
+                }
+            )
+
+    return ev.mapInPandas(normalize, out_schema)

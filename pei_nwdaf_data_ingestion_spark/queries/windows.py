@@ -1,0 +1,231 @@
+"""Window functions: ranking, analytic, running/range frames, time windows,
+sessionization.  All [EXT] per SURVEY.md section 2.5/2.7.
+
+Determinism: every window ORDER BY ends in a unique key (event_id /
+o_orderkey / c_custkey) so rank/lag results are stable across engines.
+
+Scale: one hash shuffle per distinct partitioning; queries below partition on
+user_id / segment keys whose per-key state is small (top-k heap, running
+accumulator), so they stream through sorted partitions without spill at any
+SF.  Time windows go through date_trunc-style bucketing (a pure map-side
+expression) + hash agg, never a window-function sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import pround
+from ..registry import query
+
+
+@query(
+    "win_rank_topk",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer)
+    WHERE rn <= 3
+    """,
+)
+def win_rank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K per group via row_number.  At scale Spark rewrites rn<=k into a
+    per-partition top-k (WindowGroupLimit) before the shuffle."""
+    c = load(spark, sf, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT tile, count(*) AS n, floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS tile_total,
+           floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0 AS tile_min
+    FROM (SELECT o_totalprice,
+                 ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+          FROM orders)
+    GROUP BY tile
+    """,
+)
+def win_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("tile", F.ntile(4).over(w).cast("long"))
+        .groupBy("tile")
+        .agg(
+            F.count("*").alias("n"),
+            pround(F.sum("o_totalprice"), 2).alias("tile_total"),
+            pround(F.min("o_totalprice"), 2).alias("tile_min"),
+        )
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """Event deltas - the trajectory/comms 'first element vs next' pattern of
+    the reference (receiver.py:158,189) generalized to lag/lead."""
+    ev = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS running_value
+    FROM events
+    """,
+)
+def win_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        pround(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           floor((sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(floor(epoch_ms(ts) / 1000) AS BIGINT)
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS hour_value
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 1-hour value-range frame ordered on epoch seconds (both
+    engines see identical BIGINT sort keys, so frames match exactly)."""
+    ev = load(spark, sf, "events")
+    secs = F.floor(F.unix_millis("ts") / 1000).cast("long")
+    w = W.partitionBy("user_id").orderBy(secs.alias("s")).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        pround(F.sum("value").over(w), 2).alias("hour_value"),
+    )
+
+
+@query(
+    "win_tumbling_1h",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, count(*) AS n, floor((sum(value)) * 100.0 + 0.5) / 100.0 AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def win_tumbling_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling event-time window via F.window - identical semantics in
+    batch and Structured Streaming (the streaming variant adds a watermark,
+    see streaming_queries.stream_ingest_pipeline)."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), pround(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+@query("win_sliding")  # rows-only: overlapping windows have no clean SQL dual
+def win_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding window (1h length, 15min slide): each event lands in 4
+    overlapping windows; Spark expands via the `window` generator."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), pround(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+@query(
+    "win_session_gap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value,
+           min(epoch_ms(ts)) AS session_start_ms,
+           max(epoch_ms(ts)) AS session_end_ms
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def win_session_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + gap-flag + running sum -
+    the batch dual of session_window(ts, '30 minutes') (streaming path in
+    streaming/ingest.py)."""
+    ev = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ms = F.unix_millis("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull() | ((ms - F.lag(ms).over(w)) > 1800000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        pround(F.sum("value"), 2).alias("session_value"),
+        F.min(ms).alias("session_start_ms"),
+        F.max(ms).alias("session_end_ms"),
+    )
