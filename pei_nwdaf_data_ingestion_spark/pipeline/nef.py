@@ -268,7 +268,9 @@ def normalize_notifications(
     mob = mob_rows.select(
         F.col("notifId"),
         # event-time = first trajectory point's ts, else fallback (:158)
-        F.coalesce(F.element_at(traj, 1)["ts"], fallback_ts).alias("ts_unix"),
+        # try_element_at: ANSI mode errors on out-of-bounds (empty ueTrajs is
+        # a legal payload, test_receiver.py:434-451)
+        F.coalesce(F.try_element_at(traj, F.lit(1))["ts"], fallback_ts).alias("ts_unix"),
         F.lit("UE_MOBILITY").alias("event"),
         *ctx,
         _null(T.StringType()).alias("ueIpv4Addr"),
@@ -300,7 +302,7 @@ def normalize_notifications(
     comm = comm_rows.select(
         F.col("notifId"),
         # event-time = first comm's endTime, else fallback (:189)
-        F.coalesce(F.element_at(comms, 1)["endTime"], fallback_ts).alias("ts_unix"),
+        F.coalesce(F.try_element_at(comms, F.lit(1))["endTime"], fallback_ts).alias("ts_unix"),
         F.lit("UE_COMM").alias("event"),
         *ctx,
         _null(T.StringType()).alias("ueIpv4Addr"),

@@ -60,7 +60,9 @@ def parse_iso8601_unix_seconds(s: Column) -> Column:
     fromisoformat -> int seconds).  to_timestamp is null-on-failure, matching
     the reference's try/except-None."""
     normalized = F.regexp_replace(s, "Z$", "+00:00")
-    ts = F.to_timestamp(normalized, "yyyy-MM-dd'T'HH:mm:ssXXX")
+    # try_to_timestamp: Spark 4 defaults to ANSI mode where to_timestamp
+    # THROWS on bad input; the reference returns None (receiver.py:83-84)
+    ts = F.try_to_timestamp(normalized, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
     return F.unix_timestamp(ts)
 
 

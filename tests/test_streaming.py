@@ -1,0 +1,139 @@
+"""Structured Streaming ingest tests: the streaming path shares
+pipeline/nef.py with batch, so stream output must equal batch output on the
+same payloads; cross-batch state (discovered fields) accumulates like the
+reference's module-level set (receiver.py:45-46,394-410)."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pei_nwdaf_data_ingestion_spark.pipeline.nef import (
+    NOTIFICATION,
+    SUBSCRIPTION,
+    normalize_notifications,
+)
+from pei_nwdaf_data_ingestion_spark.streaming.ingest import (
+    DiscoveredFieldsAccumulator,
+    build_ingest_stream,
+    run_to_memory,
+    write_notifications_json,
+)
+from tests.test_reference_fidelity import COMM_NOTIF, MOBILITY_NOTIF, PERF_NOTIF, SUB
+
+
+def _canon(rows):
+    out = []
+    for r in rows:
+        d = r.asDict(recursive=True)
+        out.append(json.dumps(d, sort_keys=True, default=str))
+    return sorted(out)
+
+
+def test_stream_matches_batch(spark):
+    """Each payload becomes its own micro-batch (maxFilesPerTrigger=1);
+    streaming output == batch output of the same transform."""
+    payloads = [PERF_NOTIF, MOBILITY_NOTIF, COMM_NOTIF]
+    subs = spark.createDataFrame([SUB], SUBSCRIPTION)
+    with tempfile.TemporaryDirectory(prefix="nef_stream_") as d:
+        write_notifications_json(payloads, d)
+        stream = build_ingest_stream(spark, d, subs)
+        assert stream.isStreaming
+        run_to_memory(stream, "nef_stream_out")
+        got = spark.table("nef_stream_out").drop("ts_unix").collect()
+
+        batch_df = spark.createDataFrame(payloads, NOTIFICATION)
+        want = normalize_notifications(batch_df, subs).drop("ts_unix").collect()
+
+    # ts_unix dropped: the streaming fallback is current_timestamp (only the
+    # golden payloads with event-time are asserted in the fidelity tests)
+    assert _canon(got) == _canon(want)
+    assert len(got) == 3
+
+
+def test_discovered_fields_accumulator(spark):
+    """foreachBatch accumulator unions metric keys across micro-batches and
+    fires on growth (reference re-registers columns, receiver.py:399-410)."""
+    grow_events: list[set] = []
+    acc = DiscoveredFieldsAccumulator(on_grow=lambda s: grow_events.append(set(s)))
+    fn = acc.foreach_batch("keys")
+
+    b1 = spark.createDataFrame(
+        [(["thrputUl_mbps", "pdb_ms"],), (["thrputUl_mbps"],)], "keys array<string>"
+    )
+    b2 = spark.createDataFrame([(["thrputUl_mbps"],)], "keys array<string>")
+    b3 = spark.createDataFrame([(["plr_per_thousand"],)], "keys array<string>")
+
+    fn(b1, 0)
+    assert acc.fields == {"thrputUl_mbps", "pdb_ms"}
+    fn(b2, 1)  # no growth -> no event
+    fn(b3, 2)
+    assert acc.fields == {"thrputUl_mbps", "pdb_ms", "plr_per_thousand"}
+    assert len(grow_events) == 2
+
+
+def test_streaming_windowed_ingest_matches_batch(spark):
+    """The stream_ingest_pipeline query (watermark + tumbling window) must
+    produce exactly the batch win_tumbling_1h result on the same data - no
+    rows lost to the watermark when the stream is drained with availableNow."""
+    from pei_nwdaf_data_ingestion_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = registry.QUERIES["stream_ingest_pipeline"](spark, sf)
+    want = registry.QUERIES["win_tumbling_1h"](spark, sf)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    # append mode emits a window only once the watermark passes its end:
+    # the trailing (still-open) windows are correctly withheld at stream end
+    assert g <= w
+    missing = w - g
+    max_start = max(r[0] for r in w)
+    assert all(r[0] == max_start for r in missing), missing
+
+
+def test_stream_late_drop_drops(spark):
+    """Late rows (second micro-batch behind the watermark) must NOT appear:
+    output counts < full batch counts."""
+    from pei_nwdaf_data_ingestion_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    out = registry.QUERIES["stream_late_drop"](spark, sf)
+    kept = out.agg(F.sum("n")).collect()[0][0]
+    total = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert kept < total
+
+
+def test_stream_dedup_restores_original_counts(spark):
+    from pei_nwdaf_data_ingestion_spark import registry
+    from pei_nwdaf_data_ingestion_spark.catalog import load
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_type"], r["n_unique"])
+        for r in registry.QUERIES["stream_dedup"](spark, sf).collect()
+    }
+    want = {
+        (r["event_type"], r["n"])
+        for r in load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_udf_parse_matches_native(spark):
+    """udf_scalar_parse (pandas UDF) must equal ref_unit_parse (native
+    expressions) - the self-oracle for the UDF extension point."""
+    from pei_nwdaf_data_ingestion_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    udf_out = registry.QUERIES["udf_scalar_parse"](spark, sf).collect()
+    native = registry.QUERIES["ref_unit_parse"](spark, sf).collect()
+    assert sorted(map(tuple, udf_out)) == sorted(map(tuple, native))
