@@ -86,19 +86,30 @@ def dedup_near_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     dedup_minhash_lsh."""
     d = load(spark, sf, "documents")
     toks = d.select(
-        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("tokens")
-    )
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens"))
     a = toks.alias("a")
     b = toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).cast("double")
     union = F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens")))
     jac = inter / union
+    # size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
+    # with token-count ratio < 0.8 can't reach the threshold - pruning them
+    # in the join condition skips the O(|a|+|b|) intersect for most pairs
+    # (lossless; the oracle needs no counterpart)
+    ratio_ok = (F.col("a.n_tok") >= 0.8 * F.col("b.n_tok")) & (
+        F.col("b.n_tok") >= 0.8 * F.col("a.n_tok")
+    )
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ratio_ok,
         )
         .filter(jac >= 0.8)
         .select(
@@ -432,4 +443,206 @@ def multimodal_join(spark: SparkSession, sf: str) -> DataFrame:
         "label",
         F.size("embedding").cast("long").alias("dim"),
         pround(_dot(F.col("embedding"), F.col("embedding")), 4).alias("embedding_norm2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# additional dedup / text-analysis variants (north-star list: exact, MinHash
+# LSH, SimHash, n-gram Jaccard, embedding-cosine; token counting,
+# fingerprinting)
+# ---------------------------------------------------------------------------
+
+
+def _bigrams(toks):
+    """Adjacent-token bigrams; guarded so one-token docs yield [] (Spark's
+    sequence(1, 0) would count DOWN, unlike DuckDB's empty range)."""
+    n = F.size(toks)
+    idx = F.when(n > 1, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS bigrams
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor((CAST(len(list_intersect(a.bigrams, b.bigrams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.bigrams, b.bigrams))))
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM grams a JOIN grams b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.bigrams, b.bigrams)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.bigrams, b.bigrams))) >= 0.4
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram (2-shingle) Jaccard near-dup - order-sensitive where token-set
+    Jaccard is not (word scrambles stop matching).  Same blocking strategy
+    as dedup_near_jaccard."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    g = d.select(
+        "doc_id", "lang", "source", F.array_distinct(_bigrams(toks)).alias("bigrams")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.bigrams"), F.col("b.bigrams"))).cast("double")
+    union = F.size(F.array_union(F.col("a.bigrams"), F.col("b.bigrams")))
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.4)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            pround(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@query("dedup_simhash")  # rows-only: hash family is engine-specific
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup: per-token 16-bit hashes vote per bit position; docs
+    with IDENTICAL simhash are candidates, verified with true Jaccard.
+    Pure column expressions (xxhash64 + bit arithmetic), grouping on the
+    16-bit signature - no pairwise stage at all, so this is the cheapest
+    scale path of the dedup family."""
+    d = load(spark, sf, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    base = d.select("doc_id", toks.alias("tokens"))
+    n_bits = 16
+    bit_cols = []
+    for j in range(n_bits):
+
+        def vote(j):
+            return lambda acc, t: acc + F.when(
+                F.pmod(F.shiftright(F.xxhash64(t), j), 2) == 0, -1
+            ).otherwise(1)
+
+        v = F.aggregate(F.col("tokens"), F.lit(0), vote(j))
+        bit_cols.append(F.when(v >= 0, F.lit(2**j)).otherwise(F.lit(0)))
+    simhash = sum(bit_cols[1:], start=bit_cols[0])
+    sigs = base.select("doc_id", "tokens", simhash.alias("simhash"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens")))
+    return (
+        a.join(
+            b,
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("simhash"),
+            pround(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_embed_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))))
+                 * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above 0.9 cosine within label blocks
+    (blocking bounds the quadratic; the unblocked scale path is the
+    LSH-bucketed sim_knn_join)."""
+    e = load(spark, sf, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.9)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            pround(cos, 4).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(range(1, len(string_split(text, ' '))),
+             i -> md5(string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])))
+             AS fingerprint,
+           CAST(len(string_split(text, ' ')) - 1 AS BIGINT) AS n_bigrams
+    FROM documents
+    WHERE len(string_split(text, ' ')) > 1
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: minimum md5 over the rolling bigram window (a
+    winnowing-style content signature; md5 keeps it engine-portable where a
+    bespoke rolling hash would not be)."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    grams = _bigrams(toks)
+    fp = F.array_min(F.transform(grams, F.md5))
+    return d.filter(F.size(toks) > 1).select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        (F.size(toks) - 1).cast("long").alias("n_bigrams"),
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(strlen(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single other-chars) - the standard
+    pretraining-corpus size estimators."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    bpe = F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
     )

@@ -50,5 +50,6 @@ def load_all() -> None:
         windows,
         refsem,
         llm,
+        multimodal_queries,
         streaming_queries,
     )

@@ -1,0 +1,93 @@
+"""Sinks: Kafka JSON-batch publish + keyed fan-out - the egress half of the
+reference (receiver.py:442-456 Kafka produce; :207-242,451-452 WebSocket
+per-subscription broadcast), as foreachBatch writers.
+
+Delivery semantics are an upgrade over the reference's at-most-once
+(produce failure swallowed, receiver.py:444-456): foreachBatch +
+checkpointing gives exactly-once per micro-batch for idempotent sinks.
+
+Kafka itself is gated behind an import-try (no broker/client in this image);
+the JSON-batch *shape* - one array of records per (notif) key, matching
+receiver.py:443 - is produced by pure column expressions and tested without
+a broker.  The keyed fan-out writes one stream per key to a directory tree,
+the file-system dual of topic-per-key / WS-per-subscription.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # confluent-kafka / kafka-python are not in this image
+    from confluent_kafka import Producer  # type: ignore  # noqa: F401
+
+    HAVE_KAFKA = True
+except ImportError:
+    HAVE_KAFKA = False
+
+
+def pack_batches(records: DataFrame, key: str = "notifId") -> DataFrame:
+    """One JSON array message per key per micro-batch (receiver.py:443:
+    'serialize all records as ONE JSON array').  Deterministic order inside
+    the array via array_sort on the leading ts_unix field."""
+    rec_cols = [c for c in records.columns if c != key]
+    rec = F.struct(*[F.col(c) for c in rec_cols])
+    return records.groupBy(key).agg(
+        F.to_json(F.array_sort(F.collect_list(rec))).alias("payload"),
+        F.count("*").alias("n_records"),
+    )
+
+
+def kafka_foreach_batch(topic: str, bootstrap: str):
+    """foreachBatch writer: pack per-key JSON arrays, produce one message
+    per key.  Raises cleanly when the Kafka client is absent."""
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        if not HAVE_KAFKA:
+            raise NotImplementedError(
+                "confluent-kafka not installed in this image; use "
+                "file_fanout_foreach_batch or install the client"
+            )
+        packed = pack_batches(batch).collect()
+        p = Producer({"bootstrap.servers": bootstrap})
+        for row in packed:
+            p.produce(topic, value=row["payload"], key=row["notifId"])
+        p.flush(30)  # PRODUCER_MAX_TIMEOUT=30 in the reference deployment
+
+    return _write
+
+
+def file_fanout_foreach_batch(out_dir: str, key: str = "notifId"):
+    """Keyed fan-out sink: each key's records land under out_dir/<key>/ as
+    JSON-lines, one file per micro-batch - the reference's per-subscription
+    WebSocket push (receiver.py:227-239) with files standing in for
+    sockets.  Partitioned write keeps the fan-out distributed (no driver
+    collect of record data)."""
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.withColumn("_k", F.col(key))
+            .write.mode("append")
+            .partitionBy("_k")
+            .json(out_dir)
+        )
+
+    return _write
+
+
+def read_fanout(out_dir: str, key_value: str) -> list[dict]:
+    """Test helper: read one key's fan-out stream back."""
+    records = []
+    d = os.path.join(out_dir, f"_k={key_value}")
+    if not os.path.isdir(d):
+        return records
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as f:
+                for line in f:
+                    if line.strip():
+                        records.append(json.loads(line))
+    return records

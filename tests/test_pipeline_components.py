@@ -1,0 +1,149 @@
+"""Subscription store, sinks, and multimodal plumbing tests - mirroring the
+reference's registry/persistence test layer (tests/test_registry.py) and
+egress assertions (tests/test_receiver.py:365-395)."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pei_nwdaf_data_ingestion_spark.pipeline.multimodal import (
+    N_FEATURES,
+    decode_stub,
+    extract_features,
+    synthesize_assets,
+)
+from pei_nwdaf_data_ingestion_spark.pipeline.subscriptions import SubscriptionStore
+from pei_nwdaf_data_ingestion_spark.streaming.sinks import (
+    file_fanout_foreach_batch,
+    pack_batches,
+    read_fanout,
+)
+from tests.test_reference_fidelity import SUB
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SubscriptionStore(spark, str(tmp_path / "subs"))
+
+
+class TestSubscriptionStore:
+    def test_empty(self, store):
+        assert store.list() == []
+        assert store.get("nope") is None
+
+    def test_add_get(self, store):
+        store.add(SUB)
+        got = store.get("test-notif-001")
+        assert got["dnn"] == "internet"
+        assert got["snssai"] == {"sst": 1, "sd": "000001"}
+
+    def test_upsert_last_wins(self, store):
+        """Re-adding the same notif_id replaces; count stays 1
+        (reference tests/test_registry.py:34-40)."""
+        store.add(SUB)
+        store.add(dict(SUB, dnn="ims"))
+        subs = store.list()
+        assert len(subs) == 1
+        assert subs[0]["dnn"] == "ims"
+
+    def test_remove(self, store):
+        store.add(SUB)
+        assert store.remove("test-notif-001") is True
+        assert store.get("test-notif-001") is None
+        assert store.remove("test-notif-001") is False
+
+    def test_persistence_across_instances(self, spark, tmp_path):
+        """New store instance on the same path sees prior writes (reference
+        tests/test_registry.py:63-70) and deletions stay deleted (:87-112)."""
+        path = str(tmp_path / "subs")
+        s1 = SubscriptionStore(spark, path)
+        s1.add(SUB)
+        s1.add(dict(SUB, notif_id="other", dnn="ims"))
+        s1.remove("other")
+
+        s2 = SubscriptionStore(spark, path)
+        subs = s2.list()
+        assert [s["notif_id"] for s in subs] == ["test-notif-001"]
+
+    def test_compact_preserves_state(self, store):
+        store.add(SUB)
+        store.add(dict(SUB, dnn="ims"))
+        store.add(dict(SUB, notif_id="n2"))
+        store.remove("n2")
+        store.compact()
+        subs = store.list()
+        assert len(subs) == 1 and subs[0]["dnn"] == "ims"
+        # still writable after compaction
+        store.add(dict(SUB, notif_id="n3"))
+        assert len(store.list()) == 2
+
+
+class TestSinks:
+    def test_pack_batches_one_message_per_key(self, spark):
+        """Multi-event batching into one payload per key (reference packs one
+        Kafka message per notification, tests/test_receiver.py:365-395)."""
+        df = spark.createDataFrame(
+            [("n1", 10, "a"), ("n1", 5, "b"), ("n2", 7, "c")],
+            "notifId string, ts_unix long, event string",
+        )
+        rows = {r["notifId"]: r for r in pack_batches(df).collect()}
+        assert rows["n1"]["n_records"] == 2
+        payload = json.loads(rows["n1"]["payload"])
+        assert [p["ts_unix"] for p in payload] == [5, 10]  # sorted, deterministic
+        assert rows["n2"]["n_records"] == 1
+
+    def test_file_fanout_partitions_by_key(self, spark):
+        df = spark.createDataFrame(
+            [("n1", 1, "a"), ("n1", 2, "b"), ("n2", 3, "c")],
+            "notifId string, ts_unix long, event string",
+        )
+        with tempfile.TemporaryDirectory(prefix="fanout_") as d:
+            file_fanout_foreach_batch(d)(df, epoch_id=0)
+            n1 = read_fanout(d, "n1")
+            n2 = read_fanout(d, "n2")
+            assert sorted(r["event"] for r in n1) == ["a", "b"]
+            assert [r["event"] for r in n2] == ["c"]
+
+
+class TestMultimodal:
+    def test_decode_stub_deterministic(self):
+        a = decode_stub(b"hello")
+        b = decode_stub(b"hello")
+        assert a == b and len(a) == N_FEATURES
+        assert all(0.0 <= v < 1.0 for v in a)
+        assert decode_stub(b"other") != a
+
+    def test_extract_features_shapes(self, spark):
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents").limit(20)
+        assets = synthesize_assets(docs)
+        assert dict(assets.dtypes)["content"] == "binary"
+        feats = extract_features(assets, partitions=2)
+        rows = feats.collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert len(r["features"]) == N_FEATURES
+            assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+            assert r["media_type"] in ("image", "audio", "video")
+
+    def test_metadata_filter_prunes_binary(self, spark):
+        """Filters on typed metadata never touch the blob column: the scan's
+        ReadSchema must exclude `content` when only metadata is selected."""
+        import io, contextlib
+
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        assets = synthesize_assets(docs)
+        q = assets.filter(F.col("n_chars") > 100).select("asset_id", "lang")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        read_schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read_schema_lines and all("text" not in l for l in read_schema_lines)
