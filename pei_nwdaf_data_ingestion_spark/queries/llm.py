@@ -37,6 +37,18 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition the probe side of a pairwise join across all cores.
+
+    The fixture tables are single parquet files -> one input split, so
+    without this every O(pairs) verification loop runs on ONE core.  At
+    production scale the scan arrives already split; the hash repartition
+    on the row key is then a cheap no-op-shaped shuffle that still
+    guarantees even spread into the pair-verification stage."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism, *keys)
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
@@ -82,8 +94,16 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_near_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup detection: token-set Jaccard >= 0.8 within (lang, source)
     blocks.  Blocking bounds the pairwise quadratic to per-block cardinality
-    (the classic candidate-generation step); the unblocked scale path is
-    dedup_minhash_lsh."""
+    (the classic candidate-generation step); the unblocked scale paths are
+    dedup_minhash_lsh (probabilistic) or PPJoin prefix filtering (lossless,
+    but an inverted token index degenerates on this fixture's 31-token
+    vocabulary - measured 10x slower than blocked pairwise here).
+
+    Per-pair cost is halved losslessly: |a UNION b| = n_a + n_b - |a INT b|
+    (inclusion-exclusion - one array scan per pair, not two), and the
+    size-ratio prune jaccard <= min(n)/max(n) sits in the join condition so
+    pairs that can't reach the threshold never run the intersect at all."""
+    t = 0.8
     d = load(spark, sf, "documents")
     toks = d.select(
         "doc_id",
@@ -91,17 +111,13 @@ def dedup_near_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         F.array_distinct(F.split("text", " ")).alias("tokens"),
     ).withColumn("n_tok", F.size("tokens"))
-    a = toks.alias("a")
+    a = _spread(toks, "doc_id").alias("a")
     b = toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).cast("double")
-    union = F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens")))
+    union = F.col("a.n_tok") + F.col("b.n_tok") - inter
     jac = inter / union
-    # size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
-    # with token-count ratio < 0.8 can't reach the threshold - pruning them
-    # in the join condition skips the O(|a|+|b|) intersect for most pairs
-    # (lossless; the oracle needs no counterpart)
-    ratio_ok = (F.col("a.n_tok") >= 0.8 * F.col("b.n_tok")) & (
-        F.col("b.n_tok") >= 0.8 * F.col("a.n_tok")
+    ratio_ok = (F.col("a.n_tok") >= t * F.col("b.n_tok")) & (
+        F.col("b.n_tok") >= t * F.col("a.n_tok")
     )
     return (
         a.join(
@@ -111,7 +127,7 @@ def dedup_near_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & ratio_ok,
         )
-        .filter(jac >= 0.8)
+        .filter(jac >= t)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -242,7 +258,7 @@ def sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
     sig = F.concat_ws("", *[b.cast("string") for b in bits])
     bucketed = e.select("vec_id", "label", "embedding", sig.alias("bucket"))
-    a = bucketed.alias("a")
+    a = _spread(bucketed, "vec_id").alias("a")
     b = bucketed.alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
@@ -493,10 +509,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.split("text", " ")
     g = d.select(
         "doc_id", "lang", "source", F.array_distinct(_bigrams(toks)).alias("bigrams")
-    )
-    a, b = g.alias("a"), g.alias("b")
+    ).withColumn("n_big", F.size("bigrams"))
+    a, b = _spread(g, "doc_id").alias("a"), g.alias("b")
     inter = F.size(F.array_intersect(F.col("a.bigrams"), F.col("b.bigrams"))).cast("double")
-    union = F.size(F.array_union(F.col("a.bigrams"), F.col("b.bigrams")))
+    # inclusion-exclusion: one array scan per pair instead of two
+    union = F.col("a.n_big") + F.col("b.n_big") - inter
     jac = inter / union
     return (
         a.join(
@@ -537,7 +554,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         bit_cols.append(F.when(v >= 0, F.lit(2**j)).otherwise(F.lit(0)))
     simhash = sum(bit_cols[1:], start=bit_cols[0])
     sigs = base.select("doc_id", "tokens", simhash.alias("simhash"))
-    a, b = sigs.alias("a"), sigs.alias("b")
+    a, b = _spread(sigs, "doc_id").alias("a"), sigs.alias("b")
     jac = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).cast(
         "double"
     ) / F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens")))
@@ -576,7 +593,7 @@ def dedup_embed_cosine(spark: SparkSession, sf: str) -> DataFrame:
     (blocking bounds the quadratic; the unblocked scale path is the
     LSH-bucketed sim_knn_join)."""
     e = load(spark, sf, "embeddings")
-    a, b = e.alias("a"), e.alias("b")
+    a, b = _spread(e, "vec_id").alias("a"), e.alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
     )
