@@ -17,6 +17,7 @@ Scale design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -275,6 +276,96 @@ def sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
             pround(cos, 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.5)
+    )
+
+
+@query("sim_ivf_topk")  # rows-only: iterative k-means is not SQL-expressible
+def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (inverted-file) ANN - the partition-pruned scale path alongside
+    the LSH-bucketed sim_knn_join.
+
+    Build: K coarse centroids by distributed k-means (deterministic init =
+    the K lowest vec_ids, 2 Lloyd iterations; assignment is a broadcast
+    cross join + argmin, centroid update a posexplode group-avg - all
+    DataFrame ops, the centroid table never exceeds K x dim).  Search:
+    assign the probe to its `nprobe` nearest cells and scan ONLY those
+    cells' vectors with exact cosine - at 100 TB the assignment column is
+    the partition key, so a probe touches nprobe/K of the data (partition
+    pruning does the skipping) instead of all of it.
+
+    Recall vs the exact brute-force sim_cosine_topk is asserted in tests."""
+    k_cells, nprobe, topk = 16, 6, 10
+    e = load(spark, sf, "embeddings")
+    vecs = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def _cents_df(cent_rows):
+        return spark.createDataFrame(
+            [(cell, list(c)) for cell, c in cent_rows],
+            "cell int, c array<double>",
+        )
+
+    def _assign(cents):
+        """Nearest-centroid assignment: broadcast the K-row centroid table,
+        argmin via min_by over a (dist, cell) struct - partial aggregation
+        runs map-side, so the shuffle carries one row per vector, never the
+        K-way crossjoin."""
+        d = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "label", "v", "cell", d.alias("d"))
+            .groupBy("vec_id")
+            .agg(
+                F.first("label").alias("label"),
+                F.first("v").alias("v"),
+                F.min_by("cell", F.struct("d", "cell")).alias("cell"),
+            )
+        )
+
+    # deterministic init: K lowest vec_ids (stable across runs/engines)
+    cent_rows = [
+        (i, r["v"])
+        for i, r in enumerate(vecs.orderBy("vec_id").limit(k_cells).collect())
+    ]
+    for _ in range(2):  # Lloyd iterations: assign + per-cell mean (collect = K x dim)
+        new = (
+            _assign(_cents_df(cent_rows))
+            .select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.col("pm.m").alias("c"))
+            .collect()
+        )
+        cent_rows = sorted((r["cell"], r["c"]) for r in new)
+
+    # probe-side: nprobe nearest cells computed on the driver (K x dim floats)
+    p = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("p")
+    ).collect()[0]["p"]
+    by_dist = sorted(
+        (sum((x - y) ** 2 for x, y in zip(c, p)), cell) for cell, c in cent_rows
+    )
+    near_cells = [cell for _, cell in by_dist[:nprobe]]
+
+    # inverted file = assignment column; the probe scans ONLY nprobe cells
+    # (at scale `cell` is the storage partition key and this filter is
+    # partition pruning - (k_cells - nprobe)/k_cells of the data is never read)
+    p_lit = F.array(*[F.lit(float(x)) for x in p])
+    cos = _dot(F.col("v"), p_lit) / (_norm(F.col("v")) * _norm(p_lit))
+    return (
+        _assign(_cents_df(cent_rows))
+        .filter(F.col("cell").isin(near_cells))
+        .select("vec_id", "label", "cell", cos.alias("_cos"))
+        .orderBy(F.desc("_cos"), F.asc("vec_id"))
+        .limit(topk)
+        .select("vec_id", "label", F.col("cell").cast("int").alias("cell"), pround("_cos", 4).alias("cosine"))
     )
 
 
