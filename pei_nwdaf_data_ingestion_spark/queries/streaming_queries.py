@@ -135,6 +135,72 @@ def stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
         return spark.table(name)
 
 
+@query("stream_stateful_counts")
+def stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState - the
+    Spark dual of the reference's cross-request mutable state
+    (receiver.py:45-46: a module dict surviving across callbacks).  Per-key
+    running (count, sum) held in GroupState across TWO forced micro-batches
+    (maxFilesPerTrigger=1); each batch emits the running totals, so the
+    final row per key equals the batch groupBy aggregate (asserted in
+    tests).  At scale state lives in the state store (RocksDB), partitioned
+    by key - no driver bottleneck."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "value")
+    with tempfile.TemporaryDirectory(prefix="stateful_") as tmp:
+        # two files -> two micro-batches, split by event_id parity
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(tmp, "b1")
+        )
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+            os.path.join(tmp, "b2")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(tmp, "*"))
+        )
+
+        def update(key, pdfs, state):
+            # worker-side closure: only pandas + stdlib (the consumer's
+            # workers can't import this package)
+            (user,) = key
+            n, s = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            state.update((n, s))
+            import math
+
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "n_events": [n],
+                    "value_sum": [math.floor(s * 100.0 + 0.5) / 100.0],
+                }
+            )
+
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            "user_id long, n_events long, value_sum double",
+            "n long, s double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        name = "stream_stateful_out"
+        _drain(out, name, mode="update")
+        # keep the LAST update per key = totals across all micro-batches
+        return (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("value_sum", "n_events").alias("value_sum"),
+            )
+        )
+
+
 @query("udf_scalar_parse")
 def udf_scalar_parse(spark: SparkSession, sf: str) -> DataFrame:
     """Vectorized Pandas UDF bitrate parse - must produce output identical

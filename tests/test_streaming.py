@@ -137,3 +137,28 @@ def test_udf_parse_matches_native(spark):
     udf_out = registry.QUERIES["udf_scalar_parse"](spark, sf).collect()
     native = registry.QUERIES["ref_unit_parse"](spark, sf).collect()
     assert sorted(map(tuple, udf_out)) == sorted(map(tuple, native))
+
+
+def test_stream_stateful_counts_accumulates_across_batches(spark):
+    """applyInPandasWithState: per-key GroupState survives micro-batch
+    boundaries, so the final update per key equals the batch aggregate over
+    ALL events (the operator forces two micro-batches internally)."""
+    import math
+
+    from pei_nwdaf_data_ingestion_spark import registry
+    from pei_nwdaf_data_ingestion_spark.catalog import load
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["n_events"], r["value_sum"])
+        for r in registry.QUERIES["stream_stateful_counts"](spark, sf).collect()
+    }
+    want = {
+        (r["user_id"], r["n"], math.floor(r["s"] * 100.0 + 0.5) / 100.0)
+        for r in load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
