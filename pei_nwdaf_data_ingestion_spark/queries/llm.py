@@ -475,12 +475,33 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("text_tfidf")  # rows-only: idf formula variants are engine-specific
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+    SELECT doc_id, token AS top_token,
+           floor(tfidf * 10000.0 + 0.5) / 10000.0 AS top_tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token DESC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
 def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """Explicit TF-IDF via two aggregations + a broadcast join of the tiny
     document-frequency table; top term per doc via max_by with token
     tiebreak.  (Spark ML HashingTF/IDF would hash tokens into buckets -
-    the explicit formulation keeps tokens readable.)"""
+    the explicit formulation keeps tokens readable.)  idf = ln((N+1)/(df+1))
+    + 1 (smoothed), integer tf - fully deterministic, so the DuckDB dual is
+    an exact oracle."""
     d = load(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))

@@ -113,6 +113,35 @@ def join_inner_equi(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_events,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS value_sum
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe join via salting (functions.salted_join): the fact side's
+    hot keys are split across 8 sub-partitions keyed by a row-local hash,
+    the dim side replicated 8x - result is row-identical to the plain join
+    (the oracle IS the plain join), only the shuffle layout differs.  The
+    pattern for broadcast-ineligible skewed joins where AQE's skew-split
+    thresholds don't fire."""
+    from ..functions import salted_join
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "value")
+    c = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, c, on=["user_id"], salt_from="event_id", n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        pround(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+@query(
     "join_multiway",
     oracle="""
     SELECT r_name, n_name,

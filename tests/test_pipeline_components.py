@@ -109,6 +109,32 @@ class TestSinks:
             assert [r["event"] for r in n2] == ["c"]
 
 
+class TestSaltedJoin:
+    def test_row_identical_to_plain_join(self, spark):
+        """Salting changes shuffle layout only: every (fact row, dim row)
+        pair of the plain join appears exactly once in the salted join."""
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+        from pei_nwdaf_data_ingestion_spark.functions import salted_join
+
+        sf = "/root/testdata/sf0.001"
+        ev = load(spark, sf, "events").select("event_id", "user_id", "value")
+        c = load(spark, sf, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        plain = sorted(
+            map(tuple, ev.join(c, "user_id").select("event_id", "c_mktsegment").collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(ev, c, on=["user_id"], salt_from="event_id", n_salt=8)
+                .select("event_id", "c_mktsegment")
+                .collect(),
+            )
+        )
+        assert plain == salted
+
+
 class TestSimilaritySearch:
     def test_ivf_recall_vs_brute_force(self, spark):
         """IVF ANN (nprobe=6 of 16 cells) must recover most of the exact
