@@ -201,12 +201,24 @@ def stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
         )
 
 
-@query("udf_scalar_parse")
+@query(
+    "udf_scalar_parse",
+    oracle="""
+    SELECT p_partkey,
+           printf('%.2f %s', floor((p_retailprice) * 100.0 + 0.5) / 100.0,
+                  ['bps', 'Kbps', 'Mbps', 'Gbps', 'Tbps'][(p_partkey % 5) + 1])
+             AS raw_bitrate,
+           floor(((floor((p_retailprice) * 100.0 + 0.5) / 100.0) *
+                 [1e-6, 1e-3, 1.0, 1e3, 1e6][(p_partkey % 5) + 1]) * 1000000.0 + 0.5) / 1000000.0
+             AS mbps
+    FROM part
+    """,
+)
 def udf_scalar_parse(spark: SparkSession, sf: str) -> DataFrame:
-    """Vectorized Pandas UDF bitrate parse - must produce output identical
-    to the native-expression ref_unit_parse (self-oracle, asserted in
-    tests).  Demonstrates the Arrow-batched slow path used only when column
-    expressions can't express the semantics."""
+    """Vectorized Pandas UDF bitrate parse - produces output identical to
+    the native-expression ref_unit_parse (same oracle; also cross-checked
+    against the native plan in tests).  Demonstrates the Arrow-batched slow
+    path used only when column expressions can't express the semantics."""
     import re
 
     units = {"bps": 1e-6, "Kbps": 1e-3, "Mbps": 1.0, "Gbps": 1e3, "Tbps": 1e6}
@@ -241,7 +253,16 @@ def udf_scalar_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("udtf_normalize")
+@query(
+    "udtf_normalize",
+    oracle="""
+    SELECT event_id, upper(event_type) AS event,
+           'user-' || CAST(user_id AS VARCHAR) AS tag_user,
+           floor((value * 2) * 100.0 + 0.5) / 100.0 AS metric_value
+    FROM events
+    WHERE event_type <> 'error'
+    """,
+)
 def udtf_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """UDTF-shaped normalizer via mapInPandas: each input row maps to 0-or-1
     record rows (the reference's normalizer contract, receiver.py:199-203),
@@ -259,6 +280,8 @@ def udtf_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def normalize(batches):
+        import numpy as np
+
         for pdf in batches:
             keep = pdf[pdf["event_type"] != "error"]
             yield pd.DataFrame(
@@ -266,7 +289,9 @@ def udtf_normalize(spark: SparkSession, sf: str) -> DataFrame:
                     "event_id": keep["event_id"],
                     "event": keep["event_type"].str.upper(),
                     "tag_user": "user-" + keep["user_id"].astype(str),
-                    "metric_value": (keep["value"] * 2).round(2),
+                    # same floor-based half-up formula as functions.pround
+                    # (np round is banker's and disagrees at .5 boundaries)
+                    "metric_value": np.floor(keep["value"] * 2 * 100.0 + 0.5) / 100.0,
                 }
             )
 

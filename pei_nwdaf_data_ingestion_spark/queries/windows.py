@@ -165,10 +165,25 @@ def win_tumbling_1h(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("win_sliding")  # rows-only: overlapping windows have no clean SQL dual
+@query(
+    "win_sliding",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                      - to_minutes(CAST(k.k * 15 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS n,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS value_sum
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1, 2
+    """,
+)
 def win_sliding(spark: SparkSession, sf: str) -> DataFrame:
-    """Sliding window (1h length, 15min slide): each event lands in 4
-    overlapping windows; Spark expands via the `window` generator."""
+    """Sliding window (1h length, 15min slide): each event lands in exactly
+    4 overlapping windows; Spark expands via the `window` generator.  The
+    SQL dual makes the expansion explicit: the containing window starts are
+    bucket(ts, 15min) - k*15min for k in 0..3 (every k always qualifies
+    because slide divides length), so a cross join against k reproduces the
+    generator exactly."""
     ev = load(spark, sf, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
