@@ -302,16 +302,31 @@ def ref_dynamic_fields(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("ref_batch_pack")  # rows-only: JSON rendering differs across engines
+@query(
+    "ref_batch_pack",
+    oracle="""
+    SELECT user_id, CAST(len(recs) AS BIGINT) AS n_records,
+           to_json(recs) AS batch_json
+    FROM (
+      SELECT user_id,
+             list(struct_pack(event_id := event_id, event_type := event_type,
+                              value_cents := CAST(floor(value * 100.0 + 0.5) AS BIGINT),
+                              ts_ms := epoch_ms(ts)) ORDER BY event_id) AS recs
+      FROM events GROUP BY user_id)
+    """,
+)
 def ref_batch_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Batch gather: all records of one key -> ONE JSON-array message
     (receiver.py:376-387,443: one Kafka produce per notification).  The
-    array is sorted by event_id so output is deterministic."""
+    array is sorted by event_id so output is deterministic, and every field
+    is integral or string (value as integer cents) so the compact JSON
+    rendering is byte-identical across engines - which makes the wire
+    payload itself oracle-checkable."""
     ev = load(spark, sf, "events")
     rec = F.struct(
         F.col("event_id"),
         F.col("event_type"),
-        F.col("value"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("value_cents"),
         F.unix_millis("ts").alias("ts_ms"),
     )
     return (
@@ -319,7 +334,7 @@ def ref_batch_pack(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(rec)).alias("records"))
         .select(
             "user_id",
-            F.size("records").alias("n_records"),
+            F.size("records").cast("long").alias("n_records"),
             F.to_json(F.col("records")).alias("batch_json"),
         )
     )
