@@ -535,6 +535,108 @@ def agg_maxby(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT event_type,
+           floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+           floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
+           floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_val
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` = DuckDB
+    `quantile_cont`, both linear interpolation over the sorted group).  The
+    approximate sketch path is agg_approx_distinct's HLL cousin
+    `percentile_approx` - used in streaming_queries for splits, not
+    declared (engine-specific estimates)."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        pround(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        pround(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        pround(F.median("value"), 4).alias("median_val"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           floor((stddev_samp(value)) * 10000.0 + 0.5) / 10000.0 AS sd,
+           floor((var_samp(value)) * 10000.0 + 0.5) / 10000.0 AS var,
+           floor((corr(value, CAST(user_id AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS corr_vu,
+           floor((covar_samp(value, CAST(user_id AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS covar_vu
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Second-moment aggregates (stddev/variance/correlation/covariance);
+    both engines use numerically-stable one-pass updates, and 4-dp
+    rounding absorbs summation-order drift (SURVEY.md 7.4 convention)."""
+    ev = load(spark, sf, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        pround(F.stddev_samp("value"), 4).alias("sd"),
+        pround(F.var_samp("value"), 4).alias("var"),
+        pround(F.corr(F.col("value"), u), 4).alias("corr_vu"),
+        pround(F.covar_samp(F.col("value"), u), 4).alias("covar_vu"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 100.0 + 0.5) / 100.0 AS "F",
+           floor((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 100.0 + 0.5) / 100.0 AS "O"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot with an explicit value list (fixed output schema - at scale
+    never let pivot() infer distinct values with an extra pass); the SQL
+    dual is the classic conditional aggregation."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(pround(F.sum("l_quantity"), 2))
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT 'l_quantity' AS measure,
+           count(*) AS n, floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS total
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice' AS measure,
+           count(*) AS n, floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total
+    FROM lineitem
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (wide measures -> long (measure, value) rows) then
+    aggregate; the melt happens map-side with no shuffle - only the
+    re-aggregation shuffles, on a 2-value key."""
+    li = load(spark, sf, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"), pround(F.sum("val"), 2).alias("total")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sort / limit / set ops
 # ---------------------------------------------------------------------------

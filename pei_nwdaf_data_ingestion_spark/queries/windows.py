@@ -198,6 +198,32 @@ def win_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "win_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+           floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cume,
+           rank() OVER w AS rnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Relative-rank analytics (percent_rank / cume_dist / rank); ordering
+    includes the unique c_custkey so ties are impossible and both engines
+    rank identically (SURVEY.md 7.4)."""
+    c = load(spark, sf, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("long").alias("rnk"),
+    )
+
+
+@query(
     "win_session_gap",
     oracle="""
     WITH flagged AS (
