@@ -476,6 +476,57 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pipeline_pretrain_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio
+      FROM documents),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 20 AND 90 AND distinct_ratio > 0.2),
+    deduped AS (
+      SELECT lang, text, min(doc_id) AS keep_doc_id,
+             count(*) AS n_copies,
+             min(n_tokens) AS n_tokens
+      FROM kept GROUP BY lang, text)
+    SELECT lang,
+           count(*) AS docs_kept,
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS dups_removed,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def pipeline_pretrain_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data pipeline: quality filter (length band +
+    lexical diversity, same heuristics as text_quality_score) -> exact
+    dedup (survivor = min doc_id per (lang, text)) -> per-language corpus
+    accounting.  One scan feeds everything; the only shuffles are the dedup
+    group (on the content key - at 100TB you'd group on sha2(text)) and the
+    tiny per-language rollup."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    kept = d.select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens")
+    ).filter(n_tokens.between(20, 90) & (distinct_ratio > 0.2))
+    deduped = kept.groupBy("lang", "text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("docs_kept"),
+        (F.sum("n_copies") - F.count("*")).cast("long").alias("dups_removed"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+    )
+
+
+@query(
     "text_tfidf",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -536,6 +536,36 @@ def agg_maxby(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+           count(*) AS n,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not expressible as rollup/cube alone) via
+    spark.sql, with grouping_id to disambiguate real NULL keys from
+    superaggregate rows.  One shuffle; the sets are expanded map-side."""
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               floor((sum(l_extendedprice)) * 100.0D + 0.5D) / 100.0D AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
     "agg_percentile",
     oracle="""
     SELECT event_type,
