@@ -10,6 +10,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from pei_nwdaf_data_ingestion_spark import registry
 from tests.conftest import SF_DIR
@@ -81,6 +82,50 @@ class TestJoinStrategy:
         rewrite through an aggregate + full join)."""
         plan = plan_of(spark, name)
         assert "Semi" in plan or "Anti" in plan
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_shuffle(self, spark, tmp_path):
+        """The 100TB co-location play: persist both fact tables bucketed by
+        the join key; the sort-merge join then needs NO shuffle exchange on
+        either side (only sorts).  This is the layout the ingest path would
+        write for repeatedly-joined facts."""
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        warehouse = str(tmp_path / "wh")
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+                name = f"b_{t}"
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                (
+                    load(spark, sf, t)
+                    .write.format("parquet")
+                    .bucketBy(8, key)
+                    .sortBy(key)
+                    .option("path", f"{warehouse}/{name}")
+                    .saveAsTable(name)
+                )
+            joined = spark.table("b_lineitem").join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle at all
+            # and the result is still correct
+            n = joined.count()
+            li = load(spark, sf, "lineitem").count()
+            assert n == li  # every lineitem row has its order
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
 class TestExecution:
