@@ -40,6 +40,8 @@ HEADLINE = [
     "multimodal_join",
     "ref_context_enrich",
     "ref_upsert_lastwins",
+    "ref_unit_parse",
+    "pipeline_pretrain_filter",
 ]
 
 
