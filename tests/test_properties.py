@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the parsing/rounding kernels -
+stronger than the reference's fixed golden values (tests/test_receiver.py:
+61-102): any generated input must satisfy the kernel's contract, and the
+cross-engine rounding formula must agree with DuckDB on arbitrary doubles.
+
+Strategy: hypothesis generates BATCHES (lists) per example and each example
+runs one Spark job over the whole batch, keeping job count (the expensive
+part) independent of case count.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pei_nwdaf_data_ingestion_spark.functions import pround, sql_round
+from pei_nwdaf_data_ingestion_spark.pipeline.normalize import (
+    BITRATE_UNITS,
+    parse_bitrate_mbps,
+)
+from pyspark.sql import functions as F
+
+# bounded magnitude: the floor(x*10^n + 0.5) formula needs x*10^n to stay
+# well inside 2^53 for exactness on BOTH engines (same bound either side)
+sane_doubles = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+class TestProundCrossEngine:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(sane_doubles, min_size=1, max_size=200))
+    def test_pround_matches_duckdb(self, spark, xs):
+        """floor-based half-up rounding is bit-identical across engines."""
+        sdf = spark.createDataFrame([(x,) for x in xs], "x double")
+        got = [
+            r["r"]
+            for r in sdf.select(pround("x", 2).alias("r")).orderBy("x").collect()
+        ]
+        ddb = duckdb.connect()
+        want = [
+            row[0]
+            for x in sorted(xs)
+            for row in ddb.execute(
+                f"SELECT {sql_round(f'CAST({x!r} AS DOUBLE)', 2)}"
+            ).fetchall()
+        ]
+        assert got == want
+
+
+def _ref_parse(s: str) -> float | None:
+    """The reference's parse contract (receiver.py:66-75), restated."""
+    import re
+
+    m = re.match(r"^\s*([0-9]+(?:\.[0-9]+)?)\s*(bps|Kbps|Mbps|Gbps|Tbps)\s*$", s)
+    if not m:
+        return None
+    v = float(m.group(1)) * BITRATE_UNITS[m.group(2)]
+    return math.floor(v * 1e6 + 0.5) / 1e6
+
+
+valid_bitrates = st.builds(
+    lambda v, unit, pre, mid, post: f"{pre}{v:.4f}{mid}{unit}{post}",
+    st.floats(min_value=0, max_value=1e6, allow_nan=False),
+    st.sampled_from(sorted(BITRATE_UNITS)),
+    st.sampled_from(["", " ", "  "]),
+    st.sampled_from([" ", "  "]),
+    st.sampled_from(["", " "]),
+)
+junk_strings = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20
+)
+
+
+class TestBitrateParseProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.one_of(valid_bitrates, junk_strings), min_size=1, max_size=100))
+    def test_parse_matches_reference_contract(self, spark, raws):
+        rows = [(i, s) for i, s in enumerate(raws)]
+        sdf = spark.createDataFrame(rows, "i long, raw string")
+        got = {
+            r["i"]: r["mbps"]
+            for r in sdf.select("i", parse_bitrate_mbps(F.col("raw")).alias("mbps")).collect()
+        }
+        for i, s in rows:
+            assert got[i] == _ref_parse(s), repr(s)
+
+
