@@ -304,3 +304,59 @@ def map_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
         F.size(m).alias("map_size"),
     )
+
+
+@query(
+    "str_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_brand) AS BIGINT) AS dist_name_brand,
+           CAST(levenshtein(p_name, reverse(p_name)) AS BIGINT) AS dist_palindrome,
+           greatest(strlen(p_name), strlen(p_type)) AS max_len,
+           least(strlen(p_name), strlen(p_type)) AS min_len,
+           repeat(p_brand, 2) AS brand2
+    FROM part
+    """,
+)
+def str_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance + min/max-across-columns string surface (dedup/entity-
+    resolution building blocks; levenshtein is the verify step after
+    cheap blocking in record-linkage pipelines)."""
+    p = load(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_brand").cast("long").alias("dist_name_brand"),
+        F.levenshtein("p_name", F.reverse("p_name")).cast("long").alias("dist_palindrome"),
+        F.greatest(F.length("p_name"), F.length("p_type")).cast("long").alias("max_len"),
+        F.least(F.length("p_name"), F.length("p_type")).cast("long").alias("min_len"),
+        F.repeat("p_brand", 2).alias("brand2"),
+    )
+
+
+@query(
+    "bit_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS k_and,
+           o_orderkey | 4096 AS k_or,
+           xor(o_orderkey, 65535) AS k_xor,
+           o_orderkey << 2 AS k_shl,
+           o_orderkey >> 3 AS k_shr,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS k_bits
+    FROM orders
+    """,
+)
+def bit_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise arithmetic surface (hash bucketing, bitmap flags, the
+    SimHash/MinHash band math all reduce to these)."""
+    o = load(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.lit(65535)).alias("k_xor"),
+        F.shiftleft(k, 2).alias("k_shl"),
+        F.shiftright(k, 3).alias("k_shr"),
+        F.bit_count(k).cast("long").alias("k_bits"),
+    )
