@@ -61,33 +61,45 @@ def kafka_foreach_batch(topic: str, bootstrap: str):
 
 
 def file_fanout_foreach_batch(out_dir: str, key: str = "notifId"):
-    """Keyed fan-out sink: each key's records land under out_dir/<key>/ as
-    JSON-lines, one file per micro-batch - the reference's per-subscription
-    WebSocket push (receiver.py:227-239) with files standing in for
-    sockets.  Partitioned write keeps the fan-out distributed (no driver
-    collect of record data)."""
+    """Keyed fan-out sink: each key's records land under
+    out_dir/epoch=<id>/<key>/ as JSON-lines - the reference's
+    per-subscription WebSocket push (receiver.py:227-239) with files
+    standing in for sockets.  Partitioned write keeps the fan-out
+    distributed (no driver collect of record data).
+
+    Exactly-once: the write is scoped to its epoch directory with
+    overwrite mode, so a REPLAYED micro-batch (Spark re-runs the epoch
+    after a failure between sink write and checkpoint commit) lands on the
+    same path and replaces itself instead of appending duplicates - the
+    idempotence foreachBatch needs to upgrade the reference's
+    at-most-once delivery to exactly-once."""
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         (
             batch.withColumn("_k", F.col(key))
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("_k")
-            .json(out_dir)
+            .json(os.path.join(out_dir, f"epoch={epoch_id}"))
         )
 
     return _write
 
 
 def read_fanout(out_dir: str, key_value: str) -> list[dict]:
-    """Test helper: read one key's fan-out stream back."""
+    """Test helper: read one key's fan-out stream back across all epochs."""
     records = []
-    d = os.path.join(out_dir, f"_k={key_value}")
-    if not os.path.isdir(d):
+    if not os.path.isdir(out_dir):
         return records
-    for fn in sorted(os.listdir(d)):
-        if fn.endswith(".json"):
-            with open(os.path.join(d, fn)) as f:
-                for line in f:
-                    if line.strip():
-                        records.append(json.loads(line))
+    for epoch in sorted(os.listdir(out_dir)):
+        if not epoch.startswith("epoch="):
+            continue
+        d = os.path.join(out_dir, epoch, f"_k={key_value}")
+        if not os.path.isdir(d):
+            continue
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    for line in f:
+                        if line.strip():
+                            records.append(json.loads(line))
     return records

@@ -108,6 +108,27 @@ class TestSinks:
             assert sorted(r["event"] for r in n1) == ["a", "b"]
             assert [r["event"] for r in n2] == ["c"]
 
+    def test_file_fanout_epoch_replay_is_idempotent(self, spark):
+        """Spark replays a micro-batch when failure hits between sink write
+        and checkpoint commit; the epoch-scoped overwrite must absorb the
+        replay (exactly-once), while a NEW epoch appends."""
+        df = spark.createDataFrame(
+            [("n1", 1, "a"), ("n1", 2, "b")],
+            "notifId string, ts_unix long, event string",
+        )
+        with tempfile.TemporaryDirectory(prefix="fanout_") as d:
+            sink = file_fanout_foreach_batch(d)
+            sink(df, epoch_id=0)
+            sink(df, epoch_id=0)  # replayed epoch: no duplicates
+            assert sorted(r["event"] for r in read_fanout(d, "n1")) == ["a", "b"]
+            sink(df, epoch_id=1)  # genuinely new epoch: appends
+            assert sorted(r["event"] for r in read_fanout(d, "n1")) == [
+                "a",
+                "a",
+                "b",
+                "b",
+            ]
+
 
 class TestSaltedJoin:
     def test_row_identical_to_plain_join(self, spark):
