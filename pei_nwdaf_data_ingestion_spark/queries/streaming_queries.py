@@ -135,6 +135,30 @@ def stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
         return spark.table(name)
 
 
+@query("stream_session_window")
+def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based session windows on a stream (session_window + watermark):
+    per-user sessions close after 30 idle minutes.  The batch dual
+    win_session_gap derives the same sessions via lag/flag/running-sum -
+    session counts per user must agree (asserted in tests)."""
+    ev = _events_stream(spark, sf)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    name = "stream_session_out"
+    # complete mode: append would hold back sessions still inside the
+    # watermark when the bounded stream ends (the last hour of data)
+    _drain(agg, name, mode="complete")
+    return spark.table(name)
+
+
 @query("stream_stateful_counts")
 def stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState - the

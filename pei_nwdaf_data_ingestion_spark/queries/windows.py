@@ -229,7 +229,7 @@ def win_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session,
              event_id
@@ -259,7 +259,10 @@ def win_session_gap(spark: SparkSession, sf: str) -> DataFrame:
     flagged = ev.withColumn(
         "new_session",
         F.when(
-            F.lag("ts").over(w).isNull() | ((ms - F.lag(ms).over(w)) > 1800000),
+            # >= : session_window's interval is half-open [start, last+gap),
+            # so an event exactly `gap` after the previous one opens a NEW
+            # session - the batch dual must use the same boundary
+            F.lag("ts").over(w).isNull() | ((ms - F.lag(ms).over(w)) >= 1800000),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )

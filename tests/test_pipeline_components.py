@@ -156,6 +156,23 @@ class TestSaltedJoin:
         assert plain == salted
 
 
+class TestApproxSketches:
+    def test_hll_estimate_within_rsd(self, spark):
+        """approx_count_distinct is an HLL sketch with a configured rsd;
+        the estimate must land within ~3 standard errors of the exact
+        count (deterministic for a fixed input - no flake)."""
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        ev = load(spark, sf, "events")
+        rsd = 0.05
+        est = ev.agg(
+            F.approx_count_distinct("user_id", rsd).alias("e")
+        ).collect()[0]["e"]
+        exact = ev.select("user_id").distinct().count()
+        assert abs(est - exact) <= max(1, 3 * rsd * exact)
+
+
 class TestSimilaritySearch:
     def test_ivf_recall_vs_brute_force(self, spark):
         """IVF ANN (nprobe=6 of 16 cells) must recover most of the exact

@@ -128,6 +128,40 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+class TestPartitionPruning:
+    def test_date_partitioned_layout_prunes(self, spark, tmp_path):
+        """The 100TB layout: facts partitioned by event date; a day filter
+        must show up as a PartitionFilter (directories never listed), not a
+        data filter."""
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        path = str(tmp_path / "events_by_day")
+        ev = load(spark, sf, "events").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        ev.write.partitionBy("day").parquet(path)
+        some_day = ev.select("day").first()["day"]
+        q = (
+            spark.read.parquet(path)
+            .filter(F.col("day") == some_day)
+            .select("event_id", "value")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf and any("day" in l for l in pf)
+        # the day predicate must NOT survive as a post-scan data filter
+        assert all(
+            "day" not in l for l in plan.splitlines() if l.strip().startswith("Condition")
+        )
+        n_match = q.count()
+        n_day = ev.filter(F.col("day") == some_day).count()
+        assert n_match == n_day > 0
+
+
 class TestExecution:
     def test_q1_whole_stage_codegen(self, spark):
         """The agg pipeline must run inside WholeStageCodegen (the Tungsten

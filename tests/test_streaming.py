@@ -162,3 +162,22 @@ def test_stream_stateful_counts_accumulates_across_batches(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_session_window_matches_batch_sessionization(spark):
+    """session_window on the stream must carve the same sessions as the
+    batch lag/flag/running-sum formulation (win_session_gap): same
+    (user_id, n_events) multiset."""
+    from pei_nwdaf_data_ingestion_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in registry.QUERIES["stream_session_window"](spark, sf).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"])
+        for r in registry.QUERIES["win_session_gap"](spark, sf).collect()
+    )
+    assert got == want
