@@ -142,6 +142,38 @@ def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "join_null_keys",
+    oracle="""
+    WITH k AS (SELECT DISTINCT CASE WHEN user_id % 5 = 0 THEN NULL
+                                    ELSE user_id END AS key
+               FROM events)
+    SELECT
+      (SELECT count(*) FROM k) AS n_keys,
+      (SELECT count(*) FROM k a JOIN k b ON a.key = b.key) AS eq_matches,
+      (SELECT count(*) FROM k a JOIN k b
+        ON a.key IS NOT DISTINCT FROM b.key) AS nullsafe_matches
+    """,
+)
+def join_null_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-key join semantics: `=` never matches NULL keys (they silently
+    drop out - the classic join-count trap), `eqNullSafe` (<=> / IS NOT
+    DISTINCT FROM) matches them.  One row of counts proving both engines
+    agree on both semantics."""
+    ev = load(spark, sf, "events")
+    k = ev.select(
+        F.when(F.col("user_id") % 5 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("key")
+    ).distinct()
+    a, b = k.alias("a"), k.alias("b")
+    eq = a.join(b, F.col("a.key") == F.col("b.key")).count()
+    ns = a.join(b, F.col("a.key").eqNullSafe(F.col("b.key"))).count()
+    return spark.createDataFrame(
+        [(k.count(), eq, ns)], "n_keys long, eq_matches long, nullsafe_matches long"
+    )
+
+
+@query(
     "join_multiway",
     oracle="""
     SELECT r_name, n_name,
