@@ -826,3 +826,62 @@ def text_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
+
+
+# marker vocabularies for the language-ID heuristic: disjoint subsets of the
+# fixture vocabulary so per-doc scores actually vary (the fixture's text is
+# synthetic; what's under test is the scoring operator, not linguistics)
+_LANG_MARKERS = {
+    "de": ["table", "row", "join"],
+    "en": ["the", "a", "query"],
+    "es": ["scan", "sort", "filter"],
+    "fr": ["group", "hash", "merge"],
+    "zh": ["stream", "batch", "window"],
+}
+
+
+@query(
+    "text_langid_predict",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang AS declared,
+        len(list_filter(string_split(text,' '), t -> t IN ('table','row','join'))) AS s_de,
+        len(list_filter(string_split(text,' '), t -> t IN ('the','a','query'))) AS s_en,
+        len(list_filter(string_split(text,' '), t -> t IN ('scan','sort','filter'))) AS s_es,
+        len(list_filter(string_split(text,' '), t -> t IN ('group','hash','merge'))) AS s_fr,
+        len(list_filter(string_split(text,' '), t -> t IN ('stream','batch','window'))) AS s_zh
+      FROM documents)
+    SELECT doc_id, declared,
+           CASE WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en'
+                WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr'
+                ELSE 'zh' END AS predicted,
+           CAST(g AS BIGINT) AS best_score
+    FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)
+    """,
+)
+def text_langid_predict(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document language-ID prediction: score each language by marker-
+    token hit count (duplicates counted - an n-gram-profile heuristic),
+    argmax with lexical tie-break (the CASE chain tests languages in sorted
+    order).  Pure column expressions, one scan, no shuffle."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    def _score(markers):
+        # single-parameter closure: a two-arg lambda (even via default arg)
+        # makes F.filter pass the element INDEX as the second argument
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: _score(markers) for lang, markers in _LANG_MARKERS.items()}
+    g = F.greatest(*scores.values())
+    pred = F
+    chain = None
+    for lang in sorted(_LANG_MARKERS)[:-1]:
+        cond = scores[lang] == g
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    chain = chain.otherwise(sorted(_LANG_MARKERS)[-1])
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared"),
+        chain.alias("predicted"),
+        g.cast("long").alias("best_score"),
+    )

@@ -59,3 +59,40 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
             F.aggregate("features", F.lit(0.0), lambda acc, v: acc + v), 6
         ).alias("feat_sum"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id, f.frame_idx,
+           md5(substr(text, (f.frame_idx - 1) * 100 + 1, 100)) AS frame_md5,
+           CAST(strlen(substr(text, (f.frame_idx - 1) * 100 + 1, 100)) AS BIGINT)
+             AS frame_len
+    FROM documents
+    JOIN LATERAL (
+      SELECT unnest(range(1, least(3, strlen(text) // 100 + 1) + 1)) AS frame_idx
+    ) f ON true
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling over binary media (north-star: decode / resize /
+    frame-sample): each asset expands into up to 3 fixed-stride 100-byte
+    frames - the UDTF-shaped 1->N row expansion a video keyframe sampler
+    produces, with md5 standing in for the per-frame decode.  All plumbing
+    (binary slicing, lateral expansion, per-frame hashing) runs JVM-side;
+    a real decoder would swap into the frame expression only."""
+    assets = synthesize_assets(load(spark, sf, "documents"))
+    text = F.decode("content", "utf-8")  # synthesized assets are utf-8 bytes
+    k = F.least(F.lit(3), (F.length(text) / 100).cast("int") + 1)
+    frames = (
+        assets.select(
+            "asset_id", text.alias("t"), F.explode(F.sequence(F.lit(1), k)).alias("frame_idx")
+        )
+    )
+    frame = F.substring(F.col("t"), (F.col("frame_idx") - 1) * 100 + 1, 100)
+    return frames.select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5(frame).alias("frame_md5"),
+        F.length(frame).cast("long").alias("frame_len"),
+    )
