@@ -360,3 +360,68 @@ def bit_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.shiftright(k, 3).alias("k_shr"),
         F.bit_count(k).cast("long").alias("k_bits"),
     )
+
+
+@query(
+    "array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           floor((list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                              (a, b) -> a + b)) * 10000.0 + 0.5) / 10000.0 AS vec_sum,
+           floor((list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)[1])
+                 * 10000.0 + 0.5) / 10000.0 AS first_doubled,
+           CAST(len(list_filter(embedding, x -> x > 0.9)) > 0 AS INTEGER) AS any_gt_09,
+           CAST(len(list_filter(embedding, x -> x > -10)) = len(embedding) AS INTEGER)
+             AS all_gt_neg10
+    FROM embeddings
+    """,
+)
+def array_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array functions - transform / filter / aggregate
+    (left fold, order-deterministic) / exists / forall - the lambda surface
+    the dedup and similarity operators are built from, declared on its own
+    so the primitive family is directly oracle-checked."""
+    e = load(spark, sf, "embeddings")
+    v = F.col("embedding")
+    dv = F.transform(v, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        pround(F.aggregate(dv, F.lit(0.0), lambda a, b: a + b), 4).alias("vec_sum"),
+        pround(F.element_at(F.transform(dv, lambda x: x * 2.0), 1), 4).alias(
+            "first_doubled"
+        ),
+        F.exists(v, lambda x: x > 0.9).cast("int").alias("any_gt_09"),
+        F.forall(v, lambda x: x > -10).cast("int").alias("all_gt_neg10"),
+    )
+
+
+@query(
+    "date_series",
+    oracle="""
+    SELECT o_orderkey, CAST(k.k AS BIGINT) AS day_offset,
+           strftime(CAST(o_orderdate AS DATE) + to_days(CAST(k.k AS INTEGER)),
+                    '%Y-%m-%d') AS day
+    FROM orders
+    CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+    WHERE o_orderkey <= 1000
+    """,
+)
+def date_series(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-series generation (date-dim expansion): each order expands
+    into a 3-day horizon via sequence + explode - the canonical way to
+    build date spines / fill gaps without a stored calendar table."""
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("day_offset"),
+    ).select(
+        "o_orderkey",
+        F.col("day_offset").cast("long").alias("day_offset"),
+        F.date_format(
+            F.date_add(F.col("o_orderdate").cast("date"), F.col("day_offset").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+    )
