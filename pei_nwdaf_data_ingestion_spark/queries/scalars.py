@@ -425,3 +425,41 @@ def date_series(spark: SparkSession, sf: str) -> DataFrame:
             "yyyy-MM-dd",
         ).alias("day"),
     )
+
+
+@query(
+    "json_roundtrip",
+    oracle="""
+    SELECT event_id,
+           user_id AS uid,
+           event_type AS utype,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS first_val,
+           CAST(2 AS BIGINT) AS n_vals
+    FROM events
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON construct -> parse -> nested extract round-trip: build a nested
+    document with to_json, re-parse with an explicit from_json schema
+    (never schema inference mid-pipeline, SURVEY.md 7.4), extract typed
+    nested fields and array elements.  The oracle states the identity the
+    round-trip must preserve."""
+    ev = load(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("user_id").alias("id"), F.col("event_type").alias("type")
+            ).alias("user"),
+            F.array(cents, cents * 2).alias("vals"),
+        )
+    )
+    schema = "struct<user: struct<id: bigint, type: string>, vals: array<bigint>>"
+    parsed = F.from_json(doc, schema)
+    return ev.select(
+        "event_id",
+        parsed["user"]["id"].alias("uid"),
+        parsed["user"]["type"].alias("utype"),
+        F.element_at(parsed["vals"], 1).alias("first_val"),
+        F.size(parsed["vals"]).cast("long").alias("n_vals"),
+    )
