@@ -885,3 +885,117 @@ def text_langid_predict(spark: SparkSession, sf: str) -> DataFrame:
         chain.alias("predicted"),
         g.cast("long").alias("best_score"),
     )
+
+
+@query(
+    "text_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+      FROM documents)
+    SELECT doc_id,
+           CAST((s.start - 1) // 8 + 1 AS BIGINT) AS chunk_idx,
+           CAST(s.start AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(t, s.start, least(CAST(n AS BIGINT), s.start + 9))) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(t, s.start, least(CAST(n AS BIGINT), s.start + 9)), ' ')
+             AS chunk_text
+    FROM toks
+    JOIN LATERAL (SELECT unnest(range(1, CAST(n AS BIGINT) + 1, 8)) AS start) s ON true
+    """,
+)
+def text_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (size 10, stride 8) - the
+    pretraining-corpus windowing op.  Chunk starts come from a stepped
+    sequence + explode (map-side 1->N, no shuffle); each chunk is a slice
+    of the token array re-joined to text."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+    starts = base.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(8))).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), F.lit(10))
+    return starts.select(
+        "doc_id",
+        (((F.col("start") - 1) / 8).cast("long") + 1).alias("chunk_idx"),
+        F.col("start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@query(
+    "dedup_decontaminate",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                    || ' ' || string_split(text,' ')[i+2])) AS trigrams
+      FROM documents),
+    eval_grams AS (
+      SELECT DISTINCT unnest(trigrams) AS g FROM grams WHERE source = 'src1'),
+    corpus AS (SELECT * FROM grams WHERE source <> 'src1')
+    SELECT c.doc_id,
+           CAST(count(DISTINCT e.g) AS BIGINT) AS n_shared_trigrams,
+           CAST(count(DISTINCT e.g) > 0 AS INTEGER) AS contaminated
+    FROM corpus c LEFT JOIN eval_grams e
+      ON list_contains(c.trigrams, e.g)
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    3-gram with the held-out eval set (source='src1') - the standard
+    train/test-leak scan.  The eval trigram set is tiny -> broadcast; the
+    corpus side explodes its trigrams and joins on the gram (an inverted-
+    index join, linear in corpus grams - never pairwise in documents)."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    idx = F.when(n > 2, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    trigrams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    g = d.select("doc_id", "source", trigrams.alias("trigrams"))
+    eval_grams = (
+        g.filter(F.col("source") == "src1")
+        .select(F.explode("trigrams").alias("g"))
+        .distinct()
+    )
+    corpus = g.filter(F.col("source") != "src1").select(
+        "doc_id", F.explode("trigrams").alias("g")
+    )
+    hits = corpus.join(F.broadcast(eval_grams), "g", "left_semi")
+    return (
+        corpus.select("doc_id")
+        .distinct()
+        .join(
+            hits.groupBy("doc_id").agg(F.count("*").alias("n_shared_trigrams")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_trigrams", F.lit(0)).cast("long").alias(
+                "n_shared_trigrams"
+            ),
+            (F.coalesce("n_shared_trigrams", F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )
