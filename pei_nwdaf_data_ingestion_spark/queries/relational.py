@@ -772,3 +772,27 @@ def set_except(spark: SparkSession, sf: str) -> DataFrame:
     b = ev.filter(F.col("event_type") == "error").select("user_id")
     # subtract == SQL EXCEPT (set semantics); exceptAll would be EXCEPT ALL
     return a.subtract(b)
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 50) AS n_big,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 99) AS any_huge,
+           CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_even_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_boolean(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean/conditional aggregates (count_if = FILTER clause dual,
+    bool_and/bool_or) - predicate accounting without a pre-filter pass."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_big"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_huge"),
+        F.count_if(F.col("user_id") % 2 == 0).alias("n_even_user"),
+    )
