@@ -45,7 +45,7 @@ HEADLINE = [
 ]
 
 
-def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
+def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -62,7 +62,12 @@ def main() -> None:
     # Override with SPARK_GRAFT_CACHE=0 to time cold single-split scans.
     os.environ.setdefault("SPARK_GRAFT_CACHE", "1")
     registry.load_all()
-    spark = get_spark(app_name="bench")
+    # shuffle partitions sized to the benchmark scale (sf0.1 <= 600k-row
+    # facts: ~8 x 75k-row shuffle tasks), not to core count - 32 tasks of
+    # tiny partitions is pure scheduling overhead at this volume.  AQE
+    # still splits skewed/oversized partitions when the data says so.
+    cores = os.cpu_count() or 4
+    spark = get_spark(app_name="bench", shuffle_partitions=max(4, cores // 4))
     # warm the JVM/reader path + materialize table caches once
     from pei_nwdaf_data_ingestion_spark import catalog
 
