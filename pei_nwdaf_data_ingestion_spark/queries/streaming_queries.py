@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load
-from ..pipeline.normalize import parse_bitrate_mbps
 from ..functions import pround
 from ..registry import query
 

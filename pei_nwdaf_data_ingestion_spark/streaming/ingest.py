@@ -21,7 +21,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..pipeline.nef import NOTIFICATION, SUBSCRIPTION, normalize_notifications
+from ..pipeline.nef import NOTIFICATION, normalize_notifications
 
 
 def read_notification_stream(spark: SparkSession, json_dir: str) -> DataFrame:
