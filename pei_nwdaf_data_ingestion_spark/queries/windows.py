@@ -273,3 +273,35 @@ def win_session_gap(spark: SparkSession, sf: str) -> DataFrame:
         F.min(ms).alias("session_start_ms"),
         F.max(ms).alias("session_end_ms"),
     )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """first_value / last_value / nth_value.  last_value and nth_value pin
+    an explicit unbounded frame - the default frame ends at CURRENT ROW,
+    which silently turns last_value into 'current value' (a classic window
+    trap both engines share).  Unique-key ordering per 7.4."""
+    o = load(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+    )
