@@ -463,3 +463,36 @@ def json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(parsed["vals"], 1).alias("first_val"),
         F.size(parsed["vals"]).cast("long").alias("n_vals"),
     )
+
+
+@query(
+    "time_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(hour(ts) AS BIGINT) AS h,
+           CAST(minute(ts) AS BIGINT) AS m,
+           CAST(second(ts) AS BIGINT) AS s,
+           CAST(dayofweek(ts) AS BIGINT) AS dow,
+           strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(CAST(ts AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month
+    FROM events
+    """,
+)
+def time_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-component extraction + calendar arithmetic.  Cross-engine
+    traps pinned here: Spark's dayofweek is 1-based Sunday, DuckDB's
+    0-based (normalized to DuckDB's convention); both engines clamp
+    month-add to month end (Jan 31 + 1mo = Feb 29)."""
+    ev = load(spark, sf, "events")
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.hour(ts).cast("long").alias("h"),
+        F.minute(ts).cast("long").alias("m"),
+        F.second(ts).cast("long").alias("s"),
+        (F.dayofweek(ts) - 1).cast("long").alias("dow"),
+        F.date_format(F.last_day(ts.cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(ts.cast("date"), 1), "yyyy-MM-dd").alias(
+            "next_month"
+        ),
+    )
