@@ -796,3 +796,33 @@ def agg_boolean(spark: SparkSession, sf: str) -> DataFrame:
         F.bool_or(F.col("value") > 99).alias("any_huge"),
         F.count_if(F.col("user_id") % 2 == 0).alias("n_even_user"),
     )
+
+
+@query(
+    "set_union_byname",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment,
+           CAST(NULL AS VARCHAR) AS brand
+    FROM customer
+    UNION ALL
+    SELECT p_partkey AS id, p_name AS name, CAST(NULL AS VARCHAR) AS segment,
+           p_brand AS brand
+    FROM part
+    """,
+)
+def set_union_byname(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolving union: unionByName(allowMissingColumns=True) aligns
+    by column NAME and null-pads what either side lacks - the append path
+    when sources disagree on schema (the reference's dynamic metric columns
+    have exactly this shape, receiver.py:394-397)."""
+    c = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    p = load(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+    )
+    return c.unionByName(p, allowMissingColumns=True)
