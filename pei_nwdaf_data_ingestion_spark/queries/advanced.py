@@ -1,0 +1,470 @@
+"""Advanced relational + pipeline operators beyond the round-1 core:
+subqueries, deterministic sampling, mode/histogram aggregates, partial
+re-aggregation, sketch merging, and duplicate-cluster connected components.
+
+All [EXT] per SURVEY.md section 2 - the reference delegates querying to
+downstream consumers (reference receiver.py:445 is the last hop); these
+complete the analytics surface a training-data pipeline needs at 100 TB:
+reproducible sampling, mergeable sketches, and transitive dedup clustering
+are the scale workhorses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import pround
+from ..registry import query
+
+
+# ---------------------------------------------------------------------------
+# subqueries (Catalyst decorrelates these into joins - RewriteCorrelated
+# ScalarSubquery / RewritePredicateSubquery, SURVEY.md 4.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subq_scalar_correlated",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c
+    WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 12
+    """,
+)
+def subq_scalar_correlated(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery; Catalyst decorrelates it into an
+    aggregate + join (one shuffle on the correlation key), never a per-row
+    re-execution.  The correlated measure is an exact integer count so the
+    predicate boundary is parity-safe."""
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 12
+        """
+    )
+
+
+@query(
+    "subq_in_notin",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity <= 2)
+    """,
+)
+def subq_in_notin(spark: SparkSession, sf: str) -> DataFrame:
+    """IN / NOT IN predicate subqueries; Catalyst rewrites them to left-semi
+    and null-aware left-anti joins.  l_partkey is non-null in the fixture,
+    so NOT IN's three-valued-logic trap (any NULL empties the result) does
+    not bite; join_null_keys pins the NULL-key semantics explicitly."""
+    load(spark, sf, "part").createOrReplaceTempView("part")
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+          AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity <= 2)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (reproducible train/eval splits at 100 TB: the
+# sample is a pure function of the key, not of engine/partitioning/seed
+# state, so it is stable across engines, re-runs, and cluster sizes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_det",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+    """,
+)
+def sample_hash_det(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~25% sample by first hex digit of md5(key).  Unlike
+    df.sample() (seeded per-partition RNG - changes with repartitioning),
+    a key-hash sample is reproducible anywhere, composable (digit ranges
+    give nested splits), and pushes down as an ordinary predicate."""
+    d = load(spark, sf, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.filter(digit.isin("0", "1", "2", "3")).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# aggregates: mode, histogram, partial re-aggregation, sketches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_orders
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group mode with a deterministic tie-break (count DESC, value ASC)
+    - native mode() leaves ties engine-defined, so it is formulated as
+    count + row_number (SURVEY.md 7.4 determinism convention).  Two
+    shuffles: group count, then the tiny per-group ranking."""
+    o = load(spark, sf, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bucket_lo,
+           count(*) AS n,
+           floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0 AS min_price,
+           floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0 AS max_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width numeric histogram via floor-division bucketing - the
+    map-side expression form of width_bucket, so the whole histogram is one
+    partial+final hash agg over ~20 groups (no sort, no per-bucket scan)."""
+    o = load(spark, sf, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000.0).cast("long")
+    return (
+        o.select(
+            bucket.alias("bucket"),
+            (bucket * 25000.0).alias("bucket_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count("*").alias("n"),
+            pround(F.min("o_totalprice"), 2).alias("min_price"),
+            pround(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "agg_partial_reagg",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS value_sum,
+           floor(((floor((sum(value)) * 100.0 + 0.5) / 100.0) / count(*))
+                 * 100.0 + 0.5) / 100.0 AS value_avg,
+           min(value) AS value_min,
+           max(value) AS value_max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_partial_reagg(spark: SparkSession, sf: str) -> DataFrame:
+    """Algebraic re-aggregation: hourly partials (count/sum/min/max) are
+    rolled up to daily WITHOUT touching raw rows again - avg is re-derived
+    as sum-of-sums / sum-of-counts.  The oracle aggregates the raw rows
+    directly, proving the partials are lossless.  This is the hypertable /
+    materialized-rollup pattern: at 100 TB the hourly layer is ~1e5x
+    smaller than raw, and every coarser window reads it instead."""
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n_h"),
+        F.sum("value").alias("sum_h"),
+        F.min("value").alias("min_h"),
+        F.max("value").alias("max_h"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_h").alias("n"),
+            pround(F.sum("sum_h"), 2).alias("value_sum"),
+            # avg from the ROUNDED sum: raw sum-of-sums differs from the
+            # oracle's direct sum by an ulp (different add order), which can
+            # flip the 2dp rounding of the quotient; the rounded sums are
+            # pinned equal, so the quotient is bit-identical on both sides
+            pround(pround(F.sum("sum_h"), 2) / F.sum("n_h"), 2).alias("value_avg"),
+            F.min("min_h").alias("value_min"),
+            F.max("max_h").alias("value_max"),
+        )
+    )
+
+
+@query("agg_hll_sketch_merge")  # rows-only: HLL estimates are engine-specific
+def agg_hll_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): one
+    sketch per event_type, then the ALL row is produced by MERGING the
+    per-type sketches - the raw rows are never rescanned.  This is the
+    100 TB pattern: persist sketch partials per partition/day, answer any
+    coarser distinct-count by union.  Accuracy vs exact is asserted in
+    tests (typical HLL error at lgK=12 is ~1.6%)."""
+    ev = load(spark, sf, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    by_type = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return by_type.unionAll(merged)
+
+
+@query("agg_approx_quantile")  # rows-only: sketch estimates are engine-specific
+def agg_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (percentile_approx): single pass, bounded memory, mergeable across
+    partitions - the scale path where exact percentile (agg_percentile)
+    would need a full sort per group.  Accuracy asserted in tests."""
+    ev = load(spark, sf, "events")
+    qs = F.percentile_approx(
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+    )
+    return ev.groupBy("event_type").agg(qs.alias("q")).select(
+        "event_type",
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: near-dup pairs -> connected components
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split(text, ' ')) AS tokens
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.8),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs),
+reach(node, lbl) AS (
+  SELECT src AS node, src AS lbl FROM (SELECT DISTINCT src FROM edges) s
+  UNION
+  SELECT e.src AS node, r.lbl AS lbl
+  FROM edges e JOIN reach r ON e.dst = r.node)
+SELECT node AS doc_id, min(lbl) AS component_id
+FROM reach
+GROUP BY node
+"""
+
+
+@query("dedup_cluster_components", oracle=_COMPONENTS_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive duplicate clusters: near-dup pairs (token-set Jaccard >=
+    0.8, blocked as in dedup_near_jaccard) are treated as edges and each
+    doc is labeled with the smallest doc_id reachable from it (connected
+    components via iterative min-label propagation, Pregel-style).  Dedup
+    at scale NEEDS this step: pairwise output alone double-counts docs in
+    clusters of size > 2, and canonical-doc selection is per-component.
+
+    Each iteration is one join + one grouped min; labels are monotonically
+    non-increasing, so sum(label) is a cheap convergence metric, and
+    localCheckpoint truncates the growing lineage.  Iterations ~ graph
+    diameter; at 100 TB switch to the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce"), which converges
+    in O(log n) rounds with the same per-round join shape.  The DuckDB
+    oracle computes the same fixpoint as a recursive CTE."""
+    t = 0.8
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).cast("double")
+    union = F.col("a.n_tok") + F.col("b.n_tok") - inter
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter / union >= t)
+        .select(F.col("a.doc_id").alias("pa"), F.col("b.doc_id").alias("pb"))
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("lbl")).first()[0]
+    if prev is not None:  # empty edge set -> no clusters, skip the loop
+        for _ in range(20):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            labels = (
+                labels.join(nbr_min, labels.node == nbr_min.src)
+                .select(
+                    F.col("node"),
+                    F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl"),
+                )
+                .localCheckpoint()
+            )
+            cur = labels.agg(F.sum("lbl")).first()[0]
+            if cur == prev:
+                break
+            prev = cur
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component_id"))
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: n-gram top-k, token co-occurrence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_topk",
+    oracle="""
+    WITH grams AS (
+      SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+             AS gram
+      FROM documents)
+    SELECT gram, count(*) AS n
+    FROM grams GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 20
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams: map-side 1->N shingle expansion, one
+    hash agg, TakeOrderedAndProject for the limit (no global sort
+    materialized).  Tie-break on the gram string keeps the cut
+    deterministic (SURVEY.md 7.4)."""
+    from .llm import _bigrams
+
+    d = load(spark, sf, "documents")
+    return (
+        d.select(F.explode(_bigrams(F.split("text", " "))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_cooccurrence",
+    oracle="""
+    WITH dtok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+      FROM dtok a JOIN dtok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok),
+    dfreq AS (SELECT tok, count(*) AS df FROM dtok GROUP BY tok),
+    total AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tok_a, tok_b, n_ab,
+           floor((CAST(n_ab * n_docs AS DOUBLE) / CAST(da.df * db.df AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0 AS lift
+    FROM pairs
+    CROSS JOIN total
+    JOIN dfreq da ON pairs.tok_a = da.tok
+    JOIN dfreq db ON pairs.tok_b = db.tok
+    WHERE n_ab >= 5
+    """,
+)
+def text_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-level token co-occurrence with lift = P(a,b)/(P(a)P(b))
+    (PMI = ln(lift); lift avoids cross-engine log() ulp drift).  Pair
+    generation is MAP-SIDE - nested array transforms emit each doc's
+    token combinations without a self-join shuffle; only the O(vocab^2)
+    pair counts shuffle, which is tiny regardless of corpus size.  The
+    doc-frequency dim joins broadcast."""
+    d = load(spark, sf, "documents")
+    n_docs = d.count()
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    combos = F.flatten(
+        F.transform(
+            toks,
+            lambda x: F.transform(
+                F.filter(toks, lambda y: y > x),
+                lambda y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+            ),
+        )
+    )
+    pairs = (
+        d.select(F.explode(combos).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    dfreq = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    da = F.broadcast(dfreq.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a")))
+    db = F.broadcast(dfreq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b")))
+    return (
+        pairs.join(da, "tok_a")
+        .join(db, "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            pround(
+                (F.col("n_ab") * F.lit(n_docs)).cast("double")
+                / (F.col("df_a") * F.col("df_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )

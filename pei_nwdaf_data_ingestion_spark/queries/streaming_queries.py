@@ -224,6 +224,54 @@ def stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
         )
 
 
+@query("stream_stream_join")
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream inner join: clicks joined to purchases by
+    the same user within [click_ts, click_ts + 1 hour].  Both sides carry
+    watermarks and the join condition time-bounds state retention, so each
+    side's buffered rows are evicted once the other side's watermark passes
+    click_ts + 1h - bounded state at any scale (the unbounded-state
+    cross-stream join is rejected by Spark in append mode).  The batch dual
+    join_interval_overlap shares the semantics; row counts are asserted
+    against a static self-join in tests."""
+    clicks = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+    )
+    name = "stream_stream_join_out"
+    _drain(joined, name)
+    return spark.table(name)
+
+
 @query(
     "udf_scalar_parse",
     oracle="""

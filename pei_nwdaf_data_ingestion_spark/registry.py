@@ -52,4 +52,5 @@ def load_all() -> None:
         llm,
         multimodal_queries,
         streaming_queries,
+        advanced,
     )
