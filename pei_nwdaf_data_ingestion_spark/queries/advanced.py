@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions import pround
+from ..graph import connected_components
 from ..registry import query
 
 
@@ -298,18 +299,12 @@ GROUP BY node
 def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive duplicate clusters: near-dup pairs (token-set Jaccard >=
     0.8, blocked as in dedup_near_jaccard) are treated as edges and each
-    doc is labeled with the smallest doc_id reachable from it (connected
-    components via iterative min-label propagation, Pregel-style).  Dedup
-    at scale NEEDS this step: pairwise output alone double-counts docs in
-    clusters of size > 2, and canonical-doc selection is per-component.
-
-    Each iteration is one join + one grouped min; labels are monotonically
-    non-increasing, so sum(label) is a cheap convergence metric, and
-    localCheckpoint truncates the growing lineage.  Iterations ~ graph
-    diameter; at 100 TB switch to the large-star/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce"), which converges
-    in O(log n) rounds with the same per-round join shape.  The DuckDB
-    oracle computes the same fixpoint as a recursive CTE."""
+    doc is labeled with the smallest doc_id in its connected component
+    (graph.connected_components - large-star/small-star, O(log n) rounds
+    regardless of cluster-chain diameter).  Dedup at scale NEEDS this
+    step: pairwise output alone double-counts docs in clusters of size
+    > 2, and canonical-doc selection is per-component.  The DuckDB oracle
+    computes the same fixpoint as a recursive CTE."""
     t = 0.8
     d = load(spark, sf, "documents")
     toks = d.select(
@@ -327,41 +322,12 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(inter / union >= t)
-        .select(F.col("a.doc_id").alias("pa"), F.col("b.doc_id").alias("pb"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
-    edges = (
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .persist()
+    labels, _ = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("component_id")
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
-    )
-    prev = labels.agg(F.sum("lbl")).first()[0]
-    if prev is not None:  # empty edge set -> no clusters, skip the loop
-        for _ in range(20):
-            nbr_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("lbl").alias("nbr_lbl"))
-            )
-            labels = (
-                labels.join(nbr_min, labels.node == nbr_min.src)
-                .select(
-                    F.col("node"),
-                    F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl"),
-                )
-                .localCheckpoint()
-            )
-            cur = labels.agg(F.sum("lbl")).first()[0]
-            if cur == prev:
-                break
-            prev = cur
-    edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -475,6 +475,63 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS grams
+      FROM t)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                 * 10000.0 + 0.5) / 10000.0 AS dup_token_ratio,
+           CASE WHEN len(grams) > 0
+                THEN floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                            / len(grams)) * 10000.0 + 0.5) / 10000.0
+                ELSE 0.0 END AS dup_bigram_ratio,
+           floor((CAST(list_max(list_transform(list_distinct(toks),
+                         x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+                  / len(toks)) * 10000.0 + 0.5) / 10000.0 AS top_token_ratio
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules family):
+    duplicate-token fraction, duplicate-bigram fraction, and the share of
+    the most frequent token.  Boilerplate/spam pages score high on all
+    three and are filtered before pretraining.  Pure per-row higher-order
+    array expressions - map-side, zero shuffle, scales linearly."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = _bigrams(toks)
+    ng = F.size(grams)
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda y: y == x)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        pround(1.0 - F.size(F.array_distinct(toks)).cast("double") / n, 4).alias(
+            "dup_token_ratio"
+        ),
+        F.when(
+            ng > 0,
+            pround(1.0 - F.size(F.array_distinct(grams)).cast("double") / ng, 4),
+        )
+        .otherwise(0.0)
+        .alias("dup_bigram_ratio"),
+        pround(top_freq.cast("double") / n, 4).alias("top_token_ratio"),
+    )
+
+
+@query(
     "pipeline_pretrain_filter",
     oracle="""
     WITH scored AS (

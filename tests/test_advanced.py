@@ -114,6 +114,59 @@ class TestStreamStreamJoin:
         assert len(stream_rows) > 0
 
 
+class TestConnectedComponents:
+    def test_chain_converges_in_log_rounds(self, spark):
+        """A 64-node chain has diameter 63: min-label propagation would
+        need ~63 rounds; large-star/small-star must finish in O(log n)
+        and label every node with the chain head."""
+        from pei_nwdaf_data_ingestion_spark.graph import connected_components
+
+        n = 64
+        edges = spark.createDataFrame(
+            [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(n - 1)],
+            ["src", "dst"],
+        )
+        labels, rounds = connected_components(edges)
+        rows = labels.collect()
+        assert len(rows) == n
+        assert {r["component_id"] for r in rows} == {"d000"}
+        assert rounds <= 12, f"expected O(log n) rounds, got {rounds}"
+
+    def test_matches_union_find_on_random_graph(self, spark):
+        """Cross-check against a driver-side union-find on a deterministic
+        pseudo-random graph with several components and isolated pairs."""
+        import random
+
+        from pei_nwdaf_data_ingestion_spark.graph import connected_components
+
+        rng = random.Random(7)
+        nodes = [f"n{i:02d}" for i in range(40)]
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(35)
+            }
+        )
+        parent = {x: x for x in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in pairs:
+            parent[find(u)] = find(v)
+        touched = {x for uv in pairs for x in uv}
+        expected = {
+            x: min(y for y in touched if find(y) == find(x)) for x in touched
+        }
+        edges = spark.createDataFrame(pairs, ["src", "dst"])
+        labels, _ = connected_components(edges)
+        got = {r["node"]: r["component_id"] for r in labels.collect()}
+        assert got == expected
+
+
 class TestClusterComponents:
     def test_labels_are_a_fixpoint(self, spark):
         """Connected-component output invariants: every label is <= its
