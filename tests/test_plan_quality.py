@@ -177,3 +177,39 @@ class TestExecution:
         for name in ("ref_unit_parse", "ref_ts_parse", "text_quality_score"):
             plan = plan_of(spark, name)
             assert "EvalPython" not in plan, name
+
+
+class TestAdvancedPlans:
+    @pytest.mark.parametrize("name", ["subq_scalar_correlated", "subq_in_notin"])
+    def test_subqueries_decorrelate_to_joins(self, spark, name):
+        """Catalyst must rewrite the subqueries into joins (semi/anti/agg+
+        join) - a per-row Subquery node or a cartesian product would
+        re-execute the inner query per outer row."""
+        plan = plan_of(spark, name)
+        assert "Subquery" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+    @pytest.mark.parametrize("name", ["sample_hash_det", "text_repetition"])
+    def test_mapside_queries_have_zero_shuffles(self, spark, name):
+        """Key-hash sampling and per-doc repetition scoring are pure row
+        transforms: any Exchange would mean an accidental shuffle that
+        turns a linear scan into a cluster-wide repartition at 100 TB."""
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+
+    def test_histogram_is_single_shuffle(self, spark):
+        """The fixed-width histogram must be one partial+final hash agg:
+        exactly one Exchange (tree + detail section each mention it once
+        in formatted output), no sort."""
+        plan = plan_of(spark, "agg_histogram")
+        assert plan.count("Exchange") <= 2
+        assert "Sort " not in plan
+
+    def test_cooccurrence_dim_joins_broadcast(self, spark):
+        """The doc-frequency sides are tiny vocabulary dims - both joins
+        must broadcast; a sort-merge join would shuffle the full pair
+        table twice."""
+        plan = plan_of(spark, "text_cooccurrence")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
