@@ -324,6 +324,26 @@ def join_theta_range(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name, r_regionkey, n_nationkey
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit cartesian product of two tiny dims (5 x 25 = 125 rows).
+    Only sane when at least one side is broadcast-small - Spark requires
+    the explicit crossJoin call precisely so an accidental cartesian of
+    two fact tables cannot slip in; at scale the small side broadcasts
+    and the join is a per-row flatMap, no shuffle."""
+    r = load(spark, sf, "region").select("r_name", "r_regionkey")
+    n = load(spark, sf, "nation").select("n_name", "n_nationkey")
+    return r.crossJoin(F.broadcast(n)).select(
+        "r_name", "n_name", "r_regionkey", "n_nationkey"
+    )
+
+
+@query(
     "join_asof_lastsignup",
     oracle="""
     SELECT event_id, user_id, event_type,
@@ -722,6 +742,33 @@ def topk_orderby_limit(spark: SparkSession, sf: str) -> DataFrame:
         o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .limit(10)
+    )
+
+
+@query(
+    "order_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 199 = 0 THEN NULL ELSE o_totalprice END AS price
+    FROM orders
+    ORDER BY price ASC NULLS FIRST, o_orderkey
+    LIMIT 100
+    """,
+)
+def order_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit NULLS FIRST ordering under a LIMIT, so null placement
+    decides which rows survive the cut.  Engines disagree on the default
+    (Spark: nulls first ASC; DuckDB: nulls last) - every ordered query
+    that can see nulls must pin placement explicitly, exactly as both
+    sides do here.  Unique-key tiebreak per the determinism convention."""
+    o = load(spark, sf, "orders")
+    price = F.when(F.col("o_orderkey") % 199 == 0, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return (
+        o.select("o_orderkey", price.alias("price"))
+        .orderBy(F.col("price").asc_nulls_first(), F.asc("o_orderkey"))
+        .limit(100)
     )
 
 
