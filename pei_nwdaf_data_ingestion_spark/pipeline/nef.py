@@ -26,7 +26,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .normalize import any_tag_present, parse_bitrate_mbps, parse_iso8601_unix_seconds
+from .normalize import (
+    any_tag_present,
+    nz,
+    parse_bitrate_mbps,
+    parse_iso8601_unix_seconds,
+    tag_ip_precedence,
+)
 
 # --- input schemas (FIXTURES.md A.2-A.4; nesting per receiver.py:92-98,141-187) ---
 
@@ -196,9 +202,11 @@ def normalize_notifications(
 
     subs = subscriptions.select(
         F.col("notif_id"),
+        # sst is kept when `is not None` (0 is a legal slice type); sd/dnn
+        # are truthiness-guarded strings (receiver.py:368-374)
         F.col("snssai.sst").alias("ctx_sst"),
-        F.col("snssai.sd").alias("ctx_sd"),
-        F.col("dnn").alias("ctx_dnn"),
+        nz(F.col("snssai.sd")).alias("ctx_sd"),
+        nz(F.col("dnn")).alias("ctx_dnn"),
     )
     base = (
         notifications.filter(F.col("notifId").isNotNull())
@@ -224,8 +232,9 @@ def normalize_notifications(
         F.col("en.timeStamp").alias("en_ts"),
         F.explode("en.perfDataInfos").alias("info"),
     )
-    ipv4 = F.col("info.ueIpAddr.ipv4Addr")
-    ipv6 = F.col("info.ueIpAddr.ipv6Addr")
+    ip4_tag, ip6_tag = tag_ip_precedence(
+        F.col("info.ueIpAddr.ipv4Addr"), F.col("info.ueIpAddr.ipv6Addr")
+    )
     perf_metrics = [
         parse_bitrate_mbps(F.col(f"info.perfData.{src}")).alias(dst)
         for src, dst in _BITRATE_MAP.items()
@@ -240,13 +249,17 @@ def normalize_notifications(
         ).alias("ts_unix"),
         F.lit("PERF_DATA").alias("event"),
         *ctx,
-        # ipv4 wins over ipv6 (receiver.py:92-96): only one IP tag is set
-        F.when(ipv4.isNotNull(), ipv4).alias("ueIpv4Addr"),
-        F.when(ipv4.isNull(), ipv6).alias("ueIpv6Addr"),
-        F.col("info.appId").alias("appId"),
-        F.col("info.supi").alias("supi"),
-        F.col("info.gpsi").alias("gpsi"),
-        F.col("info.interGroupId").alias("interGroupId"),
+        # ipv4 wins over ipv6 (receiver.py:92-96); empty strings are absent
+        ip4_tag.alias("ueIpv4Addr"),
+        ip6_tag.alias("ueIpv6Addr"),
+        nz(F.col("info.appId")).alias("appId"),
+        # the reference's _normalize_perf_data tags ONLY ueIp/appId
+        # (receiver.py:89-98): supi/gpsi/interGroupId present in the payload
+        # are NOT identity tags for PERF_DATA and must stay null, or the
+        # 'no UE identifier' drop rule diverges
+        _null(T.StringType()).alias("supi"),
+        _null(T.StringType()).alias("gpsi"),
+        _null(T.StringType()).alias("interGroupId"),
         *perf_metrics,
         _null(TRAJECTORY_T).alias("trajectory"),
         _null(COMMS_T).alias("comms"),
@@ -276,9 +289,11 @@ def normalize_notifications(
         _null(T.StringType()).alias("ueIpv4Addr"),
         _null(T.StringType()).alias("ueIpv6Addr"),
         _null(T.StringType()).alias("appId"),
-        F.col("info.supi").alias("supi"),
-        F.col("info.gpsi").alias("gpsi"),
-        F.col("info.interGroupId").alias("interGroupId"),
+        nz(F.col("info.supi")).alias("supi"),
+        nz(F.col("info.gpsi")).alias("gpsi"),
+        # _normalize_ue_mobility tags only supi/gpsi (receiver.py:138-143):
+        # interGroupId is not an identity tag for UE_MOBILITY
+        _null(T.StringType()).alias("interGroupId"),
         *[_null(T.DoubleType()).alias(dst) for dst in _BITRATE_MAP.values()],
         *[_null(T.LongType()).alias(dst) for dst in _INT_MAP.values()],
         F.coalesce(traj, F.array().cast(TRAJECTORY_T)).alias("trajectory"),
@@ -308,9 +323,11 @@ def normalize_notifications(
         _null(T.StringType()).alias("ueIpv4Addr"),
         _null(T.StringType()).alias("ueIpv6Addr"),
         _null(T.StringType()).alias("appId"),
-        F.col("info.supi").alias("supi"),
-        F.col("info.gpsi").alias("gpsi"),
-        F.col("info.interGroupId").alias("interGroupId"),
+        # UE_COMM tags supi/interGroupId/gpsi, truthiness-guarded
+        # (receiver.py:168-176)
+        nz(F.col("info.supi")).alias("supi"),
+        nz(F.col("info.gpsi")).alias("gpsi"),
+        nz(F.col("info.interGroupId")).alias("interGroupId"),
         *[_null(T.DoubleType()).alias(dst) for dst in _BITRATE_MAP.values()],
         *[_null(T.LongType()).alias(dst) for dst in _INT_MAP.values()],
         _null(TRAJECTORY_T).alias("trajectory"),

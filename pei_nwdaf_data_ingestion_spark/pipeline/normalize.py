@@ -66,16 +66,27 @@ def parse_iso8601_unix_seconds(s: Column) -> Column:
     return F.unix_timestamp(ts)
 
 
+def nz(s: Column) -> Column:
+    """Truthiness for string tags: the reference guards every tag insert
+    with `if info.get(field)` (receiver.py:92-98,141-146,171-176), so an
+    empty string is ABSENT - normalize it to null before presence checks."""
+    return F.nullif(s, F.lit(""))
+
+
 def any_tag_present(*tags: Column) -> Column:
     """Record-validity predicate: at least one identity tag non-null.
-    Reference drop rule: receiver.py:100-101,145-146,177-178,386-389."""
+    Reference drop rule: receiver.py:100-101,145-146,177-178,386-389.
+    Callers must pass tag columns already truthiness-normalized (nz)."""
     pred = F.lit(False)
     for t in tags:
         pred = pred | t.isNotNull()
     return pred
 
 
-def tag_ip_precedence(ipv4: Column, ipv6: Column) -> Column:
-    """ipv4 wins over ipv6 when both present - reference receiver.py:92-96
-    inserts ueIpv4Addr first and only falls through to ueIpv6Addr."""
-    return F.when(ipv4.isNotNull(), ipv4).otherwise(ipv6)
+def tag_ip_precedence(ipv4: Column, ipv6: Column) -> tuple[Column, Column]:
+    """The reference's IP-tag rule (receiver.py:92-96): a TRUTHY ipv4 wins
+    and suppresses ipv6; ipv6 is tagged only when ipv4 is absent/empty AND
+    ipv6 itself is truthy.  Returns the (ueIpv4Addr, ueIpv6Addr) column
+    pair; empty strings count as absent on both sides."""
+    v4, v6 = nz(ipv4), nz(ipv6)
+    return F.when(v4.isNotNull(), v4), F.when(v4.isNull(), v6)

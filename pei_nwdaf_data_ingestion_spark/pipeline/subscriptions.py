@@ -20,7 +20,6 @@ Catalyst broadcasting the whole (tiny) dim to every executor.
 from __future__ import annotations
 
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -67,10 +66,25 @@ class SubscriptionStore:
 
     # -- writes (append-log + compact-on-read; Delta MERGE in production) -----
 
+    def _next_seq(self) -> int:
+        """Next write sequence = max(_seq in log) + 1.  Log-derived (not a
+        clock): time.monotonic_ns has an unspecified epoch that resets across
+        process/host restarts, so a restarted writer could emit _seq below
+        rows already in the log and invert last-write-wins.  Reading the max
+        back makes ordering a property of the log itself; single-writer
+        control plane, so no concurrent-append race (Delta MERGE is the
+        multi-writer production path)."""
+        if not self._exists():
+            return 1
+        m = self.spark.read.parquet(self.path).agg(F.max("_seq").alias("m")).collect()
+        return int(m[0]["m"] or 0) + 1
+
     def _append(self, rows: list[dict], deleted: bool) -> None:
         df = self.spark.createDataFrame(rows, SUBSCRIPTION)
-        seq = time.monotonic_ns()
-        df = df.withColumn("_seq", F.lit(seq)).withColumn("_deleted", F.lit(deleted))
+        seq = self._next_seq()
+        df = df.withColumn("_seq", F.lit(seq).cast("long")).withColumn(
+            "_deleted", F.lit(deleted)
+        )
         df.coalesce(1).write.mode("append").parquet(self.path)
 
     def add(self, sub: dict) -> None:
@@ -91,8 +105,8 @@ class SubscriptionStore:
         current = self.load().collect()
         tmp = self.path + ".compact"
         df = self.spark.createDataFrame(current, SUBSCRIPTION)
-        # cast: _append writes _seq as int64 (monotonic_ns); a literal 0 would
-        # be int32 and the mixed-type log directory fails schema inference
+        # cast: _append writes _seq as int64; a literal 0 would be int32 and
+        # the mixed-type log directory fails schema inference
         df = df.withColumn("_seq", F.lit(0).cast("long")).withColumn(
             "_deleted", F.lit(False)
         )

@@ -395,7 +395,8 @@ def text_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     pair counts shuffle, which is tiny regardless of corpus size.  The
     doc-frequency dim joins broadcast."""
     d = load(spark, sf, "documents")
-    n_docs = d.count()
+    # corpus size as a broadcast 1-row aggregate (no eager driver count job)
+    n = d.agg(F.count("*").alias("n_docs"))
     toks = F.array_sort(F.array_distinct(F.split("text", " ")))
     combos = F.flatten(
         F.transform(
@@ -423,12 +424,13 @@ def text_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     return (
         pairs.join(da, "tok_a")
         .join(db, "tok_b")
+        .crossJoin(F.broadcast(n))
         .select(
             "tok_a",
             "tok_b",
             "n_ab",
             pround(
-                (F.col("n_ab") * F.lit(n_docs)).cast("double")
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
                 / (F.col("df_a") * F.col("df_b")).cast("double"),
                 4,
             ).alias("lift"),

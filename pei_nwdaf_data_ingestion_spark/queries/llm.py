@@ -136,6 +136,104 @@ def dedup_near_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_ppjoin_prefix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor((CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tokens, b.tokens)))) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.95
+    """,
+)
+def dedup_ppjoin_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """LOSSLESS near-dup via PPJoin-style prefix filtering (Xiao et al.,
+    WWW'08) - the exact alternative when blocked-pairwise degenerates
+    (one (lang,source) block dominating) and MinHash's false negatives are
+    unacceptable.  Because the filter is lossless, the oracle is simply the
+    UNBLOCKED all-pairs Jaccard >= t query - candidate generation cannot
+    change the answer, only the work.  t = 0.95 (near-identical docs): the
+    tighter threshold keeps prefixes short (n - ceil(t*n) + 1 = 2 tokens at
+    this corpus' ~23-token docs), which is where prefix filtering earns its
+    keep; looser thresholds on this 31-token-vocabulary fixture degenerate
+    the index toward all-pairs (see dedup_near_jaccard's docstring).
+
+    Plan: global token frequencies (vocab-sized agg, broadcast back) ->
+    each doc's tokens ordered rarest-first -> prefix of length
+    n - ceil(t*n) + 1 (any pair with J >= t must share a prefix token -
+    pigeonhole on the common total order) -> inverted index = explode the
+    prefixes, self-join on token with id-order + size-ratio prune ->
+    distinct candidates -> exact Jaccard verify.  Every stage is a hash
+    shuffle on token or doc_id; no all-pairs stage anywhere.  (On THIS
+    fixture's 31-token vocabulary the index is known to degenerate to
+    near-all-pairs - documented in dedup_near_jaccard - which is exactly why
+    both paths exist.)"""
+    t = 0.95
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    ).withColumn("n_tok", F.size("tokens"))
+    # global rarest-first order: (document frequency, token) ascending
+    freq = (
+        toks.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    ordered = (
+        toks.select("doc_id", "n_tok", F.explode("tokens").alias("token"))
+        .join(F.broadcast(freq), "token")
+        .groupBy("doc_id", "n_tok")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("ord"))
+    )
+    prefix_len = (F.col("n_tok") - F.ceil(F.col("n_tok") * F.lit(t)) + 1).cast("int")
+    prefixes = ordered.select(
+        "doc_id",
+        "n_tok",
+        F.slice(F.col("ord.token"), F.lit(1), prefix_len).alias("prefix"),
+    )
+    inv = prefixes.select(
+        "doc_id", "n_tok", F.explode("prefix").alias("token")
+    )
+    pa, pb = _spread(inv, "doc_id").alias("pa"), inv.alias("pb")
+    ratio_ok = (F.col("pa.n_tok") >= t * F.col("pb.n_tok")) & (
+        F.col("pb.n_tok") >= t * F.col("pa.n_tok")
+    )
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.token") == F.col("pb.token"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & ratio_ok,
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tokens").alias("tokens_a"),
+        F.col("n_tok").alias("na"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tokens").alias("tokens_b"),
+        F.col("n_tok").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("tokens_a", "tokens_b")).cast("double")
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(jac >= t)
+        .select("doc_a", "doc_b", pround(jac, 4).alias("jaccard"))
+    )
+
+
 @query("dedup_minhash_lsh")  # rows-only: hash-family choice is engine-specific
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash banding - the 100TB near-dup path: shingle -> K minhashes ->
@@ -612,10 +710,13 @@ def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    n_docs = d.count()
+    # corpus size as a 1-row aggregate cross-joined into the tiny df dim -
+    # no eager driver-side count job (the N lives inside the one plan)
+    n = d.agg(F.count("*").alias("n_docs"))
     df = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
-    idf = df.select(
-        "token", (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf")
+    idf = df.crossJoin(F.broadcast(n)).select(
+        "token",
+        (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
     )
     scored = tf.join(F.broadcast(idf), "token").select(
         "doc_id", "token", (F.col("tf") * F.col("idf")).alias("tfidf")

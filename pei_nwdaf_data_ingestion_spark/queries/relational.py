@@ -166,11 +166,16 @@ def join_null_keys(spark: SparkSession, sf: str) -> DataFrame:
         .alias("key")
     ).distinct()
     a, b = k.alias("a"), k.alias("b")
-    eq = a.join(b, F.col("a.key") == F.col("b.key")).count()
-    ns = a.join(b, F.col("a.key").eqNullSafe(F.col("b.key"))).count()
-    return spark.createDataFrame(
-        [(k.count(), eq, ns)], "n_keys long, eq_matches long, nullsafe_matches long"
+    n_keys = k.agg(F.count("*").alias("n_keys"))
+    eq = a.join(b, F.col("a.key") == F.col("b.key")).agg(
+        F.count("*").alias("eq_matches")
     )
+    ns = a.join(b, F.col("a.key").eqNullSafe(F.col("b.key"))).agg(
+        F.count("*").alias("nullsafe_matches")
+    )
+    # three 1-row aggregates stitched with cross joins: one declarative plan,
+    # zero driver-side actions (the previous spelling ran 3 eager jobs)
+    return n_keys.crossJoin(eq).crossJoin(ns)
 
 
 @query(

@@ -9,7 +9,9 @@ the result as a DataFrame.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import time
 
@@ -23,24 +25,35 @@ from ..catalog import load
 from ..functions import pround
 from ..registry import query
 
+# one prepared stream-source dir per (application, sf): the fixture's
+# TIMESTAMP(NANOS) events file is rewritten ONCE with a plain TimestampType
+# column, so every streaming query here reads it with no legacy-parquet
+# session conf and no per-call schema job / file copy.  Dirs are removed at
+# interpreter exit (they were leaked per-invocation before).
+_STREAM_SRC: dict[tuple[str, str], tuple[str, T.StructType]] = {}
+
+
+def _cleanup_stream_dirs() -> None:
+    for d, _ in _STREAM_SRC.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STREAM_SRC.clear()
+
+
+atexit.register(_cleanup_stream_dirs)
+
 
 def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
     """File-source stream over the events fixture (production source is
-    Kafka with identical downstream plans).  The file source needs a
-    directory, and events.ts is parquet TIMESTAMP(NANOS) - so the single
-    file is linked into a temp dir, read with the raw nanos-as-long schema,
-    and converted to TimestampType exactly as catalog.load does."""
-    import shutil
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = os.path.join(sf, "events.parquet")
-    raw_schema = spark.read.parquet(src).schema
-    d = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(src, os.path.join(d, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).parquet(d)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    Kafka with identical downstream plans; the file source just needs a
+    directory of normal-timestamp parquet, prepared once per session)."""
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _STREAM_SRC:
+        ev = load(spark, sf, "events")  # handles the nanos->micros cast
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        ev.coalesce(1).write.mode("overwrite").parquet(d)
+        _STREAM_SRC[key] = (d, ev.schema)
+    d, schema = _STREAM_SRC[key]
+    return spark.readStream.schema(schema).parquet(d)
 
 
 def _drain(df: DataFrame, name: str, mode: str = "append") -> None:
@@ -101,14 +114,23 @@ def stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
     watermark passes the old rows' event times, so batch 2 contributes
     nothing - output counts < total counts (asserted in tests)."""
     ev = load(spark, sf, "events")
-    split_ts = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("m")).collect()[0]["m"]
     with tempfile.TemporaryDirectory(prefix="late_drop_") as tmp:
-        recent = ev.filter(F.col("ts") >= split_ts)
-        old = ev.filter(F.col("ts") < split_ts)
-        recent_path = os.path.join(tmp, "b1")
-        old_path = os.path.join(tmp, "b2")
-        recent.coalesce(1).write.parquet(recent_path)
-        old.coalesce(1).write.parquet(old_path)
+        # split at the median ts WITHOUT a driver-side collect: the 1-row
+        # median aggregate is cross-joined in and drives a partitioned write,
+        # so both halves land in one job under half=b1 / half=b2
+        med = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("med"))
+        (
+            ev.crossJoin(F.broadcast(med))
+            .withColumn(
+                "half", F.when(F.col("ts") >= F.col("med"), "b1").otherwise("b2")
+            )
+            .drop("med")
+            .coalesce(1)
+            .write.partitionBy("half")
+            .parquet(tmp, mode="overwrite")
+        )
+        recent_path = os.path.join(tmp, "half=b1")
+        old_path = os.path.join(tmp, "half=b2")
         now = time.time()
         for d, mtime in ((recent_path, now - 60), (old_path, now)):
             for fn in os.listdir(d):
@@ -117,7 +139,7 @@ def stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(tmp, "*"))
+            .parquet(os.path.join(tmp, "half=*"))
         )
         agg = (
             stream.withWatermark("ts", "1 hour")
@@ -172,17 +194,20 @@ def stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load(spark, sf, "events").select("event_id", "user_id", "value")
     with tempfile.TemporaryDirectory(prefix="stateful_") as tmp:
-        # two files -> two micro-batches, split by event_id parity
-        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
-            os.path.join(tmp, "b1")
-        )
-        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
-            os.path.join(tmp, "b2")
+        # two files -> two micro-batches, split by event_id parity; ONE
+        # partitioned write job instead of two filtered writes
+        (
+            ev.withColumn(
+                "half", F.when(F.col("event_id") % 2 == 0, "b1").otherwise("b2")
+            )
+            .coalesce(1)
+            .write.partitionBy("half")
+            .parquet(tmp, mode="overwrite")
         )
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(tmp, "*"))
+            .parquet(os.path.join(tmp, "half=*"))
         )
 
         def update(key, pdfs, state):

@@ -56,11 +56,49 @@ def win_rank_topk(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def win_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile(4) without the global single-partition sort that
+    `ntile() OVER (ORDER BY ...)` plans (Exchange SinglePartition + one-task
+    total sort - the one construct that cannot survive a 100x scale-up).
+
+    Distributed-rank plan: range-shuffle on the (unique) sort key so ranges
+    are ordered by partition id -> local row_number within each range ->
+    per-range row counts (P rows) turned into prefix offsets by a tiny
+    self-join, broadcast back -> global rank = offset + local rank -> exact
+    ntile arithmetic on the rank (first n%4 tiles get one extra row, same as
+    the SQL function).  Every stage is bounded by |rows|/P per task; the
+    offset table is P rows regardless of data size.  Output stays
+    hash-identical to the DuckDB oracle because the sort key is unique."""
     o = load(spark, sf, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    p = max(2, spark.sparkContext.defaultParallelism)
+    ranged = o.repartitionByRange(p, "o_totalprice", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    local = ranged.withColumn("local_rn", F.row_number().over(w_local))
+    counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("off"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rn", F.col("off") + F.col("local_rn"))
+        .withColumn("b", F.expr("n_total div 4"))
+        .withColumn("m", F.col("n_total") % 4)
+        .withColumn(
+            "tile",
+            F.when(
+                F.col("rn") <= F.col("m") * (F.col("b") + 1),
+                F.expr("(rn + b) div (b + 1)"),
+            ).otherwise(F.expr("m + ((rn - m * (b + 1) + b - 1) div b)")),
+        )
+    )
     return (
-        o.withColumn("tile", F.ntile(4).over(w).cast("long"))
-        .groupBy("tile")
+        ranked.groupBy(F.col("tile").cast("long").alias("tile"))
         .agg(
             F.count("*").alias("n"),
             pround(F.sum("o_totalprice"), 2).alias("tile_total"),

@@ -43,14 +43,19 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 def load_all() -> None:
-    """Import every query module so registrations run."""
+    """Import every query module so registrations run.
+
+    Registration order = the order a budget-limited driver visits queries,
+    so the families that got no driver-side correctness signal in round 1
+    (everything except relational/scalars, per VERDICT.md) register FIRST;
+    the already-validated relational/scalars families come last."""
     from .queries import (  # noqa: F401
-        relational,
-        scalars,
-        windows,
         refsem,
+        windows,
         llm,
+        advanced,
         multimodal_queries,
         streaming_queries,
-        advanced,
+        relational,
+        scalars,
     )

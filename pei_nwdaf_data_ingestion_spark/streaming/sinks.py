@@ -41,21 +41,56 @@ def pack_batches(records: DataFrame, key: str = "notifId") -> DataFrame:
     )
 
 
-def kafka_foreach_batch(topic: str, bootstrap: str):
-    """foreachBatch writer: pack per-key JSON arrays, produce one message
-    per key.  Raises cleanly when the Kafka client is absent."""
+def _default_producer_factory(bootstrap: str):
+    """Per-executor confluent producer; a plain function (not a lambda over
+    module globals) so cloudpickle ships it by value to workers."""
+
+    def make():
+        from confluent_kafka import Producer as _P  # imported ON the worker
+
+        return _P({"bootstrap.servers": bootstrap})
+
+    return make
+
+
+def kafka_foreach_batch(topic: str, bootstrap: str, producer_factory=None):
+    """foreachBatch writer: pack per-key JSON arrays, produce one message per
+    key - EXECUTOR-SIDE.  Each partition of the packed frame opens its own
+    producer via foreachPartition, so payload bytes flow worker -> broker and
+    never transit the driver (the previous spelling collected the whole
+    micro-batch to a single driver producer - a bottleneck and OOM risk at
+    scale).  Produce contract matches the reference: one JSON array message
+    per notifId, keyed by notifId (receiver.py:443-448).
+
+    `producer_factory`: zero-arg callable returning an object with
+    .produce(topic, value=, key=) and .flush(timeout) - defaults to a
+    per-partition confluent_kafka.Producer; injectable so the packing and
+    partition wiring are testable without a broker."""
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
-        if not HAVE_KAFKA:
-            raise NotImplementedError(
-                "confluent-kafka not installed in this image; use "
-                "file_fanout_foreach_batch or install the client"
-            )
-        packed = pack_batches(batch).collect()
-        p = Producer({"bootstrap.servers": bootstrap})
-        for row in packed:
-            p.produce(topic, value=row["payload"], key=row["notifId"])
-        p.flush(30)  # PRODUCER_MAX_TIMEOUT=30 in the reference deployment
+        factory = producer_factory
+        if factory is None:
+            if not HAVE_KAFKA:
+                raise NotImplementedError(
+                    "confluent-kafka not installed in this image; use "
+                    "file_fanout_foreach_batch, install the client, or "
+                    "inject a producer_factory"
+                )
+            factory = _default_producer_factory(bootstrap)
+        t = topic
+
+        def _send(rows) -> None:
+            # worker-side: everything referenced is a serialized-by-value
+            # local (t, factory) - no package module symbols in the closure
+            p = factory()
+            n = 0
+            for row in rows:
+                p.produce(t, value=row["payload"], key=row["notifId"])
+                n += 1
+            if n:
+                p.flush(30)  # PRODUCER_MAX_TIMEOUT=30 in the reference deployment
+
+        pack_batches(batch).foreachPartition(_send)
 
     return _write
 

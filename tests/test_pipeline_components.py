@@ -19,6 +19,7 @@ from pei_nwdaf_data_ingestion_spark.pipeline.multimodal import (
 from pei_nwdaf_data_ingestion_spark.pipeline.subscriptions import SubscriptionStore
 from pei_nwdaf_data_ingestion_spark.streaming.sinks import (
     file_fanout_foreach_batch,
+    kafka_foreach_batch,
     pack_batches,
     read_fanout,
 )
@@ -69,6 +70,19 @@ class TestSubscriptionStore:
         subs = s2.list()
         assert [s["notif_id"] for s in subs] == ["test-notif-001"]
 
+    def test_seq_is_log_derived_across_restarts(self, spark, tmp_path):
+        """_seq must come from the log (max+1), not a process clock: a
+        restarted writer (new instance) continues the sequence, so
+        last-write-wins cannot invert after a restart."""
+        path = str(tmp_path / "subs")
+        s1 = SubscriptionStore(spark, path)
+        s1.add(SUB)
+        s2 = SubscriptionStore(spark, path)  # 'restarted' writer
+        s2.add(dict(SUB, dnn="ims"))
+        seqs = [r["_seq"] for r in spark.read.parquet(path).orderBy("_seq").collect()]
+        assert seqs == [1, 2]
+        assert s2.get("test-notif-001")["dnn"] == "ims"
+
     def test_compact_preserves_state(self, store):
         store.add(SUB)
         store.add(dict(SUB, dnn="ims"))
@@ -107,6 +121,52 @@ class TestSinks:
             n2 = read_fanout(d, "n2")
             assert sorted(r["event"] for r in n1) == ["a", "b"]
             assert [r["event"] for r in n2] == ["c"]
+
+    def test_kafka_produce_is_executor_side(self, spark, tmp_path):
+        """kafka_foreach_batch must produce FROM the partitions (no driver
+        collect): a fake producer factory spools messages to files per
+        partition; the driver then checks one keyed JSON-array message per
+        notifId with the reference's produce contract (receiver.py:443-448)."""
+        import os
+
+        spool = str(tmp_path / "spool")
+        os.makedirs(spool, exist_ok=True)
+
+        def factory(d=spool):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            class FakeProducer:
+                def __init__(self):
+                    self.buf = []
+
+                def produce(self, topic, value, key):
+                    self.buf.append({"topic": topic, "key": key, "value": value})
+
+                def flush(self, timeout=None):
+                    fn = _os.path.join(d, _uuid.uuid4().hex + ".json")
+                    with open(fn, "w") as f:
+                        _json.dump(self.buf, f)
+
+            return FakeProducer()
+
+        df = spark.createDataFrame(
+            [("n1", 10, "a"), ("n1", 5, "b"), ("n2", 7, "c")],
+            "notifId string, ts_unix long, event string",
+        )
+        kafka_foreach_batch("nwdaf", "unused:9092", producer_factory=factory)(
+            df, epoch_id=0
+        )
+        msgs = []
+        for fn in os.listdir(spool):
+            with open(os.path.join(spool, fn)) as f:
+                msgs += json.load(f)
+        by_key = {m["key"]: m for m in msgs}
+        assert set(by_key) == {"n1", "n2"} and len(msgs) == 2
+        assert all(m["topic"] == "nwdaf" for m in msgs)
+        payload = json.loads(by_key["n1"]["value"])
+        assert [p["ts_unix"] for p in payload] == [5, 10]  # one sorted array
 
     def test_file_fanout_epoch_replay_is_idempotent(self, spark):
         """Spark replays a micro-batch when failure hits between sink write

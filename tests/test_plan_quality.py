@@ -179,6 +179,32 @@ class TestExecution:
             assert "EvalPython" not in plan, name
 
 
+class TestNoGlobalWindow:
+    def test_no_unpartitioned_window_in_any_declared_query(self, spark):
+        """No declared batch query may plan a Window with an empty partition
+        spec: Spark executes it as Exchange SinglePartition + a one-task
+        total sort - the single construct guaranteed not to survive a 100x
+        scale-up.  (win_ntile used to do this; it now computes a distributed
+        rank.)  Walks the optimized logical plan structurally - textual
+        checks can't tell a global window from a legitimate 1-row final
+        aggregate."""
+        registry.load_all()
+        offenders = []
+        for name, fn in sorted(registry.QUERIES.items()):
+            if name.startswith("stream_"):
+                continue  # building a streaming query drives the stream
+            df = fn(spark, SF_DIR)
+
+            def walk(node):
+                if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+                    offenders.append(name)
+                for i in range(node.children().size()):
+                    walk(node.children().apply(i))
+
+            walk(df._jdf.queryExecution().optimizedPlan())
+        assert offenders == []
+
+
 class TestAdvancedPlans:
     @pytest.mark.parametrize("name", ["subq_scalar_correlated", "subq_in_notin"])
     def test_subqueries_decorrelate_to_joins(self, spark, name):

@@ -292,6 +292,94 @@ def test_ipv6_fallback_when_no_ipv4(spark):
     assert r["ueIpv4Addr"] is None and r["ueIpv6Addr"] == "2001:db8::1"
 
 
+def test_perf_data_supi_is_not_an_identity_tag(spark):
+    """_normalize_perf_data tags ONLY ueIp/appId (receiver.py:89-98): a
+    PERF_DATA info carrying only supi under a tagless subscription has no
+    identity and is dropped - and supi must never surface as a PERF_DATA
+    tag column."""
+    sub = dict(SUB, snssai=None, dnn=None)
+    notif = {
+        "notifId": "test-notif-001",
+        "eventNotifs": [
+            {
+                "event": "PERF_DATA",
+                "timeStamp": "2026-04-20T10:15:00Z",
+                "perfDataInfos": [
+                    {"supi": "imsi-1", "gpsi": "msisdn-1", "interGroupId": "g1",
+                     "perfData": {"thrputUl": "1.0 Mbps"}}
+                ],
+            }
+        ],
+    }
+    assert _normalize(spark, [notif], subs=[sub]).count() == 0
+    # with context tags the record survives, but supi/gpsi/interGroupId stay null
+    r = _normalize(spark, [notif]).collect()[0]
+    assert r["supi"] is None and r["gpsi"] is None and r["interGroupId"] is None
+
+
+def test_mobility_intergroup_is_not_an_identity_tag(spark):
+    """_normalize_ue_mobility tags only supi/gpsi (receiver.py:138-143):
+    interGroupId alone does not keep a UE_MOBILITY record alive."""
+    sub = dict(SUB, snssai=None, dnn=None)
+    notif = {
+        "notifId": "test-notif-001",
+        "eventNotifs": [
+            {
+                "event": "UE_MOBILITY",
+                "ueMobilityInfos": [{"interGroupId": "group-9", "ueTrajs": []}],
+            }
+        ],
+    }
+    assert _normalize(spark, [notif], subs=[sub]).count() == 0
+    # but it IS an identity tag for UE_COMM (receiver.py:168-176)
+    comm = {
+        "notifId": "test-notif-001",
+        "eventNotifs": [
+            {"event": "UE_COMM", "ueCommInfos": [{"interGroupId": "group-9", "comms": []}]}
+        ],
+    }
+    rows = _normalize(spark, [comm], subs=[sub]).collect()
+    assert len(rows) == 1 and rows[0]["interGroupId"] == "group-9"
+
+
+def test_empty_string_tags_are_absent(spark):
+    """The reference guards every tag insert with truthiness
+    (receiver.py:92-98): an empty-string ipv4Addr must fall through to the
+    ipv6 tag, and empty-string identifiers keep no record alive."""
+    notif = {
+        "notifId": "test-notif-001",
+        "eventNotifs": [
+            {
+                "event": "PERF_DATA",
+                "timeStamp": "2026-04-20T10:15:00Z",
+                "perfDataInfos": [
+                    {"ueIpAddr": {"ipv4Addr": "", "ipv6Addr": "2001:db8::7"},
+                     "appId": "", "perfData": {}}
+                ],
+            }
+        ],
+    }
+    r = _normalize(spark, [notif]).collect()[0]
+    assert r["ueIpv4Addr"] is None and r["ueIpv6Addr"] == "2001:db8::7"
+    assert r["appId"] is None
+    # all-empty identifiers + tagless subscription -> dropped
+    sub = dict(SUB, snssai=None, dnn=None)
+    empty = {
+        "notifId": "test-notif-001",
+        "eventNotifs": [
+            {
+                "event": "PERF_DATA",
+                "timeStamp": "2026-04-20T10:15:00Z",
+                "perfDataInfos": [
+                    {"ueIpAddr": {"ipv4Addr": "", "ipv6Addr": ""}, "appId": "",
+                     "perfData": {"thrputUl": "1.0 Mbps"}}
+                ],
+            }
+        ],
+    }
+    assert _normalize(spark, [empty], subs=[sub]).count() == 0
+
+
 def test_bitrate_unit_table(spark):
     """All five units + invalid shapes (reference tests/test_receiver.py:
     61-81; unit table receiver.py:66-67)."""
