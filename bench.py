@@ -2,12 +2,19 @@
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "uncached_value": N, "uncached_queries": {...}, "sf": ...}
 
-Timing is per-query wall clock of plan construction + execution to a count
-(results are not collected to the driver - the action materializes the full
-result like the driver's hash would).  Each query runs twice; warm time
-is reported (matches BASELINE.md's warm DuckDB numbers).
+Timing is per-query wall clock of plan construction + execution to a noop
+write (results are not collected to the driver - the action materializes the
+full result like the driver's hash would).  Each query runs three times; the
+best (warm) time is reported, matching BASELINE.md's warm DuckDB numbers.
+
+Both cache modes are reported in the SAME line (round-1 ask): `queries` has
+the base tables pre-cached (catalog.py - restores the multi-core scan
+parallelism the single-row-group fixture files deny), `uncached_queries`
+re-times every query against plain cold parquet scans (warm JVM, no cache) -
+the honest single-split-scan numbers.
 """
 
 from __future__ import annotations
@@ -42,6 +49,12 @@ HEADLINE = [
     "ref_upsert_lastwins",
     "ref_unit_parse",
     "pipeline_pretrain_filter",
+    # most expensive extension families (round-2 ask): the iterative /
+    # index-building shapes that dominate real pipeline cost
+    "dedup_cluster_components",
+    "sim_ivf_topk",
+    "text_cooccurrence",
+    "dedup_ppjoin_prefix",
 ]
 
 
@@ -75,12 +88,22 @@ def main() -> None:
         catalog.load(spark, sf_dir, t).count()
     registry.QUERIES["agg_global"](spark, sf_dir).count()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES.get(name)
-        if fn is None:
-            continue
-        times[name] = round(time_query(fn, spark, sf_dir), 4)
+    def sweep() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = registry.QUERIES.get(name)
+            if fn is None:
+                continue
+            out[name] = round(time_query(fn, spark, sf_dir), 4)
+        return out
+
+    times = sweep()
+
+    # second sweep against plain cold parquet scans (catalog.load checks the
+    # env var per call, so flipping it here bypasses the cache); JVM and
+    # code paths are warm - this isolates the single-row-group scan cost.
+    os.environ["SPARK_GRAFT_CACHE"] = "0"
+    uncached = sweep()
 
     total = round(sum(times.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -91,6 +114,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "uncached_value": round(sum(uncached.values()), 4),
+                "uncached_queries": uncached,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -73,35 +73,50 @@ def connected_components(
 
     Each round is two shuffles (a grouped min and a join); the edge set
     only shrinks toward stars, so the shuffles get cheaper every round.
-    localCheckpoint truncates the per-round lineage growth.  Convergence
-    is detected by an order-insensitive edge-set fingerprint (count + sum
-    of per-edge hashes), one tiny aggregate per round.
+    localCheckpoint truncates the per-round lineage growth.  Convergence:
+    the fixpoint of alternating star rounds is exactly a star forest whose
+    centers are component minima, so each round runs one tiny aggregate -
+    "does any node appear on both edge sides?" - and stops at the FIRST
+    star-forest edge set.  (The previous fingerprint-equality check needed
+    one extra full round just to confirm nothing changed.)
     """
+    # lazy checkpoints: the star-forest probe is the first action on each
+    # round's output, so it doubles as the checkpoint materialization -
+    # one Spark job per round instead of two
     cur = _canonical(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
-    def fingerprint(e: DataFrame):
-        # count + XOR of per-edge hashes: order-insensitive, overflow-free
-        # (the edge set is distinct, so XOR cancellation cannot collide
-        # two different sets that share count)
-        return tuple(
-            e.agg(
-                F.count("*").alias("n"),
-                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
-            ).first()
+    def is_star_forest(e: DataFrame) -> bool:
+        # canonical edges point leaf<-center as (a=center, b=leaf) with
+        # a < b.  The fixpoint is a DISJOINT star forest: (1) no node is
+        # both a center and a leaf, and (2) no leaf hangs off two centers
+        # ((1,5),(2,5) satisfies (1) alone but is a path, not a forest).
+        # One groupBy + tiny aggregate on the checkpointed shrinking set.
+        per_node = (
+            e.select(F.col("a").alias("node"), F.lit(1).alias("ctr"))
+            .unionAll(e.select(F.col("b").alias("node"), F.lit(0).alias("ctr")))
+            .groupBy("node")
+            .agg(F.sum("ctr").alias("n_ctr"), F.count("*").alias("n_tot"))
         )
+        bad = per_node.filter(
+            ((F.col("n_ctr") > 0) & (F.col("n_tot") > F.col("n_ctr")))
+            | ((F.col("n_ctr") == 0) & (F.col("n_tot") > 1))
+        )
+        return bad.isEmpty()
 
-    prev = fingerprint(cur)
     rounds = 0
-    for _ in range(max_iter):
+    while not is_star_forest(cur) and rounds < max_iter:
         rounds += 1
-        after_large = _canonical(_large_star(_symmetric(cur)))
-        cur = _canonical(_small_star(_symmetric(after_large))).localCheckpoint()
-        fp = fingerprint(cur)
-        if fp == prev:
-            break
-        prev = fp
+        # no _canonical between the stars: duplicate edges cannot change a
+        # min-based star step (they only pad the join input, bounded by
+        # 2|E| per round), and skipping the distinct saves a full shuffle
+        # per round; one canonicalization at round end keeps the
+        # checkpointed set ordered, deduped and self-loop-free
+        after_large = _large_star(_symmetric(cur))
+        cur = _canonical(_small_star(_symmetric(after_large))).localCheckpoint(
+            eager=False
+        )
     # converged edge set is a star forest; canonical ordering puts the
     # center (the component min) in `a`.  Centers get self-labels.
     centers = cur.select(

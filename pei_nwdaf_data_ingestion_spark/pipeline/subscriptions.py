@@ -33,6 +33,11 @@ class SubscriptionStore:
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
         self.path = path
+        # last _seq this instance wrote: keeps appends O(1) within a
+        # process (the first append still reads max(_seq) back from the
+        # log - see _next_seq).  Safe under the documented single-writer
+        # assumption; compact() rewrites seqs, so it invalidates.
+        self._seq_cache: int | None = None
 
     # -- reads ---------------------------------------------------------------
 
@@ -74,6 +79,8 @@ class SubscriptionStore:
         back makes ordering a property of the log itself; single-writer
         control plane, so no concurrent-append race (Delta MERGE is the
         multi-writer production path)."""
+        if self._seq_cache is not None:
+            return self._seq_cache + 1
         if not self._exists():
             return 1
         m = self.spark.read.parquet(self.path).agg(F.max("_seq").alias("m")).collect()
@@ -86,6 +93,7 @@ class SubscriptionStore:
             "_deleted", F.lit(deleted)
         )
         df.coalesce(1).write.mode("append").parquet(self.path)
+        self._seq_cache = seq
 
     def add(self, sub: dict) -> None:
         """Upsert one subscription (reference add(), registry.py:55-89)."""
@@ -113,3 +121,4 @@ class SubscriptionStore:
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         final = self.spark.read.parquet(tmp)
         final.coalesce(1).write.mode("overwrite").parquet(self.path)
+        self._seq_cache = None

@@ -18,6 +18,7 @@ from ..catalog import load
 from ..functions import pround
 from ..graph import connected_components
 from ..registry import query
+from .llm import _spread
 
 
 # ---------------------------------------------------------------------------
@@ -311,17 +312,25 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.array_distinct(F.split("text", " ")).alias("tokens"),
     ).withColumn("n_tok", F.size("tokens"))
-    a, b = toks.alias("a"), toks.alias("b")
+    a, b = _spread(toks, "doc_id").alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).cast("double")
     union = F.col("a.n_tok") + F.col("b.n_tok") - inter
+    # size-ratio prune INSIDE the join condition (lossless: jac <=
+    # min(n)/max(n)) and ahead of the intersect in the AND chain, so pairs
+    # that cannot reach t never pay the array scan - same spelling as
+    # dedup_near_jaccard; without it this stage alone cost 3.8 s at sf0.1
+    ratio_ok = (F.col("a.n_tok") >= t * F.col("b.n_tok")) & (
+        F.col("b.n_tok") >= t * F.col("a.n_tok")
+    )
     pairs = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ratio_ok
+            & (inter / union >= t),
         )
-        .filter(inter / union >= t)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
     labels, _ = connected_components(pairs)
@@ -397,7 +406,13 @@ def text_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     # corpus size as a broadcast 1-row aggregate (no eager driver count job)
     n = d.agg(F.count("*").alias("n_docs"))
-    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    tok_expr = F.array_sort(F.array_distinct(F.split("text", " ")))
+    # materialize the token array ONCE per row before the nested lambdas:
+    # higher-order functions are interpreted (not codegen'd) and re-evaluate
+    # any embedded expression subtree per element, so inlining the
+    # split+distinct+sort into the lambda re-tokenized each doc ~n_tok
+    # times (measured 2x the stage time at sf0.1)
+    toks = F.col("toks")
     combos = F.flatten(
         F.transform(
             toks,
@@ -407,15 +422,16 @@ def text_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+    dt = d.select("doc_id", tok_expr.alias("toks"))
     pairs = (
-        d.select(F.explode(combos).alias("p"))
+        dt.select(F.explode(combos).alias("p"))
         .select("p.tok_a", "p.tok_b")
         .groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= 5)
     )
     dfreq = (
-        d.select("doc_id", F.explode(toks).alias("tok"))
+        dt.select("doc_id", F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
     )

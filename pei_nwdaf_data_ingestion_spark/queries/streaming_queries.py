@@ -131,6 +131,13 @@ def stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
         )
         recent_path = os.path.join(tmp, "half=b1")
         old_path = os.path.join(tmp, "half=b2")
+        # a degenerate/constant-ts fixture can put every row on one side of
+        # the median, in which case partitionBy never creates the other dir
+        assert os.path.isdir(recent_path) and os.path.isdir(old_path), (
+            "late-drop demo expects events.ts to straddle its median; "
+            "a missing half=b1/half=b2 dir means the fixture's ts column "
+            "is (near-)constant"
+        )
         now = time.time()
         for d, mtime in ((recent_path, now - 60), (old_path, now)):
             for fn in os.listdir(d):
@@ -213,6 +220,19 @@ def stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
         def update(key, pdfs, state):
             # worker-side closure: only pandas + stdlib (the consumer's
             # workers can't import this package)
+            import warnings
+
+            # pyspark's state serializer pads every output batch with a
+            # 0-row object-dtype frame before pd.concat
+            # (serializers.py:1684-1696), which pandas 2.x deprecation-warns
+            # about and pandas 3.x will change; filter it in the worker so
+            # runs are warning-free (the concat result is unaffected: the
+            # padding frame is empty whenever data rows >= state rows).
+            warnings.filterwarnings(
+                "ignore",
+                message="The behavior of DataFrame concatenation with empty",
+                category=FutureWarning,
+            )
             (user,) = key
             n, s = state.get if state.exists else (0, 0.0)
             for pdf in pdfs:

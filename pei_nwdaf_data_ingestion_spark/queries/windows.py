@@ -67,7 +67,19 @@ def win_ntile(spark: SparkSession, sf: str) -> DataFrame:
     ntile arithmetic on the rank (first n%4 tiles get one extra row, same as
     the SQL function).  Every stage is bounded by |rows|/P per task; the
     offset table is P rows regardless of data size.  Output stays
-    hash-identical to the DuckDB oracle because the sort key is unique."""
+    hash-identical to the DuckDB oracle because the sort key is unique.
+
+    Cross-branch pid consistency: `local` feeds BOTH the counts/offsets
+    branch and the final rank join, and each branch plans its own range
+    exchange (no ReusedExchange - see tests/test_plan_quality.py).  The
+    branches still assign identical pids because RangePartitioner's bound
+    sampling is seeded deterministically from the partition index
+    (byteswap32 in Spark's Partitioner.scala), so equal input + equal
+    partitioning spec => equal bounds; the plan test asserts every
+    rangepartitioning spec in this plan is byte-identical, which is the
+    precondition that argument needs.  (Exchange reuse, when Spark applies
+    it, only short-circuits work the branches would have computed equal
+    anyway.)"""
     o = load(spark, sf, "orders")
     p = max(2, spark.sparkContext.defaultParallelism)
     ranged = o.repartitionByRange(p, "o_totalprice", "o_orderkey").withColumn(

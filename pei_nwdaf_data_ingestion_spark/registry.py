@@ -42,13 +42,52 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-def load_all() -> None:
-    """Import every query module so registrations run.
+# Registration order = the order a budget-limited driver visits queries
+# (it records the first ~50 per round).  Rounds 1+2 covered 100/119; the
+# tail below is everything VERDICT r2 lists as never-driver-checked, plus
+# the two queries whose r2 pass was vacuous (0 rows vs 0 oracle rows) and
+# any query added in round 3.  Cheap oracled queries first, the expensive
+# stream_* family last-but-within-50.
+_R3_PRIORITY = [
+    # 10 oracled queries with no driver signal after r1+r2 (VERDICT r2 #1)
+    "agg_histogram",
+    "agg_partial_reagg",
+    "dedup_cluster_components",
+    "text_ngram_topk",
+    "text_cooccurrence",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "time_funcs",
+    "udf_scalar_parse",
+    "udtf_normalize",
+    # 3 cheap rows-only queries with no driver signal
+    "agg_hll_sketch_merge",
+    "agg_approx_quantile",
+    "multimodal_decode",
+    # r2 passes were vacuous (0 rows) - re-sample after threshold fixes
+    "sim_knn_join",
+    "dedup_embed_cosine",
+    # new in round 3
+    "merge_upsert",
+    "dedup_winnowing",
+    "pipeline_seq_pack",
+    "stream_stream_join_outer",
+    # 6 expensive streaming queries with no driver signal (1.5-4.7 s each)
+    "stream_ingest_pipeline",
+    "stream_dedup",
+    "stream_late_drop",
+    "stream_session_window",
+    "stream_stateful_counts",
+    "stream_stream_join",
+]
 
-    Registration order = the order a budget-limited driver visits queries,
-    so the families that got no driver-side correctness signal in round 1
-    (everything except relational/scalars, per VERDICT.md) register FIRST;
-    the already-validated relational/scalars families come last."""
+
+def load_all() -> None:
+    """Import every query module, then pin driver-visit order.
+
+    After the imports run, QUERIES/ORACLES are rebuilt so `_R3_PRIORITY`
+    (queries still lacking driver-side correctness signal, see VERDICT r2)
+    comes first and the already-double-validated families fill the tail."""
     from .queries import (  # noqa: F401
         refsem,
         windows,
@@ -59,3 +98,11 @@ def load_all() -> None:
         relational,
         scalars,
     )
+
+    order = [n for n in _R3_PRIORITY if n in QUERIES] + [
+        n for n in QUERIES if n not in _R3_PRIORITY
+    ]
+    for mapping in (QUERIES, ORACLES):
+        snapshot = dict(mapping)
+        mapping.clear()
+        mapping.update({n: snapshot[n] for n in order if n in snapshot})

