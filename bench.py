@@ -102,7 +102,17 @@ def main() -> None:
     # second sweep against plain cold parquet scans (catalog.load checks the
     # env var per call, so flipping it here bypasses the cache); JVM and
     # code paths are warm - this isolates the single-row-group scan cost.
+    # Drop ALL sweep-1 warm state first: the cached/persisted base tables
+    # (and any lazy localCheckpoint blocks) would otherwise stay resident in
+    # executor memory under the "plain scan" numbers, and the IVF centroid
+    # cache would let sim_ivf_topk skip its k-means build entirely.
     os.environ["SPARK_GRAFT_CACHE"] = "0"
+    from pei_nwdaf_data_ingestion_spark.queries import llm
+
+    llm._IVF_CENTROIDS.clear()
+    for df in catalog._CACHE.values():
+        df.unpersist(blocking=True)
+    catalog._CACHE.clear()
     uncached = sweep()
 
     total = round(sum(times.values()), 4)

@@ -340,6 +340,84 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MERGE-style keyed upsert
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT CASE WHEN o_custkey % 7 = 0 THEN -o_custkey ELSE o_custkey END AS key,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS spend_cents
+      FROM orders GROUP BY 1)
+    SELECT coalesce(s.key, c.c_custkey) AS cust_key,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN s.key IS NULL THEN 'keep' ELSE 'update' END AS action,
+           coalesce(c.c_name, 'new-' || CAST(s.key AS VARCHAR)) AS name,
+           floor((CASE WHEN c.c_custkey IS NULL THEN s.spend_cents / 100000.0
+                       WHEN s.key IS NULL THEN c.c_acctbal
+                       ELSE c.c_acctbal + s.spend_cents / 100000.0 END)
+                 * 100.0 + 0.5) / 100.0 AS acctbal,
+           coalesce(s.n_orders, 0) AS n_orders
+    FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.key
+    """,
+)
+def merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE-style keyed dim upsert - the production dual of the
+    reference's `INSERT OR REPLACE INTO nef_subscriptions`
+    (reference registry.py:76-88), generalized to the three MERGE
+    branches: WHEN MATCHED THEN UPDATE (balance credited from the source
+    feed), WHEN NOT MATCHED BY TARGET THEN INSERT, WHEN NOT MATCHED BY
+    SOURCE THEN keep.  The source feed is an orders rollup; keys divisible
+    by 7 are remapped negative so the fixture exercises the insert branch.
+
+    Spark-first MERGE without a table format: full-outer join on the key +
+    per-branch coalesce/CASE projection.  A full-outer join cannot
+    broadcast, so both sides shuffle once on the merge key - exactly the
+    co-partitioning Delta/Iceberg MERGE performs; the update expression
+    reads BOTH sides (c_acctbal + delta), which a union+row_number
+    last-wins (ref_upsert_lastwins) cannot express.  Money stays integral
+    (per-row cents before the sum) so the aggregate is order-independent
+    and bit-identical cross-engine."""
+    c = load(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    o = load(spark, sf, "orders")
+    src = (
+        o.groupBy(
+            F.when(F.col("o_custkey") % 7 == 0, -F.col("o_custkey"))
+            .otherwise(F.col("o_custkey"))
+            .alias("key")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5))
+            .cast("long")
+            .alias("spend_cents"),
+        )
+    )
+    merged = c.join(src, c.c_custkey == src.key, "full_outer")
+    delta = F.col("spend_cents") / 100000.0
+    return merged.select(
+        F.coalesce("key", "c_custkey").alias("cust_key"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("key").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+        F.coalesce(
+            "c_name", F.concat(F.lit("new-"), F.col("key").cast("string"))
+        ).alias("name"),
+        pround(
+            F.when(F.col("c_custkey").isNull(), delta)
+            .when(F.col("key").isNull(), F.col("c_acctbal"))
+            .otherwise(F.col("c_acctbal") + delta),
+            2,
+        ).alias("acctbal"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus statistics: n-gram top-k, token co-occurrence
 # ---------------------------------------------------------------------------
 

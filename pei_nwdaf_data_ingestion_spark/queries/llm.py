@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -1057,6 +1057,132 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         fp.alias("fingerprint"),
         (F.size(toks) - 1).cast("long").alias("n_bigrams"),
+    )
+
+
+@query(
+    "dedup_winnowing",
+    oracle="""
+    WITH hashes AS (
+      SELECT doc_id,
+             list_transform(range(1, len(string_split(text,' '))),
+               i -> md5(string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))
+               AS h
+      FROM documents),
+    fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(h) - 2),
+               i -> list_min(h[i:i+3]))) AS fp
+      FROM hashes WHERE len(h) >= 4),
+    ex AS (SELECT doc_id, unnest(fp) AS g FROM fps),
+    rare AS (SELECT doc_id, g FROM ex
+             QUALIFY count(*) OVER (PARTITION BY g) <= 25)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """True winnowing near-dup detection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every bigram shingle, slide a w=4 window over the
+    hash sequence taking each window's minimum, and keep the distinct
+    selected minima as the doc's fingerprint set (guarantees any shared
+    run of >= w+k-1 tokens shares a fingerprint).  Docs are then paired
+    through an INVERTED INDEX on the fingerprint - explode + equi-join on
+    the fingerprint value, never pairwise over docs - and pairs sharing
+    >= 5 fingerprints are reported.
+
+    Scale guards: (a) fingerprints hitting > 25 docs are dropped before
+    the self-join (boilerplate winnows; caps any bucket's quadratic
+    blow-up - the standard stop-fingerprint prune), implemented as a
+    window count over the SAME hash partitioning the join needs, so the
+    cap adds no extra shuffle; (b) the window minima are computed
+    map-side over a materialized hash array (a slice lambda over a
+    column, not a re-derived expression - see _bigrams on higher-order
+    lambda re-evaluation)."""
+    d = load(spark, sf, "documents")
+    grams = _bigrams(F.split("text", " "))
+    hashed = d.select("doc_id", F.transform(grams, F.md5).alias("h")).filter(
+        F.size("h") >= 4
+    )
+    # w=4 windows: starts 1..n-3, each slice 4 hashes (the oracle's
+    # h[i:i+3] is 1-based INCLUSIVE slicing = the same 4 elements)
+    win_min = F.transform(
+        F.sequence(F.lit(1), F.size("h") - 3),
+        lambda i: F.array_min(F.slice(F.col("h"), i, 4)),
+    )
+    ex = hashed.select(
+        "doc_id", F.explode(F.array_distinct(win_min)).alias("g")
+    )
+    rare = ex.withColumn(
+        "df", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("df") <= 25)
+    a = rare.select(F.col("g"), F.col("doc_id").alias("doc_a"))
+    b = rare.select(F.col("g"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+
+
+@query(
+    "pipeline_seq_pack",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_off
+      FROM toks)
+    SELECT source, doc_id, n_tokens,
+           CAST(start_off // 128 AS BIGINT) AS pack_id,
+           CAST(start_off % 128 AS BIGINT) AS pack_offset,
+           CAST((start_off + n_tokens - 1) // 128 AS BIGINT) AS pack_id_last
+    FROM packed
+    """,
+)
+def pipeline_seq_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sequence packing (concat-then-chunk, the GPT-style
+    pretraining layout): within each source stream, docs are concatenated
+    in doc_id order and cut into fixed 128-token sequences; each doc gets
+    its start offset, owning pack id, in-pack offset, and the last pack it
+    spills into (pack_id != pack_id_last marks boundary-crossing docs).
+    One running-sum window = one shuffle on the stream key.
+
+    At 100 TB the partition key must be (source, shard) - doc_id ranges
+    bucketed so no single window partition holds a whole source's corpus;
+    packing is then per-shard-independent by construction (each shard
+    starts at offset 0), which is exactly how training-data loaders
+    shard anyway.  The fixture's 10 sources at test scale keep the
+    single-key window honest for the oracle."""
+    d = load(spark, sf, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select("source", "doc_id", n_tok.alias("n_tokens"))
+    packed = base.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("start_off") / 128).cast("long").alias("pack_id"),
+        (F.col("start_off") % 128).cast("long").alias("pack_offset"),
+        F.floor((F.col("start_off") + F.col("n_tokens") - 1) / 128)
+        .cast("long")
+        .alias("pack_id_last"),
     )
 
 

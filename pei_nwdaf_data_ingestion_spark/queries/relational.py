@@ -293,12 +293,18 @@ def join_semi(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
     """,
 )
 def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT EXISTS as left_anti with the build side pre-filtered (customers
+    with no big-ticket order).  The filter keeps the fixture result
+    non-empty - the unfiltered anti matched every customer away (every
+    fixture customer has orders), a 0-row pass that proved nothing
+    (VERDICT r3 'What's wrong' #3)."""
     c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice") > 300000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -813,15 +819,23 @@ def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "set_except",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'click'
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'click'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'error'
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'error'
     """,
 )
 def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT over (user, day) pairs: click-days with no error that day.
+    The pair projection overlaps-but-differs between the two sides, so
+    the fixture yields a real result set - the plain user_id EXCEPT was
+    empty (every clicking user also errors somewhere), a 0-row pass that
+    proved nothing (VERDICT r3 'What's wrong' #3)."""
     ev = load(spark, sf, "events")
-    a = ev.filter(F.col("event_type") == "click").select("user_id")
-    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    a = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    b = ev.filter(F.col("event_type") == "error").select("user_id", day)
     # subtract == SQL EXCEPT (set semantics); exceptAll would be EXCEPT ALL
     return a.subtract(b)
 

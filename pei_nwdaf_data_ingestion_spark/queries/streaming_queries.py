@@ -133,11 +133,13 @@ def stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
         old_path = os.path.join(tmp, "half=b2")
         # a degenerate/constant-ts fixture can put every row on one side of
         # the median, in which case partitionBy never creates the other dir
-        assert os.path.isdir(recent_path) and os.path.isdir(old_path), (
-            "late-drop demo expects events.ts to straddle its median; "
-            "a missing half=b1/half=b2 dir means the fixture's ts column "
-            "is (near-)constant"
-        )
+        # (explicit raise, not assert: `python -O` strips asserts)
+        if not (os.path.isdir(recent_path) and os.path.isdir(old_path)):
+            raise RuntimeError(
+                "late-drop demo expects events.ts to straddle its median; "
+                "a missing half=b1/half=b2 dir means the fixture's ts column "
+                "is (near-)constant"
+            )
         now = time.time()
         for d, mtime in ((recent_path, now - 60), (old_path, now)):
             for fn in os.listdir(d):
@@ -313,6 +315,61 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
     )
     name = "stream_stream_join_out"
+    _drain(joined, name)
+    return spark.table(name)
+
+
+@query("stream_stream_join_outer")
+def stream_stream_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every click, with its
+    same-user purchase inside [click_ts, click_ts + 1h] when one exists,
+    else a null-padded row.  The outer row for an unmatched click is
+    emitted only once BOTH watermarks pass click_ts + 1h (Spark must
+    prove no future purchase can match before it fabricates the null), so
+    state stays bounded exactly as in the inner variant - the null
+    emission is the one extra capability, and it is watermark-gated.
+
+    Bounded-stream caveat (inherent to availableNow): clicks whose
+    eviction horizon lies beyond the final watermark (the last
+    ~1h30m of event time) end the run still buffered, so their outer
+    rows never emit.  Tests assert the inner rows equal
+    stream_stream_join's and that null-padded rows exist and are
+    click-unique."""
+    clicks = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        F.col("purchase_id").isNotNull().alias("matched"),
+    )
+    name = "stream_stream_join_outer_out"
     _drain(joined, name)
     return spark.table(name)
 

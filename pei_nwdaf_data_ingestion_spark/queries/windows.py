@@ -279,7 +279,7 @@ def win_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session,
              event_id
@@ -309,10 +309,11 @@ def win_session_gap(spark: SparkSession, sf: str) -> DataFrame:
     flagged = ev.withColumn(
         "new_session",
         F.when(
-            # >= : session_window's interval is half-open [start, last+gap),
-            # so an event exactly `gap` after the previous one opens a NEW
-            # session - the batch dual must use the same boundary
-            F.lag("ts").over(w).isNull() | ((ms - F.lag(ms).over(w)) >= 1800000),
+            # strict > : session_window MERGES an event landing exactly `gap`
+            # after the previous one (verified empirically against Spark's
+            # session_window in tests/test_streaming.py) - a new session opens
+            # only when the delta strictly exceeds the gap
+            F.lag("ts").over(w).isNull() | ((ms - F.lag(ms).over(w)) > 1800000),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )

@@ -43,51 +43,83 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # Registration order = the order a budget-limited driver visits queries
-# (it records the first ~50 per round).  Rounds 1+2 covered 100/119; the
-# tail below is everything VERDICT r2 lists as never-driver-checked, plus
-# the two queries whose r2 pass was vacuous (0 rows vs 0 oracle rows) and
-# any query added in round 3.  Cheap oracled queries first, the expensive
-# stream_* family last-but-within-50.
-_R3_PRIORITY = [
-    # 10 oracled queries with no driver signal after r1+r2 (VERDICT r2 #1)
-    "agg_histogram",
-    "agg_partial_reagg",
-    "dedup_cluster_components",
-    "text_ngram_topk",
-    "text_cooccurrence",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "time_funcs",
-    "udf_scalar_parse",
-    "udtf_normalize",
-    # 3 cheap rows-only queries with no driver signal
-    "agg_hll_sketch_merge",
-    "agg_approx_quantile",
-    "multimodal_decode",
-    # r2 passes were vacuous (0 rows) - re-sample after threshold fixes
-    "sim_knn_join",
-    "dedup_embed_cosine",
-    # new in round 3
+# (it records the first ~50 per round).  Cumulative coverage closed in r03
+# (119/119 with signal); the r4 window leads with this round's semantic
+# changes (session-window boundary fix, de-vacuized join_anti/set_except,
+# the four queries added this round), then deliberately refreshes the
+# families whose only signal is the round-1 sample (scalars, relational
+# joins, aggs) so no hash goes three rounds stale.
+_R4_PRIORITY = [
+    # semantics changed this round - MUST re-sample
+    "win_session_gap",
+    "join_anti",
+    "set_except",
+    # new in round 4
     "merge_upsert",
     "dedup_winnowing",
     "pipeline_seq_pack",
     "stream_stream_join_outer",
-    # 6 expensive streaming queries with no driver signal (1.5-4.7 s each)
-    "stream_ingest_pipeline",
-    "stream_dedup",
-    "stream_late_drop",
-    "stream_session_window",
-    "stream_stateful_counts",
-    "stream_stream_join",
+    # stale-signal refresh: r1-only relational joins
+    "join_inner_equi",
+    "join_skew_salted",
+    "join_null_keys",
+    "join_multiway",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_theta_range",
+    "join_cross",
+    "join_asof_lastsignup",
+    "join_interval_overlap",
+    # r1-only scalar-function surface
+    "str_funcs",
+    "str_like",
+    "date_funcs",
+    "math_funcs",
+    "cond_case",
+    "null_funcs",
+    "cast_funcs",
+    "json_extract",
+    "json_roundtrip",
+    "array_funcs",
+    "array_hof",
+    "map_funcs",
+    "str_distance",
+    "bit_funcs",
+    "date_series",
+    # r1-only aggregations
+    "agg_global",
+    "agg_groupby_hash",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_maxby",
+    "agg_percentile",
+    "agg_stats",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_boolean",
+    # r1-only scans + ordering + set ops (tail; spills to r5 if budget ends)
+    "scan_project",
+    "scan_filter_pred",
+    "explode_unnest",
+    "topk_orderby_limit",
+    "order_nulls",
+    "set_union_all",
+    "set_intersect",
+    "set_union_byname",
 ]
 
 
 def load_all() -> None:
     """Import every query module, then pin driver-visit order.
 
-    After the imports run, QUERIES/ORACLES are rebuilt so `_R3_PRIORITY`
-    (queries still lacking driver-side correctness signal, see VERDICT r2)
-    comes first and the already-double-validated families fill the tail."""
+    After the imports run, QUERIES/ORACLES are rebuilt so `_R4_PRIORITY`
+    (this round's semantic changes + the stalest prior signal) comes first
+    and the recently-revalidated families fill the tail."""
     from .queries import (  # noqa: F401
         refsem,
         windows,
@@ -99,8 +131,8 @@ def load_all() -> None:
         scalars,
     )
 
-    order = [n for n in _R3_PRIORITY if n in QUERIES] + [
-        n for n in QUERIES if n not in _R3_PRIORITY
+    order = [n for n in _R4_PRIORITY if n in QUERIES] + [
+        n for n in QUERIES if n not in _R4_PRIORITY
     ]
     for mapping in (QUERIES, ORACLES):
         snapshot = dict(mapping)

@@ -114,6 +114,152 @@ class TestStreamStreamJoin:
         assert len(stream_rows) > 0
 
 
+class TestStreamStreamJoinOuter:
+    def test_inner_rows_preserved_and_nulls_click_unique(self, spark):
+        """The left-outer variant must contain exactly the inner join's
+        matched rows, plus null-padded rows that are click-unique (one
+        outer row per unmatched click, never duplicated) and disjoint from
+        the matched clicks... minus the bounded-stream tail: clicks whose
+        1h match horizon lies beyond the final watermark end the run still
+        buffered, so their outer rows never emit (documented caveat)."""
+        inner = {
+            (r["user_id"], r["click_id"], r["purchase_id"])
+            for r in registry.QUERIES["stream_stream_join"](spark, SF_DIR).collect()
+        }
+        outer_rows = registry.QUERIES["stream_stream_join_outer"](
+            spark, SF_DIR
+        ).collect()
+        matched = {
+            (r["user_id"], r["click_id"], r["purchase_id"])
+            for r in outer_rows
+            if r["matched"]
+        }
+        assert matched == inner
+        nulls = [r for r in outer_rows if not r["matched"]]
+        assert nulls, "fixture must contain unmatched clicks"
+        null_ids = [r["click_id"] for r in nulls]
+        assert len(null_ids) == len(set(null_ids))
+        assert not set(null_ids) & {c for _, c, _ in matched}
+        assert all(r["purchase_id"] is None and r["purchase_epoch"] is None
+                   for r in nulls)
+
+
+class TestMergeUpsert:
+    def test_three_branches_partition_correctly(self, spark):
+        """MERGE invariants: inserts are exactly the remapped (negative)
+        source keys and carry source-only fields; updates have orders and a
+        credited balance; keeps are untouched customers with no source row;
+        target keys are never lost (|result| = |customer| + |inserts|)."""
+        rows = registry.QUERIES["merge_upsert"](spark, SF_DIR).collect()
+        by_action = {}
+        for r in rows:
+            by_action.setdefault(r["action"], []).append(r)
+        inserts, updates, keeps = (
+            by_action.get("insert", []),
+            by_action.get("update", []),
+            by_action.get("keep", []),
+        )
+        assert inserts and updates, "fixture must exercise insert + update"
+        assert all(r["cust_key"] < 0 for r in inserts)
+        assert all(r["name"] == f"new-{r['cust_key']}" for r in inserts)
+        assert all(r["n_orders"] > 0 for r in inserts + updates)
+        assert all(r["n_orders"] == 0 for r in keeps)
+        n_cust = load(spark, SF_DIR, "customer").count()
+        assert len(rows) == n_cust + len(inserts)
+        keys = [r["cust_key"] for r in rows]
+        assert len(keys) == len(set(keys))
+
+    def test_update_credits_balance(self, spark):
+        """Spot-check the WHEN MATCHED expression on one key: new balance
+        = old balance + spend/1000 (rounded), recomputed independently."""
+        import math
+
+        rows = registry.QUERIES["merge_upsert"](spark, SF_DIR).collect()
+        upd = {r["cust_key"]: r for r in rows if r["action"] == "update"}
+        key = min(upd)
+        c_bal = (
+            load(spark, SF_DIR, "customer")
+            .filter(F.col("c_custkey") == key)
+            .collect()[0]["c_acctbal"]
+        )
+        spend_cents = (
+            load(spark, SF_DIR, "orders")
+            .filter(F.col("o_custkey") == key)
+            .agg(F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)))
+            .collect()[0][0]
+        )
+        want = math.floor((c_bal + spend_cents / 100000.0) * 100.0 + 0.5) / 100.0
+        assert upd[key]["acctbal"] == want
+
+
+class TestDedupWinnowing:
+    def test_matches_pure_python_winnowing(self, spark):
+        """Independent algorithmic oracle: recompute the winnowing pipeline
+        (bigram md5 -> w=4 window minima -> distinct -> df<=25 prune ->
+        pair counts >= 5) in pure Python over the raw fixture text; the
+        Spark result must match exactly."""
+        import hashlib
+        from collections import Counter, defaultdict
+
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in load(spark, SF_DIR, "documents").collect()
+        }
+        fps = {}
+        for doc_id, text in docs.items():
+            toks = text.split(" ")
+            h = [
+                hashlib.md5(f"{a} {b}".encode()).hexdigest()
+                for a, b in zip(toks, toks[1:])
+            ]
+            if len(h) < 4:
+                continue
+            fps[doc_id] = {min(h[i : i + 4]) for i in range(len(h) - 3)}
+        df = Counter(g for s in fps.values() for g in s)
+        index = defaultdict(list)
+        for doc_id, s in fps.items():
+            for g in s:
+                if df[g] <= 25:
+                    index[g].append(doc_id)
+        pair_counts = Counter()
+        for g, ids in index.items():
+            ids.sort()
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    pair_counts[(a, b)] += 1
+        want = {(a, b, n) for (a, b), n in pair_counts.items() if n >= 5}
+        got = {
+            (r["doc_a"], r["doc_b"], r["n_shared"])
+            for r in registry.QUERIES["dedup_winnowing"](spark, SF_DIR).collect()
+        }
+        assert got == want
+        assert got, "fixture must contain winnowing near-dups"
+
+
+class TestPipelineSeqPack:
+    def test_offsets_contiguous_and_packs_consistent(self, spark):
+        """Packing invariants per source stream: doc offsets are contiguous
+        (next start = prev start + prev len, first starts at 0), pack ids
+        are the offset div 128, pack_offset < 128, and pack_id_last marks
+        exactly the boundary-crossing docs."""
+        rows = registry.QUERIES["pipeline_seq_pack"](spark, SF_DIR).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        crossers = 0
+        for src, rs in by_src.items():
+            rs.sort(key=lambda r: r["doc_id"])
+            off = 0
+            for r in rs:
+                assert r["pack_offset"] == off % 128
+                assert r["pack_id"] == off // 128
+                assert r["pack_id_last"] == (off + r["n_tokens"] - 1) // 128
+                if r["pack_id_last"] > r["pack_id"]:
+                    crossers += 1
+                off += r["n_tokens"]
+        assert crossers > 0, "fixture must contain boundary-crossing docs"
+
+
 class TestConnectedComponents:
     def test_chain_converges_in_log_rounds(self, spark):
         """A 64-node chain has diameter 63: min-label propagation would

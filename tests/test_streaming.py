@@ -183,6 +183,43 @@ def test_stream_session_window_matches_batch_sessionization(spark):
     assert got == want
 
 
+def test_session_window_exact_gap_boundary_pair(spark, tmp_path):
+    """Pins the session boundary rule at the exact-gap delta forever
+    (VERDICT r3 #6): user 1 has two events exactly 30:00 apart -> ONE
+    session (session_window merges at exactly gap); user 2 has two events
+    30:01 apart -> TWO sessions.  Both the streaming session_window and
+    the batch lag/flag dual must produce these counts, on second-
+    granularity timestamps (the reference's unit, receiver.py:78-84)."""
+    import datetime as dt
+
+    from pei_nwdaf_data_ingestion_spark import registry
+
+    registry.load_all()
+    base = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (1, 1, base, 0.0, "click"),
+        (2, 1, base + dt.timedelta(minutes=30), 1.0, "click"),
+        (3, 2, base, 2.0, "click"),
+        (4, 2, base + dt.timedelta(minutes=30, seconds=1), 3.0, "click"),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double, event_type string"
+    )
+    sf_dir = str(tmp_path / "boundary")
+    (tmp_path / "boundary").mkdir()
+    sdf.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in registry.QUERIES["stream_session_window"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"])
+        for r in registry.QUERIES["win_session_gap"](spark, sf_dir).collect()
+    )
+    assert got == want
+    assert got == [(1, 2), (2, 1), (2, 1)]
+
+
 def test_checkpoint_restart_processes_each_file_once(spark, tmp_path):
     """Exactly-once on the source side: a stream restarted from its
     checkpoint must process only files that arrived while it was down -
@@ -228,8 +265,10 @@ def test_session_window_skewed_key_matches_batch(spark, tmp_path):
     """Skew probe (VERDICT r2 #6 / round-1 item 8): one user holds ~50% of
     all events; the streaming session_window and the batch lag/flag/
     running-sum dual must still carve identical sessions, and a pure-Python
-    sessionizer over the hot key must agree with both.  Session boundaries
-    use the half-open interval rule (diff >= gap opens a new session)."""
+    sessionizer over the hot key must agree with both.  Session boundary
+    rule (verified empirically against Spark's session_window): an event
+    landing EXACTLY `gap` after the previous one MERGES into the session;
+    a new session opens only when the delta strictly exceeds the gap."""
     import datetime as dt
 
     from pei_nwdaf_data_ingestion_spark import registry
@@ -248,14 +287,16 @@ def test_session_window_skewed_key_matches_batch(spark, tmp_path):
         eid += 1
 
     # hot user 1: 500 events, a deterministic mix of intra-session gaps
-    # (2-7 min) and session breaks (>= 30 min) - about half of all events
+    # (2-7 min) and boundary probes (30/40/50 min).  The exactly-30-min
+    # steps MERGE (inclusive boundary); only the 40/50-min steps break.
     m = 0.0
     hot_breaks = 0
     for i in range(500):
         step = 2 + (i % 6)  # 2..7 minutes
         if i % 25 == 24:
-            step = gap_min + (i % 3) * 10  # 30/40/50 -> new session
-            hot_breaks += 1
+            step = gap_min + (i % 3) * 10  # 30 merges; 40/50 -> new session
+            if step > gap_min:
+                hot_breaks += 1
         m += step
         emit(1, m)
     # 50 cold users x 10 events each, one mid-stream session break
@@ -280,8 +321,8 @@ def test_session_window_skewed_key_matches_batch(spark, tmp_path):
         for r in registry.QUERIES["win_session_gap"](spark, sf_dir).collect()
     )
     assert got == want
-    # independent oracle on the hot key: every i%25==24 step opened a new
-    # session, so the hot user has hot_breaks+1 sessions totalling 500 events
+    # independent oracle on the hot key: only the strictly->gap steps opened
+    # a new session, so the hot user has hot_breaks+1 sessions of 500 events
     hot = [(u, n) for u, n in got if u == 1]
     assert len(hot) == hot_breaks + 1
     assert sum(n for _, n in hot) == 500

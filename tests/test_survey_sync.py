@@ -44,7 +44,7 @@ def test_every_declared_id_has_cumulative_driver_signal():
     """Coverage-hole gate (VERDICT r2 next-round #7): every declared query
     must have appeared in at least one driver CORRECTNESS_r*.json.  The
     driver samples the first ~50 registrations per round, so holes are an
-    ordering bug (registry._R3_PRIORITY exists to close them), not a code
+    ordering bug (registry._R4_PRIORITY exists to close them), not a code
     bug - but they cost a round each time, so the suite must catch them.
 
     Queries newly added this round (legitimately never sampled yet) go in
@@ -52,34 +52,20 @@ def test_every_declared_id_has_cumulative_driver_signal():
     REMOVED once it lands in a CORRECTNESS file."""
     import json
 
-    # added in round 3 -> first sampleable in CORRECTNESS_r03.json
+    # added in round 4 -> first sampleable in CORRECTNESS_r04.json
     NOT_YET_SAMPLED = {
         "merge_upsert",
         "dedup_winnowing",
         "pipeline_seq_pack",
         "stream_stream_join_outer",
-        # never in r1/r2's 50-entry windows; first in line for r03 via
-        # registry._R3_PRIORITY (drop once r03 lands)
-        "agg_histogram",
-        "agg_partial_reagg",
-        "agg_hll_sketch_merge",
-        "agg_approx_quantile",
-        "dedup_cluster_components",
-        "text_ngram_topk",
-        "text_cooccurrence",
-        "time_funcs",
-        "udf_scalar_parse",
-        "udtf_normalize",
-        "multimodal_features",
-        "multimodal_decode",
-        "multimodal_frame_sample",
-        "stream_ingest_pipeline",
-        "stream_dedup",
-        "stream_late_drop",
-        "stream_session_window",
-        "stream_stateful_counts",
-        "stream_stream_join",
     }
+    # phantom-id guard (VERDICT r3 #2): an allowlisted id that is not even
+    # registered is a dangling name, not a sampling gap
+    phantom = NOT_YET_SAMPLED - set(registry.QUERIES)
+    assert not phantom, (
+        f"NOT_YET_SAMPLED ids missing from registry.QUERIES (phantom names - "
+        f"implement or delete): {sorted(phantom)}"
+    )
     root = Path(__file__).resolve().parent.parent
     seen: set[str] = set()
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -87,7 +73,7 @@ def test_every_declared_id_has_cumulative_driver_signal():
     missing = set(registry.QUERIES) - seen - NOT_YET_SAMPLED
     assert not missing, (
         f"declared queries with NO driver correctness signal in any round "
-        f"(fix registration order in registry._R3_PRIORITY): {sorted(missing)}"
+        f"(fix registration order in registry._R4_PRIORITY): {sorted(missing)}"
     )
     stale = NOT_YET_SAMPLED & seen
     assert not stale, (
