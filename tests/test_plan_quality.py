@@ -240,6 +240,25 @@ class TestAdvancedPlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_ppjoin_beyond_broadcast_gate_stays_equi_join(self, spark, monkeypatch):
+        """dedup_ppjoin_prefix's prefix index is corpus-proportional, so
+        beyond the size gate the broadcast hint must NOT be applied - and
+        the un-hinted plan must still be an equi join on the prefix token
+        (shuffled hash / sort-merge), never a cartesian or nested-loop
+        (VERDICT r3 #5).  Auto-broadcast is disabled so the planner can't
+        rescue an accidental cartesian with fixture-size stats."""
+        from pei_nwdaf_data_ingestion_spark.queries import llm
+
+        monkeypatch.setattr(llm, "_PPJOIN_BROADCAST_BYTES", 0)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(spark, "dedup_ppjoin_prefix")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
 
 class TestNtileRangeConsistency:
     def test_all_range_exchanges_share_one_spec(self, spark):
