@@ -68,6 +68,18 @@ def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
     return best
 
 
+def safe_time_query(fn, spark, sf_dir: str):
+    """One broken query must never cost the whole sweep (BENCH_r04 died on
+    the first error and the round shipped zero numbers).  Errors become the
+    query's entry - a short string - and the sweep continues."""
+    try:
+        return round(time_query(fn, spark, sf_dir), 4)
+    except Exception as exc:  # noqa: BLE001 - deliberately broad: keep sweeping
+        msg = str(exc).split("\n", 1)[0][:160]
+        print(f"bench: {type(exc).__name__} in query - {msg}", file=sys.stderr)
+        return f"ERROR {type(exc).__name__}: {msg}"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # warm-cache base tables: fixture parquet is single-row-group (scan
@@ -88,13 +100,13 @@ def main() -> None:
         catalog.load(spark, sf_dir, t).count()
     registry.QUERIES["agg_global"](spark, sf_dir).count()
 
-    def sweep() -> dict[str, float]:
-        out: dict[str, float] = {}
+    def sweep() -> dict:
+        out: dict = {}
         for name in HEADLINE:
             fn = registry.QUERIES.get(name)
             if fn is None:
                 continue
-            out[name] = round(time_query(fn, spark, sf_dir), 4)
+            out[name] = safe_time_query(fn, spark, sf_dir)
         return out
 
     times = sweep()
@@ -115,21 +127,23 @@ def main() -> None:
     catalog._CACHE.clear()
     uncached = sweep()
 
-    total = round(sum(times.values()), 4)
+    def total_ok(sweep_out: dict) -> float:
+        return round(sum(v for v in sweep_out.values() if isinstance(v, float)), 4)
+
+    errors = {n: v for n, v in {**times, **uncached}.items() if isinstance(v, str)}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_warm",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "uncached_value": round(sum(uncached.values()), 4),
-                "uncached_queries": uncached,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_warm",
+        "value": total_ok(times),
+        "unit": "sec",
+        "queries": times,
+        "uncached_value": total_ok(uncached),
+        "uncached_queries": uncached,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = sorted(errors)
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -75,16 +76,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def _read(spark: SparkSession, path: str, table: str) -> DataFrame:
     if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as nanos-long and truncate to microseconds
-        # (TimestampType) - same truncation DuckDB applies, so oracle parity
-        # holds.  The conf is session-dynamic, safe to set here.
+        # legacy fixture encoding: events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects; read it as nanos-long and
+        # truncate to microseconds (TimestampType) - same truncation DuckDB
+        # applies, so oracle parity holds.  The conf is session-dynamic.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet timestamps written with isAdjustedToUTC=false load as
+    # TIMESTAMP_NTZ under Spark 4.x, which unix_millis()/withWatermark()
+    # reject.  Session TZ is pinned UTC above, so casting NTZ -> TimestampType
+    # is value-preserving (the wall-clock instant is reinterpreted as UTC,
+    # exactly how DuckDB renders the same file - oracle parity holds).
+    ntz = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

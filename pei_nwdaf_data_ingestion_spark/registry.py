@@ -17,6 +17,7 @@ Oracle-parity conventions (SURVEY.md section 7.4):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Optional
 
@@ -42,84 +43,71 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Registration order = the order a budget-limited driver visits queries
-# (it records the first ~50 per round).  Cumulative coverage closed in r03
-# (119/119 with signal); the r4 window leads with this round's semantic
-# changes (session-window boundary fix, de-vacuized join_anti/set_except,
-# the four queries added this round), then deliberately refreshes the
-# families whose only signal is the round-1 sample (scalars, relational
-# joins, aggs) so no hash goes three rounds stale.
-_R4_PRIORITY = [
-    # semantics changed this round - MUST re-sample
+# Queries added after round 1, keyed to the round whose CORRECTNESS file
+# could first contain them.  tests/test_survey_sync.py derives its sampling
+# grace period from this (a hand-maintained never-sampled list went stale
+# two rounds running - VERDICT r4 #4).
+ADDED_IN_ROUND: dict[str, int] = {
+    "merge_upsert": 4,
+    "dedup_winnowing": 4,
+    "pipeline_seq_pack": 4,
+    "stream_stream_join_outer": 4,
+}
+
+# Ids whose code or semantics changed THIS round - they must lead the
+# driver's ~50-query sampling window regardless of staleness.  Round 5:
+# the 13 queries broken by the TIMESTAMP_NTZ fixture regeneration, repaired
+# at the catalog choke point (catalog._read) and re-verified locally.
+_CHANGED_THIS_ROUND = [
     "win_session_gap",
-    "join_anti",
-    "set_except",
-    # new in round 4
-    "merge_upsert",
-    "dedup_winnowing",
-    "pipeline_seq_pack",
-    "stream_stream_join_outer",
-    # stale-signal refresh: r1-only relational joins
-    "join_inner_equi",
-    "join_skew_salted",
-    "join_null_keys",
-    "join_multiway",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_theta_range",
-    "join_cross",
+    "win_lag_lead",
+    "win_range_frame",
     "join_asof_lastsignup",
-    "join_interval_overlap",
-    # r1-only scalar-function surface
-    "str_funcs",
-    "str_like",
-    "date_funcs",
-    "math_funcs",
-    "cond_case",
-    "null_funcs",
-    "cast_funcs",
-    "json_extract",
-    "json_roundtrip",
-    "array_funcs",
-    "array_hof",
-    "map_funcs",
-    "str_distance",
-    "bit_funcs",
-    "date_series",
-    # r1-only aggregations
-    "agg_global",
-    "agg_groupby_hash",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_maxby",
-    "agg_percentile",
-    "agg_stats",
-    "agg_pivot",
-    "agg_unpivot",
-    "agg_boolean",
-    # r1-only scans + ordering + set ops (tail; spills to r5 if budget ends)
-    "scan_project",
-    "scan_filter_pred",
-    "explode_unnest",
-    "topk_orderby_limit",
-    "order_nulls",
-    "set_union_all",
-    "set_intersect",
-    "set_union_byname",
+    "ref_ts_coalesce",
+    "ref_upsert_lastwins",
+    "ref_batch_pack",
+    "stream_ingest_pipeline",
+    "stream_dedup",
+    "stream_late_drop",
+    "stream_session_window",
+    "stream_stream_join",
+    "stream_stream_join_outer",
 ]
+
+
+def _last_green_round() -> dict[str, int]:
+    """Per-query round of the most recent SUCCESSFUL driver sample, parsed
+    from the committed CORRECTNESS_r*.json artifacts.  An errored sample
+    does not refresh a query's signal."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(p).split("_r")[1].split(".")[0])
+            records = json.loads(open(p).read())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, rec in records.items():
+            ok = isinstance(rec, dict) and (
+                rec.get("err") is None or rec.get("err") == "no_oracle"
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def load_all() -> None:
     """Import every query module, then pin driver-visit order.
 
-    After the imports run, QUERIES/ORACLES are rebuilt so `_R4_PRIORITY`
-    (this round's semantic changes + the stalest prior signal) comes first
-    and the recently-revalidated families fill the tail."""
+    Registration order = the order a budget-limited driver visits queries
+    (it records the first ~50 per round).  The order is DERIVED, not
+    hand-maintained: this round's changed ids lead, then everything else
+    sorted by staleness (round of last green driver sample, ascending, so
+    never-sampled and oldest-hash ids come first), registration order as
+    the tiebreaker."""
     from .queries import (  # noqa: F401
         refsem,
         windows,
@@ -131,9 +119,14 @@ def load_all() -> None:
         scalars,
     )
 
-    order = [n for n in _R4_PRIORITY if n in QUERIES] + [
-        n for n in QUERIES if n not in _R4_PRIORITY
-    ]
+    last = _last_green_round()
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
+    changed = [n for n in _CHANGED_THIS_ROUND if n in QUERIES]
+    rest = sorted(
+        (n for n in QUERIES if n not in set(changed)),
+        key=lambda n: (last.get(n, 0), reg_pos[n]),
+    )
+    order = changed + rest
     for mapping in (QUERIES, ORACLES):
         snapshot = dict(mapping)
         mapping.clear()

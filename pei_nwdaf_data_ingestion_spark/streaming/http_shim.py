@@ -16,6 +16,22 @@ Request contract (mirrors receiver.py:358-365):
   - 403 "Unknown notifId"  when no subscription matches
   - 204                    on acceptance (body spooled for the stream)
 
+Control plane (optional, enabled by passing `store=`): the reference's
+subscription CRUD (receiver.py:296-351) minus the outbound NEF calls
+(deliberate omission - README "Deliberate reference omissions"):
+  - POST   /nef/subscriptions        -> 201 {"notifId", "nefSubscriptionId"}
+                                        (422 on missing required fields,
+                                        FastAPI's validation status)
+  - GET    /nef/subscriptions        -> 200 {"subscriptions": [...]}
+  - DELETE /nef/subscriptions/{id}   -> 204, or 404 "Subscription not found"
+
+Auth (optional, enabled by passing `auth=`): HmacTokenAuth mirrors the
+reference's AuthMiddleware check sequence (auth_middleware.py:22-59) -
+DEV_MODE bypass, /nef/notify skip, Bearer extraction, signature/expiry
+validation, realm-role intersection - with the RS256+JWKS step replaced by
+a shared-secret HMAC (stdlib-only image; the contract under test is the
+status-code behavior, not the key distribution).
+
 Stdlib-only (http.server) so it runs in this image; a production deployment
 would put any ASGI server here - the contract is the test surface, not the
 server library.
@@ -23,12 +39,95 @@ server library.
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
 import json
 import os
 import threading
+import time
 import uuid
 from collections.abc import Callable, Iterable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# reference auth_middleware.py:12-14
+REQUIRED_ROLES = {"network_engineer", "debug_admin"}
+SKIP_PATHS = {"/nef/notify"}
+
+
+class HmacTokenAuth:
+    """Stdlib dual of the reference's AuthMiddleware (auth_middleware.py:22-59).
+
+    Token format: base64url(json claims) + "." + hex(HMAC-SHA256 over the
+    encoded claims) - structurally a JWT minus the header, with the
+    Keycloak JWKS lookup replaced by a shared secret.  Claims use the same
+    shape the reference reads: realm_access.roles, exp, preferred_username.
+
+    check() returns None when the request may proceed, else (status,
+    detail) exactly matching the reference's responses:
+      401 "Missing authorization token"  - no Bearer header     (:31-32)
+      401 "Token expired"                - exp in the past      (:43-44)
+      401 "Invalid token"                - bad signature/shape  (:45-47)
+      403 "Insufficient permissions"     - no required role     (:49-51)
+    """
+
+    def __init__(
+        self,
+        secret: bytes | str,
+        dev_mode: bool = False,
+        required_roles: Iterable[str] = REQUIRED_ROLES,
+        skip_paths: Iterable[str] = SKIP_PATHS,
+        now: Callable[[], float] = time.time,
+    ) -> None:
+        self.secret = secret.encode() if isinstance(secret, str) else secret
+        self.dev_mode = dev_mode
+        self.required_roles = set(required_roles)
+        self.skip_paths = set(skip_paths)
+        self._now = now
+
+    # -- token issue/verify ---------------------------------------------------
+
+    def _sign(self, encoded_claims: bytes) -> str:
+        return hmac.new(self.secret, encoded_claims, hashlib.sha256).hexdigest()
+
+    def issue(
+        self,
+        roles: Iterable[str],
+        username: str = "tester",
+        exp: float | None = None,
+    ) -> str:
+        """Mint a token (test/ops helper - the reference's IdP does this)."""
+        claims = {
+            "realm_access": {"roles": sorted(roles)},
+            "preferred_username": username,
+            "name": username,
+            "exp": self._now() + 3600 if exp is None else exp,
+        }
+        enc = base64.urlsafe_b64encode(json.dumps(claims).encode())
+        return f"{enc.decode()}.{self._sign(enc)}"
+
+    def check(self, path: str, headers) -> tuple[int, str] | None:
+        if self.dev_mode:  # auth_middleware.py:24-25
+            return None
+        if path in self.skip_paths:  # :27-28
+            return None
+        header = headers.get("Authorization", "")
+        if not header.startswith("Bearer "):  # :31-32
+            return 401, "Missing authorization token"
+        token = header[7:]
+        try:
+            enc, sig = token.rsplit(".", 1)
+            if not hmac.compare_digest(self._sign(enc.encode()), sig):
+                return 401, "Invalid token"
+            claims = json.loads(base64.urlsafe_b64decode(enc.encode()))
+        except (ValueError, json.JSONDecodeError):
+            return 401, "Invalid token"  # :45-47
+        if float(claims.get("exp", 0)) < self._now():
+            return 401, "Token expired"  # :43-44
+        roles = set(claims.get("realm_access", {}).get("roles", []))
+        if not roles & self.required_roles:
+            return 403, "Insufficient permissions"  # :49-51
+        return None
 
 
 class NotifyHTTPShim:
@@ -41,11 +140,19 @@ class NotifyHTTPShim:
         known_notif_ids: Callable[[], Iterable[str]] | Iterable[str],
         host: str = "127.0.0.1",
         port: int = 0,
+        auth: HmacTokenAuth | None = None,
+        store=None,
     ) -> None:
+        """`auth`: optional HmacTokenAuth gate (None = the reference's
+        DEV_MODE posture).  `store`: optional subscription store (anything
+        with add/get/remove/list - pipeline.subscriptions.SubscriptionStore)
+        enabling the /nef/subscriptions control-plane routes."""
         self.spool_dir = spool_dir
         self._known = known_notif_ids
         self._host = host
         self._port = port
+        self._auth = auth
+        self._store = store
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -72,14 +179,70 @@ class NotifyHTTPShim:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _respond_json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _gate(self) -> bool:
+                """Run the auth check; True = request may proceed."""
+                if shim._auth is None:
+                    return True
+                denied = shim._auth.check(self.path, self.headers)
+                if denied is None:
+                    return True
+                self._respond(*denied)
+                return False
+
+            def _read_json(self):
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    return json.loads(self.rfile.read(n))
+                except (ValueError, json.JSONDecodeError):
+                    return None
+
             def do_POST(self):
+                if not self._gate():
+                    return
+                if self.path == "/nef/subscriptions" and shim._store is not None:
+                    payload = self._read_json()
+                    if payload is None:
+                        self._respond(400, "Invalid JSON body")
+                        return
+                    # required-field validation (the reference's pydantic
+                    # model, receiver.py:285-290; FastAPI answers 422)
+                    missing = [
+                        k for k in ("notifId", "nefUrl", "events") if k not in payload
+                    ]
+                    if missing:
+                        self._respond(422, f"Missing fields: {', '.join(missing)}")
+                        return
+                    # outbound NEF subscribe deliberately omitted (README);
+                    # nef_sub_id stays None where the reference stores the
+                    # NEF's subscriptionId (receiver.py:315-322)
+                    shim._store.add(
+                        {
+                            "notif_id": payload["notifId"],
+                            "snssai": payload.get("snssai"),
+                            "dnn": payload.get("dnn"),
+                            "events": payload["events"],
+                            "nef_sub_id": None,
+                            "nef_url": payload["nefUrl"],
+                            "created_at": int(time.time()),
+                        }
+                    )
+                    self._respond_json(
+                        201, {"notifId": payload["notifId"], "nefSubscriptionId": None}
+                    )
+                    return
                 if self.path != "/nef/notify":
                     self._respond(404, "Not Found")
                     return
-                try:
-                    n = int(self.headers.get("Content-Length", "0"))
-                    payload = json.loads(self.rfile.read(n))
-                except (ValueError, json.JSONDecodeError):
+                payload = self._read_json()
+                if payload is None:
                     self._respond(400, "Invalid JSON body")
                     return
                 notif_id = payload.get("notifId")
@@ -91,6 +254,28 @@ class NotifyHTTPShim:
                     return
                 shim._spool(payload)
                 self._respond(204)
+
+            def do_GET(self):
+                if not self._gate():
+                    return
+                if self.path == "/nef/subscriptions" and shim._store is not None:
+                    self._respond_json(200, {"subscriptions": shim._store.list()})
+                    return
+                self._respond(404, "Not Found")
+
+            def do_DELETE(self):
+                if not self._gate():
+                    return
+                prefix = "/nef/subscriptions/"
+                if self.path.startswith(prefix) and shim._store is not None:
+                    notif_id = self.path[len(prefix):]
+                    if shim._store.get(notif_id) is None:  # receiver.py:337-339
+                        self._respond(404, "Subscription not found")
+                        return
+                    shim._store.remove(notif_id)
+                    self._respond(204)
+                    return
+                self._respond(404, "Not Found")
 
         self._server = ThreadingHTTPServer((self._host, self._port), Handler)
         self._thread = threading.Thread(

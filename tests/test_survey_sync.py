@@ -44,39 +44,36 @@ def test_every_declared_id_has_cumulative_driver_signal():
     """Coverage-hole gate (VERDICT r2 next-round #7): every declared query
     must have appeared in at least one driver CORRECTNESS_r*.json.  The
     driver samples the first ~50 registrations per round, so holes are an
-    ordering bug (registry._R4_PRIORITY exists to close them), not a code
+    ordering bug (registry priority order exists to close them), not a code
     bug - but they cost a round each time, so the suite must catch them.
 
-    Queries newly added this round (legitimately never sampled yet) go in
-    NOT_YET_SAMPLED with the round they were added; each entry must be
-    REMOVED once it lands in a CORRECTNESS file."""
+    Grace period (derived, not hand-maintained - VERDICT r4 #4: the hand
+    list went stale two rounds running): ids in registry.ADDED_IN_ROUND get
+    a pass while no CORRECTNESS file of that round or later exists yet;
+    once one does, the id must carry signal like everything else."""
     import json
 
-    # added in round 4 -> first sampleable in CORRECTNESS_r04.json
-    NOT_YET_SAMPLED = {
-        "merge_upsert",
-        "dedup_winnowing",
-        "pipeline_seq_pack",
-        "stream_stream_join_outer",
-    }
-    # phantom-id guard (VERDICT r3 #2): an allowlisted id that is not even
-    # registered is a dangling name, not a sampling gap
-    phantom = NOT_YET_SAMPLED - set(registry.QUERIES)
-    assert not phantom, (
-        f"NOT_YET_SAMPLED ids missing from registry.QUERIES (phantom names - "
-        f"implement or delete): {sorted(phantom)}"
-    )
     root = Path(__file__).resolve().parent.parent
     seen: set[str] = set()
+    latest_round = 0
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         seen |= set(json.loads(f.read_text()))
-    missing = set(registry.QUERIES) - seen - NOT_YET_SAMPLED
-    assert not missing, (
-        f"declared queries with NO driver correctness signal in any round "
-        f"(fix registration order in registry._R4_PRIORITY): {sorted(missing)}"
+        latest_round = max(latest_round, int(f.stem.split("_r")[1]))
+    # phantom-id guard (VERDICT r3 #2): a grace-listed id that is not even
+    # registered is a dangling name, not a sampling gap
+    phantom = set(registry.ADDED_IN_ROUND) - set(registry.QUERIES)
+    assert not phantom, (
+        f"ADDED_IN_ROUND ids missing from registry.QUERIES (phantom names - "
+        f"implement or delete): {sorted(phantom)}"
     )
-    stale = NOT_YET_SAMPLED & seen
-    assert not stale, (
-        f"whitelisted as never-sampled but present in a CORRECTNESS file - "
-        f"remove from NOT_YET_SAMPLED: {sorted(stale)}"
+    grace = {
+        name
+        for name, rnd in registry.ADDED_IN_ROUND.items()
+        if rnd > latest_round
+    }
+    missing = set(registry.QUERIES) - seen - grace
+    assert not missing, (
+        f"declared queries with NO driver correctness signal through round "
+        f"{latest_round} (fix registration order in registry priority, or "
+        f"bump their registry.ADDED_IN_ROUND round): {sorted(missing)}"
     )
