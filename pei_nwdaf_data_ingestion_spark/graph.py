@@ -105,8 +105,15 @@ def connected_components(
         )
         return bad.isEmpty()
 
+    # probe AFTER each round, never before the first: a blocked-similarity
+    # edge set is essentially never already a star forest, so a round-0
+    # probe is one wasted groupBy job over the LARGEST edge set.  Running a
+    # star round on an already-converged set is safe - star rounds are
+    # idempotent on star forests (large-star re-emits every (leaf, center)
+    # pair; small-star re-derives them plus dropped self-loops) - it just
+    # trades the rare no-op round for a probe saved on every real input.
     rounds = 0
-    while not is_star_forest(cur) and rounds < max_iter:
+    while rounds < max_iter:
         rounds += 1
         # no _canonical between the stars: duplicate edges cannot change a
         # min-based star step (they only pad the join input, bounded by
@@ -117,6 +124,8 @@ def connected_components(
         cur = _canonical(_small_star(_symmetric(after_large))).localCheckpoint(
             eager=False
         )
+        if is_star_forest(cur):
+            break
     # converged edge set is a star forest; canonical ordering puts the
     # center (the component min) in `a`.  Centers get self-labels.
     centers = cur.select(

@@ -1404,3 +1404,153 @@ def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# training-mix construction + corpus reporting (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_mix_sample",
+    oracle="""
+    SELECT doc_id, lang, source,
+           floor((16.0 / CASE lang WHEN 'en' THEN 16 WHEN 'de' THEN 12
+                                   WHEN 'es' THEN 8  WHEN 'fr' THEN 4
+                                   ELSE 2 END) * 10000.0 + 0.5) / 10000.0
+             AS mix_weight
+    FROM documents
+    WHERE instr('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+          < CASE lang WHEN 'en' THEN 16 WHEN 'de' THEN 12 WHEN 'es' THEN 8
+                      WHEN 'fr' THEN 4 ELSE 2 END
+    """,
+)
+def pipeline_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified training-mix sampling: per-language keep
+    rates in sixteenths (en 16/16, de 12/16, es 8/16, fr 4/16, zh 2/16),
+    decided by the first hex digit of md5(doc_id) - the same
+    engine-portable key-hash trick as sample_hash_det, so the sampled set
+    is a pure function of the data (reproducible across engines, re-runs,
+    and cluster sizes; a seeded df.sample changes with partitioning).
+    Down-sampled strata carry mix_weight = 1/rate so downstream loss
+    weighting can undo the skew.  Pure map-side projection + filter: the
+    rate lives in an inline CASE (no dim join), zero shuffle at any scale.
+    """
+    d = load(spark, sf, "documents")
+    k = (
+        F.when(F.col("lang") == "en", 16)
+        .when(F.col("lang") == "de", 12)
+        .when(F.col("lang") == "es", 8)
+        .when(F.col("lang") == "fr", 4)
+        .otherwise(2)
+    )
+    digit = F.expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    return d.filter(digit < k).select(
+        "doc_id",
+        "lang",
+        "source",
+        pround(F.lit(16.0) / k, 4).alias("mix_weight"),
+    )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           floor(avg(n_chars) * 100.0 + 0.5) / 100.0 AS avg_chars,
+           count(DISTINCT text) AS n_unique_texts,
+           floor((1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0 AS dup_rate
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """The numbers every dataset card reports - doc/token/char counts and
+    exact-duplicate rate - at (lang, source), per-lang, and corpus grain in
+    ONE scan via GROUPING SETS (partial aggregation map-side; the only
+    rescan-forcing term is count(DISTINCT text), which Spark plans as an
+    expand + two-phase agg, still a single pass over the input).  At 100 TB
+    the same query runs unchanged; only the distinct-count term's expand
+    factor (x3 grouping sets) matters, and a sketch swap (agg_hll_-
+    sketch_merge pattern) drops it to one pass when +-2% error is fine."""
+    d = load(spark, sf, "documents")
+    return (
+        d.groupingSets(
+            [["lang", "source"], ["lang"], []],
+            "lang",
+            "source",
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+            pround(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.count_distinct("text").alias("n_unique_texts"),
+            pround(
+                F.lit(1.0)
+                - F.count_distinct("text") / F.count("*").cast("double"),
+                4,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "text_keyword_topk",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+    SELECT doc_id, rn AS rank, token AS keyword,
+           floor(tfidf * 10000.0 + 0.5) / 10000.0 AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token DESC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_keyword_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by smoothed TF-IDF
+    (same scoring as text_tfidf, which keeps only the argmax) with a
+    deterministic (tfidf DESC, token DESC) tie-break.  The doc-frequency
+    table is vocabulary-sized - broadcast; the only big shuffle is the
+    per-doc window rank, partitioned by doc_id (arbitrarily parallel, no
+    skew: each partition holds whole small documents)."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    df = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    idf = df.crossJoin(F.broadcast(n)).select(
+        "token",
+        (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "doc_id", "token", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.desc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            # row_number() is int; the DuckDB dual renders BIGINT, and the
+            # driver compares dtype-exactly
+            F.col("rank").cast("long").alias("rank"),
+            F.col("token").alias("keyword"),
+            pround("tfidf", 4).alias("score"),
+        )
+    )

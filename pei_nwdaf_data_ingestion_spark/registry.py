@@ -52,6 +52,9 @@ ADDED_IN_ROUND: dict[str, int] = {
     "dedup_winnowing": 4,
     "pipeline_seq_pack": 4,
     "stream_stream_join_outer": 4,
+    "pipeline_mix_sample": 5,
+    "pipeline_dataset_card": 5,
+    "text_keyword_topk": 5,
 }
 
 # Ids whose code or semantics changed THIS round - they must lead the

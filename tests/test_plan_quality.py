@@ -216,13 +216,24 @@ class TestAdvancedPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
-    @pytest.mark.parametrize("name", ["sample_hash_det", "text_repetition"])
+    @pytest.mark.parametrize(
+        "name", ["sample_hash_det", "text_repetition", "pipeline_mix_sample"]
+    )
     def test_mapside_queries_have_zero_shuffles(self, spark, name):
-        """Key-hash sampling and per-doc repetition scoring are pure row
-        transforms: any Exchange would mean an accidental shuffle that
-        turns a linear scan into a cluster-wide repartition at 100 TB."""
+        """Key-hash sampling (plain and stratified) and per-doc repetition
+        scoring are pure row transforms: any Exchange would mean an
+        accidental shuffle that turns a linear scan into a cluster-wide
+        repartition at 100 TB."""
         plan = plan_of(spark, name)
         assert "Exchange" not in plan, name
+
+    def test_keyword_topk_idf_joins_broadcast(self, spark):
+        """text_keyword_topk's tf->idf join is against a vocabulary-sized
+        dim: it must broadcast (same invariant as text_cooccurrence); a
+        sort-merge join would shuffle the full token table."""
+        plan = plan_of(spark, "text_keyword_topk")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
 
     def test_histogram_is_single_shuffle(self, spark):
         """The fixed-width histogram must be one partial+final hash agg:
