@@ -55,6 +55,10 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_cooccurrence",
     "dedup_ppjoin_prefix",
+    # round-5 additions: the NTZ-repaired window family's heaviest shape
+    # and the new corpus-reporting rollup
+    "win_session_gap",
+    "pipeline_dataset_card",
 ]
 
 
