@@ -55,10 +55,11 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_cooccurrence",
     "dedup_ppjoin_prefix",
-    # round-5 additions: the NTZ-repaired window family's heaviest shape
-    # and the new corpus-reporting rollup
+    # round-5 additions: the NTZ-repaired window family's heaviest shape,
+    # the new corpus-reporting rollup, and the banded fact-x-fact range join
     "win_session_gap",
     "pipeline_dataset_card",
+    "join_range_bucketed",
 ]
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions import pround
 from ..graph import connected_components
-from ..registry import query
+from ..registry import QUERIES, query
 from .llm import _spread
 
 
@@ -529,4 +529,74 @@ def text_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
                 4,
             ).alias("lift"),
         )
+    )
+
+
+_CANONICAL_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split(text, ' ')) AS tokens
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.8),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs),
+reach(node, lbl) AS (
+  SELECT src AS node, src AS lbl FROM (SELECT DISTINCT src FROM edges) s
+  UNION
+  SELECT e.src AS node, r.lbl AS lbl
+  FROM edges e JOIN reach r ON e.dst = r.node),
+comp AS (
+  SELECT node AS doc_id, min(lbl) AS component_id
+  FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS comp, d.n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+rep AS (
+  SELECT comp, doc_id AS canonical_id
+  FROM (SELECT comp, doc_id,
+               row_number() OVER (PARTITION BY comp
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM lab)
+  WHERE rn = 1)
+SELECT l.doc_id, r.canonical_id,
+       CAST(l.doc_id = r.canonical_id AS INT) AS kept
+FROM lab l JOIN rep r ON l.comp = r.comp
+"""
+
+
+@query("dedup_canonical_select", oracle=_CANONICAL_ORACLE)
+def dedup_canonical_select(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup KEEP-LIST - the step that actually shrinks the corpus:
+    every doc mapped to its cluster's canonical representative (longest
+    doc wins, doc_id tiebreak; singletons represent themselves) plus a
+    kept flag.  Composes dedup_cluster_components' transitive clusters
+    (without this, near-dup pairs alone can't tell which doc of a
+    3+-cluster to keep) with a per-component window rank.  Shuffle
+    profile: the CC rounds + one labels join + one component-keyed window
+    - all key-partitioned, nothing driver-side; at 100 TB the window key
+    (component) is bounded by cluster size, not corpus size."""
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    labels = QUERIES["dedup_cluster_components"](spark, sf)
+    lab = d.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("component_id", "doc_id").alias("comp"),
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), "doc_id")
+    rep = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("comp", F.col("doc_id").alias("canonical_id"))
+    )
+    return lab.join(rep, "comp").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).cast("int").alias("kept"),
     )

@@ -1529,15 +1529,26 @@ def text_keyword_topk(spark: SparkSession, sf: str) -> DataFrame:
     skew: each partition holds whole small documents)."""
     d = load(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # ONE explode+shuffle builds tf; df is then a window count over tf
+    # (tf has exactly one row per (doc, token), so count-per-token IS the
+    # document frequency) and N is a metadata-only count - the naive
+    # 3-subtree spelling (tf + tok.distinct df + count) re-scanned and
+    # re-exploded documents three times and paid ~7 s of cold plan/codegen
+    # at sf0.01 where this shape pays ~2 s for the same rows
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     n = d.agg(F.count("*").alias("n_docs"))
-    df = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
-    idf = df.crossJoin(F.broadcast(n)).select(
-        "token",
-        (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
-    )
-    scored = tf.join(F.broadcast(idf), "token").select(
-        "doc_id", "token", (F.col("tf") * F.col("idf")).alias("tfidf")
+    dfw = Window.partitionBy("token")
+    scored = (
+        tf.withColumn("df", F.count("*").over(dfw))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.desc("token")
@@ -1553,4 +1564,127 @@ def text_keyword_topk(spark: SparkSession, sf: str) -> DataFrame:
             F.col("token").alias("keyword"),
             pround("tfidf", 4).alias("score"),
         )
+    )
+
+
+@query(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM tok),
+    nll AS (
+      SELECT doc_id,
+             CAST(floor(-ln(freq.n / CAST(tot.total AS DOUBLE)) * 1000000.0
+                        + 0.5) AS BIGINT) AS micro_nll
+      FROM tok JOIN freq USING (token) CROSS JOIN tot)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           floor((sum(micro_nll) / 1000000.0 / count(*)) * 10000.0 + 0.5)
+             / 10000.0 AS avg_nll,
+           floor(exp(sum(micro_nll) / 1000000.0 / count(*)) * 100.0 + 0.5)
+             / 100.0 AS ppl
+    FROM nll
+    GROUP BY doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM perplexity proxy per document - the CCNet-style quality
+    signal (docs far from the corpus distribution score high).  Token
+    negative log-likelihoods are quantized to integral MICRO-NATS before
+    the per-doc sum, so the aggregate is integer arithmetic - order-
+    independent and bit-identical across engines (the merge_upsert
+    integral-cents trick; a double sum would make the hash depend on
+    Spark's vs DuckDB's summation order).  One explode + two hash aggs +
+    a vocabulary-sized broadcast join: at 100 TB the token frequency side
+    stays tiny (vocabulary-bounded) while everything else is map-side."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    tot = tok.agg(F.count("*").alias("total"))
+    micro_nll = F.floor(
+        -F.log(F.col("n") / F.col("total").cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    nll = tok.join(
+        F.broadcast(freq.crossJoin(F.broadcast(tot))), "token"
+    ).select("doc_id", micro_nll.alias("micro_nll"))
+    avg_nll = F.sum("micro_nll") / F.lit(1e6) / F.count("*")
+    return nll.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        pround(avg_nll, 4).alias("avg_nll"),
+        pround(F.exp(avg_nll), 2).alias("ppl"),
+    )
+
+
+@query(
+    "pipeline_source_cap",
+    oracle="""
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 40
+    """,
+)
+def pipeline_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quota capping: keep at most K docs per source, chosen by
+    deterministic hash order (md5 of the key, doc_id tiebreak) so the kept
+    set is a stable pseudo-random sample - re-runs, engines, and cluster
+    sizes all agree, unlike a LIMIT whose survivors depend on scan order.
+    Guards a training mix against one dominant crawl drowning the rest.
+    One window shuffle partitioned by source; at 100 TB a skew-prone
+    source key would use the two-phase variant (per-partition pre-cap at
+    K, then the window over the <= K x partitions survivors)."""
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "pipeline_shuffle_shard",
+    oracle="""
+    SELECT doc_id,
+           CAST(instr('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY instr('0123456789abcdef',
+                                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 2), doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM documents
+    """,
+)
+def pipeline_shuffle_shard(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle + sharding - the step every pretraining
+    pipeline runs before sequence packing: each doc lands in one of 16
+    shards (first md5 hex digit) at a pseudo-random position (rank of the
+    remaining digest).  Pure function of the data: the training order is
+    reproducible bit-for-bit on any engine or cluster size, and resharding
+    is a constant change (vs df.orderBy(rand()) whose order changes every
+    run and cannot be re-created for a training restart).  One shuffle,
+    partitioned by shard - exactly the write layout the packed dataset
+    needs (partitionBy("shard"))."""
+    d = load(spark, sf, "documents")
+    digest = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.expr(
+            "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1))"
+        )
+        - 1
+    ).cast("long")
+    w = Window.partitionBy(shard).orderBy(F.substring(digest, 2, 32), "doc_id")
+    return d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )

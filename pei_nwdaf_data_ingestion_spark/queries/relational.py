@@ -892,3 +892,67 @@ def set_union_byname(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p_brand").alias("brand"),
     )
     return c.unionByName(p, allowMissingColumns=True)
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT p.event_id, count(e.event_id) AS n_errors
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+      ON e.ts >= p.ts - INTERVAL 5 MINUTE
+     AND e.ts <= p.ts + INTERVAL 5 MINUTE
+    GROUP BY p.event_id
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-to-fact range join with NO equi key (errors within +-5 min of
+    each purchase, across ALL users) - the shape Spark would otherwise plan
+    as a broadcast-nested-loop / cartesian, which dies at fact x fact
+    scale.  Re-expressed as the standard band-bucketing composition: both
+    sides bucket by floor(epoch / band); the probe side fans out to its 3
+    adjacent buckets (any pair within one band width shares one of them),
+    the join becomes a plain EQUI join on the bucket + residual band
+    predicate, and each qualifying pair meets exactly once (at the build
+    row's unique bucket - no post-join dedup).  Scales like any hash join:
+    shuffle on the bucket key, 3x fan-out on the probe side only.
+    Catalyst cannot derive this rewrite itself; the plan is pinned
+    equi-join (never nested-loop) in tests/test_plan_quality.py."""
+    # band in MICROseconds: unix_timestamp() truncates to whole seconds,
+    # which admits pairs up to 1s outside the true +-5 min window and
+    # breaks parity with the oracle's INTERVAL arithmetic
+    band = 300 * 1_000_000
+    ev = load(spark, sf, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.unix_micros("ts").alias("e_us"),
+        F.floor(F.unix_micros("ts") / band).alias("bucket"),
+    )
+    probe = purch.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_us") / band) - 1,
+                F.floor(F.col("p_us") / band),
+                F.floor(F.col("p_us") / band) + 1,
+            )
+        ),
+    )
+    joined = probe.join(
+        err,
+        (probe.bucket == err.bucket)
+        & (F.col("e_us") >= F.col("p_us") - band)
+        & (F.col("e_us") <= F.col("p_us") + band),
+        "left",
+    )
+    return joined.groupBy(F.col("p_id").alias("event_id")).agg(
+        # count(e_id) ignores the nulls from unmatched fan-out rows; each
+        # real pair appears once, so no distinct needed -- but the 3x
+        # fan-out makes unmatched purchases contribute 3 null rows, which
+        # count() would not count anyway
+        F.count("e_id").alias("n_errors")
+    )

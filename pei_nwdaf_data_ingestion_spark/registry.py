@@ -55,6 +55,11 @@ ADDED_IN_ROUND: dict[str, int] = {
     "pipeline_mix_sample": 5,
     "pipeline_dataset_card": 5,
     "text_keyword_topk": 5,
+    "text_perplexity_proxy": 5,
+    "join_range_bucketed": 5,
+    "pipeline_source_cap": 5,
+    "pipeline_shuffle_shard": 5,
+    "dedup_canonical_select": 5,
 }
 
 # Ids whose code or semantics changed THIS round - they must lead the

@@ -227,13 +227,27 @@ class TestAdvancedPlans:
         plan = plan_of(spark, name)
         assert "Exchange" not in plan, name
 
-    def test_keyword_topk_idf_joins_broadcast(self, spark):
-        """text_keyword_topk's tf->idf join is against a vocabulary-sized
-        dim: it must broadcast (same invariant as text_cooccurrence); a
-        sort-merge join would shuffle the full token table."""
+    def test_keyword_topk_single_explode_no_smj(self, spark):
+        """text_keyword_topk derives document frequency as a window count
+        over tf (one row per (doc, token)) instead of a second
+        explode+distinct subtree: the corpus must be scanned at most twice
+        (token explode + metadata-only N count), never re-exploded, and no
+        sort-merge join may appear (the only join is the broadcast 1-row
+        N)."""
         plan = plan_of(spark, "text_keyword_topk")
-        assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+        assert plan.count("Scan parquet") <= 4  # tree + detail sections x2
+
+    def test_range_bucketed_join_is_equi_never_nested_loop(self, spark):
+        """join_range_bucketed exists to prove the no-equi-key range join
+        can be an EQUI join via band bucketing: if the bucket conjunct
+        ever stops driving the join, Catalyst falls back to a nested loop
+        over fact x fact - the exact plan the operator is designed to
+        avoid at scale."""
+        plan = plan_of(spark, "join_range_bucketed")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan
 
     def test_histogram_is_single_shuffle(self, spark):
         """The fixed-width histogram must be one partial+final hash agg:
