@@ -1688,3 +1688,51 @@ def pipeline_shuffle_shard(spark: SparkSession, sf: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+@query(
+    "sim_embed_quantize",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings)
+    SELECT vec_id, label,
+           floor((nrm / 127.0) * 1000000.0 + 0.5) / 1000000.0 AS scale,
+           array_to_string(
+             list_transform(e, x -> CAST(floor(x / nrm * 127.0 + 0.5)
+                                         AS BIGINT)),
+             ',') AS q8
+    FROM n
+    """,
+)
+def sim_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column - the memory
+    lever for ANN at 100 TB (4-byte float32 -> 1 byte + one scale per
+    vector = 4x smaller index; IVF/LSH probes then dequantize as
+    q * scale).  Per-vector scale = L2 norm / 127, codes =
+    floor(x / norm * 127 + 0.5) - integer outputs, so the only
+    cross-engine float surface is the norm itself (sequential-fold double
+    dot product, the same spelling sim_cosine_topk's oracle matches).
+    Map-side only: no shuffle, no UDF - transform() keeps the lambda in
+    codegen.  Codes rendered as a comma string so both engines hash the
+    same canonical form."""
+    e = load(spark, sf, "embeddings")
+    nrm = _norm(F.col("embedding"))
+    q8 = F.array_join(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / nrm * 127.0 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+        ",",
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        pround(nrm / 127.0, 6).alias("scale"),
+        q8.alias("q8"),
+    )

@@ -60,6 +60,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "pipeline_source_cap": 5,
     "pipeline_shuffle_shard": 5,
     "dedup_canonical_select": 5,
+    "sim_embed_quantize": 5,
 }
 
 # Ids whose code or semantics changed THIS round - they must lead the
