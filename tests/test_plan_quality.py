@@ -217,15 +217,33 @@ class TestAdvancedPlans:
         assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
     @pytest.mark.parametrize(
-        "name", ["sample_hash_det", "text_repetition", "pipeline_mix_sample"]
+        "name",
+        [
+            "sample_hash_det",
+            "text_repetition",
+            "pipeline_mix_sample",
+            "sim_embed_quantize",
+        ],
     )
     def test_mapside_queries_have_zero_shuffles(self, spark, name):
-        """Key-hash sampling (plain and stratified) and per-doc repetition
-        scoring are pure row transforms: any Exchange would mean an
-        accidental shuffle that turns a linear scan into a cluster-wide
-        repartition at 100 TB."""
+        """Key-hash sampling (plain and stratified), per-doc repetition
+        scoring, and embedding quantization are pure row transforms: any
+        Exchange would mean an accidental shuffle that turns a linear scan
+        into a cluster-wide repartition at 100 TB."""
         plan = plan_of(spark, name)
         assert "Exchange" not in plan, name
+
+    @pytest.mark.parametrize(
+        "name", ["pipeline_source_cap", "pipeline_shuffle_shard"]
+    )
+    def test_single_shuffle_window_queries(self, spark, name):
+        """Quota capping and shuffle-sharding are one window each: exactly
+        one shuffle (tree + detail sections of formatted explain each
+        mention its Exchange once).  A second Exchange would mean the hash
+        ordering expression stopped aligning with the window partition."""
+        plan = plan_of(spark, name)
+        assert plan.count("Exchange") <= 2, name
+        assert "SortMergeJoin" not in plan, name
 
     def test_keyword_topk_single_explode_no_smj(self, spark):
         """text_keyword_topk derives document frequency as a window count
