@@ -469,3 +469,60 @@ def udtf_normalize(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     return ev.mapInPandas(normalize, out_schema)
+
+
+@query("stream_windowed_topk")
+def stream_windowed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Trending-items pattern: per 1-hour tumbling window, the top-3 event
+    types by count.  Ranking inside a streaming agg is not incrementally
+    expressible in append mode (a later row can reorder the top-k), so the
+    streaming stage emits the windowed counts (complete mode) and the
+    rank is a batch window over the drained result - the standard
+    two-stage spelling (same split Kafka Streams/Flink users apply).
+    State = one count per (window, type): bounded by watermark x type
+    cardinality at any scale."""
+    from pyspark.sql import Window as W
+
+    ev = _events_stream(spark, sf)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+        )
+    )
+    name = "stream_windowed_topk_out"
+    _drain(agg, name, mode="complete")
+    w = W.partitionBy("hour_start").orderBy(F.desc("n"), "event_type")
+    return (
+        spark.table(name)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query("stream_static_enrich")
+def stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the (batch)
+    customer dimension - Spark re-plans the static side per micro-batch,
+    and a broadcast-sized dim makes the join shuffle-free on the stream
+    side (the exact posture of the reference's subscription-context
+    enrichment, receiver.py:363-374, which pipeline/nef.py implements for
+    the NEF schema).  Aggregated per (market segment, event type) so the
+    drained output is small and deterministic."""
+    ev = _events_stream(spark, sf)
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .withWatermark("ts", "1 hour")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), pround(F.sum("value"), 2).alias("value_sum"))
+    )
+    name = "stream_static_enrich_out"
+    _drain(agg, name, mode="complete")
+    return spark.table(name)

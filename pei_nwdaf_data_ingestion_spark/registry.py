@@ -61,6 +61,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "pipeline_shuffle_shard": 5,
     "dedup_canonical_select": 5,
     "sim_embed_quantize": 5,
+    "stream_windowed_topk": 5,
+    "stream_static_enrich": 5,
 }
 
 # Ids whose code or semantics changed THIS round - they must lead the

@@ -335,3 +335,64 @@ def test_session_window_skewed_key_matches_batch(spark, tmp_path):
         registry.QUERIES["win_session_gap"](spark, sf_dir).explain("formatted")
     plan = buf.getvalue()
     assert "PartitionBy: []" not in plan
+
+
+def test_stream_windowed_topk_matches_batch_rank(spark):
+    """The streamed windowed counts + batch rank must equal ranking the
+    batch tumbling aggregate directly; every window emits at most 3 rows
+    and ranks are 1..k without gaps."""
+    from pyspark.sql import Window as W
+
+    from pei_nwdaf_data_ingestion_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    got = sorted(
+        (r["hour_start"], r["rank"], r["event_type"], r["n"])
+        for r in registry.QUERIES["stream_windowed_topk"](spark, SF_DIR).collect()
+    )
+    batch = registry.QUERIES["win_tumbling_1h"](spark, SF_DIR)
+    w = W.partitionBy("hour_start").orderBy(F.desc("n"), "event_type")
+    want = sorted(
+        (r["hour_start"], r["rank"], r["event_type"], r["n"])
+        for r in batch.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("hour_start", "rank", "event_type", "n")
+        .collect()
+    )
+    assert got == want
+    per_window: dict = {}
+    for hour, rank, _, _ in got:
+        per_window.setdefault(hour, []).append(rank)
+    for hour, ranks in per_window.items():
+        assert ranks == list(range(1, len(ranks) + 1)), hour
+        assert len(ranks) <= 3
+
+
+def test_stream_static_enrich_matches_batch_join(spark):
+    """Stream-static broadcast enrichment drained to completion must equal
+    the same join+agg run in batch."""
+    from pei_nwdaf_data_ingestion_spark import registry
+    from pei_nwdaf_data_ingestion_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    got = sorted(
+        (r["c_mktsegment"], r["event_type"], r["n"], r["value_sum"])
+        for r in registry.QUERIES["stream_static_enrich"](spark, SF_DIR).collect()
+    )
+    ev = load(spark, SF_DIR, "events")
+    cust = load(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    from pei_nwdaf_data_ingestion_spark.functions import pround
+
+    want = sorted(
+        (r["c_mktsegment"], r["event_type"], r["n"], r["value_sum"])
+        for r in ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), pround(F.sum("value"), 2).alias("value_sum"))
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
