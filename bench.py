@@ -98,12 +98,21 @@ def main() -> None:
     # still splits skewed/oversized partitions when the data says so.
     cores = os.cpu_count() or 4
     spark = get_spark(app_name="bench", shuffle_partitions=max(4, cores // 4))
-    # warm the JVM/reader path + materialize table caches once
+    # warm the JVM/reader path + materialize table caches once; warmup
+    # failures must not kill the sweep (same lesson as the per-query
+    # guard: BENCH_r04 shipped zero numbers because one error aborted
+    # everything) - a table that fails to warm just runs cold
     from pei_nwdaf_data_ingestion_spark import catalog
 
     for t in catalog.TABLES:
-        catalog.load(spark, sf_dir, t).count()
-    registry.QUERIES["agg_global"](spark, sf_dir).count()
+        try:
+            catalog.load(spark, sf_dir, t).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: warmup failed for {t}: {exc}", file=sys.stderr)
+    try:
+        registry.QUERIES["agg_global"](spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: warmup query failed: {exc}", file=sys.stderr)
 
     def sweep() -> dict:
         out: dict = {}
