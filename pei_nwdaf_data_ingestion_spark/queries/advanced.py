@@ -600,3 +600,173 @@ def dedup_canonical_select(spark: SparkSession, sf: str) -> DataFrame:
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).cast("int").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event analytics: funnel, retention, gaps-and-islands (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH per_ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+      FROM events GROUP BY 1, 2),
+    with_c AS (
+      SELECT p.user_id, p.d, p.s_ts,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > p.s_ts
+                      THEN e.ts END) AS c_ts
+      FROM per_ud p JOIN events e
+        ON e.user_id = p.user_id AND CAST(e.ts AS DATE) = p.d
+      GROUP BY 1, 2, 3),
+    with_p AS (
+      SELECT c.user_id, c.d, c.s_ts, c.c_ts,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.c_ts
+                      THEN e.ts END) AS p_ts
+      FROM with_c c JOIN events e
+        ON e.user_id = c.user_id AND CAST(e.ts AS DATE) = c.d
+      GROUP BY 1, 2, 3, 4)
+    SELECT CASE WHEN s_ts IS NULL THEN 0
+                WHEN c_ts IS NULL THEN 1
+                WHEN p_ts IS NULL THEN 2
+                ELSE 3 END AS stage,
+           count(*) AS n_user_days,
+           floor(avg(CASE WHEN p_ts IS NOT NULL
+                          THEN CAST(epoch_us(p_ts) - epoch_us(s_ts) AS DOUBLE)
+                               / 60000000.0 END) * 100.0 + 0.5) / 100.0
+             AS avg_minutes_to_convert
+    FROM with_p
+    GROUP BY 1
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel over daily (user, day) instances: signup -> later
+    click that day -> later purchase that day.  A later-step event only
+    counts if it happens strictly after the previous step's first
+    occurrence - the property that separates funnel analysis from plain
+    per-type counts - and the day grain makes the funnel repeatable (all
+    four stages populated on the fixture: 2395/1278/286/47 at sf0.01).
+    Three conditional-min hash aggregations keyed by (user, day), each
+    joining the per-instance frame back to events on the same key - every
+    stage is key-partitioned, state per instance is one timestamp per
+    step, so the shape survives any event volume."""
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "ts", F.col("ts").cast("date").alias("d")
+    )
+    s = ev.groupBy("user_id", "d").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts")
+    )
+    c = (
+        ev.join(s, ["user_id", "d"])
+        .groupBy("user_id", "d", "s_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).alias("c_ts")
+        )
+    )
+    p = (
+        ev.join(c, ["user_id", "d"])
+        .groupBy("user_id", "d", "s_ts", "c_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).alias("p_ts")
+        )
+    )
+    stage = (
+        F.when(F.col("s_ts").isNull(), 0)
+        .when(F.col("c_ts").isNull(), 1)
+        .when(F.col("p_ts").isNull(), 2)
+        .otherwise(3)
+    )
+    minutes = F.when(
+        F.col("p_ts").isNotNull(),
+        (F.unix_micros("p_ts") - F.unix_micros("s_ts")).cast("double")
+        / 60_000_000.0,
+    )
+    return p.groupBy(stage.alias("stage")).agg(
+        F.count("*").alias("n_user_days"),
+        pround(F.avg(minutes), 2).alias("avg_minutes_to_convert"),
+    )
+
+
+@query(
+    "agg_retention_cohort",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(f.d0 AS VARCHAR) AS cohort_day,
+           CAST(a.d - f.d0 AS BIGINT) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN first_day f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def agg_retention_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each later day they return - the (cohort, offset, n)
+    matrix every growth dashboard draws.  Day grain (not week) because
+    engines disagree on week-start conventions; dates render as strings
+    for hash stability.  Two hash aggs + one key join; the distinct and
+    both groupBys shuffle on user_id/cohort keys only."""
+    ev = load(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    activity = ev.distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            F.col("d0").cast("string").alias("cohort_day"),
+            F.datediff("d", "d0").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "win_gap_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             event_id - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id) AS grp
+      FROM events)
+    SELECT user_id, min(event_id) AS island_start,
+           max(event_id) AS island_end,
+           count(*) AS island_len
+    FROM seq
+    GROUP BY user_id, grp
+    """,
+)
+def win_gap_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive event_ids per user via
+    the classic id-minus-rank trick (consecutive ids share `id - rn`).
+    One window + one hash agg, both partitioned by user - the canonical
+    SQL-pattern stress test for window/agg partitioning reuse (the agg
+    runs on the window's existing partitioning, no second shuffle of the
+    full set)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events").select("user_id", "event_id")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    seq = ev.withColumn(
+        "grp", F.col("event_id") - F.row_number().over(w)
+    )
+    return seq.groupBy("user_id", "grp").agg(
+        F.min("event_id").alias("island_start"),
+        F.max("event_id").alias("island_end"),
+        F.count("*").alias("island_len"),
+    ).drop("grp")

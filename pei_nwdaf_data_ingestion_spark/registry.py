@@ -63,6 +63,9 @@ ADDED_IN_ROUND: dict[str, int] = {
     "sim_embed_quantize": 5,
     "stream_windowed_topk": 5,
     "stream_static_enrich": 5,
+    "events_funnel_conversion": 5,
+    "agg_retention_cohort": 5,
+    "win_gap_islands": 5,
 }
 
 # Ids whose code or semantics changed THIS round - they must lead the
