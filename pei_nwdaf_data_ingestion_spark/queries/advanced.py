@@ -770,3 +770,71 @@ def win_gap_islands(spark: SparkSession, sf: str) -> DataFrame:
         F.max("event_id").alias("island_end"),
         F.count("*").alias("island_len"),
     ).drop("grp")
+
+
+@query(
+    "agg_regression_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0 AS x,
+             value AS y
+      FROM events),
+    mn AS (SELECT min(x) AS x0 FROM pts),
+    sums AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(x - x0) AS sx, sum(y) AS sy,
+             sum((x - x0) * y) AS sxy,
+             sum((x - x0) * (x - x0)) AS sxx
+      FROM pts CROSS JOIN mn
+      GROUP BY event_type)
+    SELECT event_type, n,
+           floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000.0 + 0.5)
+             / 10000.0 AS slope_per_hour,
+           floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+                 * 10000.0 + 0.5) / 10000.0 AS intercept
+    FROM sums
+    """,
+)
+def agg_regression_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS trend (slope per hour + intercept of event value over
+    time) via the closed-form sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    - the partition-mergeable spelling (each statistic is an algebraic
+    aggregate, so map-side partial agg applies and a 100 TB trend is one
+    hash agg, no second pass).  x is re-based to hours since the corpus
+    minimum so the normal-equation differences stay well-conditioned
+    (epoch-scale x would cancel 17 significant digits and break
+    cross-engine parity); the same explicit algebra runs on both engines
+    rather than regr_slope(), whose internal order of operations is
+    engine-defined."""
+    ev = load(spark, sf, "events")
+    pts = ev.select(
+        "event_type",
+        (F.unix_micros("ts").cast("double") / 3_600_000_000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    mn = pts.agg(F.min("x").alias("x0"))
+    sums = (
+        pts.crossJoin(F.broadcast(mn))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x") - F.col("x0")).alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum((F.col("x") - F.col("x0")) * F.col("y")).alias("sxy"),
+            F.sum((F.col("x") - F.col("x0")) * (F.col("x") - F.col("x0"))).alias(
+                "sxx"
+            ),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return sums.select(
+        "event_type",
+        "n",
+        pround(slope, 4).alias("slope_per_hour"),
+        pround(intercept, 4).alias("intercept"),
+    )

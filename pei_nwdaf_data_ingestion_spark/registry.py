@@ -66,6 +66,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "events_funnel_conversion": 5,
     "agg_retention_cohort": 5,
     "win_gap_islands": 5,
+    "agg_regression_trend": 5,
 }
 
 # Ids whose code or semantics changed THIS round - they must lead the

@@ -256,6 +256,46 @@ class TestAdvancedPlans:
         assert "SortMergeJoin" not in plan
         assert plan.count("Scan parquet") <= 4  # tree + detail sections x2
 
+    def test_runtime_bloom_filter_injects_on_selective_join(self, spark):
+        """At 100 TB the cheapest shuffle is the one that never happens:
+        Spark's runtime bloom-filter injection turns a selective dim
+        filter into a semi-join reduction on the fact scan (rows that
+        cannot match are dropped BEFORE the shuffle).  Pin that the engine
+        setup actually produces the BloomFilter/might_contain plan when
+        the size thresholds are met - production thresholds are
+        size-based, so the test lowers them to fixture scale."""
+        from pei_nwdaf_data_ingestion_spark.catalog import load as cload
+
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            li = cload(spark, SF_DIR, "lineitem")
+            o = cload(spark, SF_DIR, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            plan = buf.getvalue().lower()
+            assert "might_contain" in plan, "no runtime bloom filter injected"
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
     def test_range_bucketed_join_is_equi_never_nested_loop(self, spark):
         """join_range_bucketed exists to prove the no-equi-key range join
         can be an EQUI join via band bucketing: if the bucket conjunct
