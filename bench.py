@@ -60,6 +60,7 @@ HEADLINE = [
     "win_session_gap",
     "pipeline_dataset_card",
     "join_range_bucketed",
+    "events_funnel_conversion",
 ]
 
 
