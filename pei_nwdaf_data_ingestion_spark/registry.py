@@ -69,10 +69,14 @@ ADDED_IN_ROUND: dict[str, int] = {
     "agg_regression_trend": 5,
 }
 
-# Ids whose code or semantics changed THIS round - they must lead the
-# driver's ~50-query sampling window regardless of staleness.  Round 5:
-# the 13 queries broken by the TIMESTAMP_NTZ fixture regeneration, repaired
-# at the catalog choke point (catalog._read) and re-verified locally.
+# Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
+# the driver's ~50-query sampling window regardless of staleness, but ONLY
+# until a CORRECTNESS file of that round exists (after that the derived
+# staleness ordering takes over; a permanent pin would waste window slots
+# every later round).  Round 5: the 13 queries broken by the TIMESTAMP_NTZ
+# fixture regeneration, repaired at the catalog choke point (catalog._read)
+# and re-verified locally.
+_CHANGED_ROUND = 5
 _CHANGED_THIS_ROUND = [
     "win_session_gap",
     "win_lag_lead",
@@ -136,7 +140,8 @@ def load_all() -> None:
 
     last = _last_green_round()
     reg_pos = {n: i for i, n in enumerate(QUERIES)}
-    changed = [n for n in _CHANGED_THIS_ROUND if n in QUERIES]
+    pin_active = max(last.values(), default=0) < _CHANGED_ROUND
+    changed = [n for n in _CHANGED_THIS_ROUND if n in QUERIES] if pin_active else []
     rest = sorted(
         (n for n in QUERIES if n not in set(changed)),
         key=lambda n: (last.get(n, 0), reg_pos[n]),
