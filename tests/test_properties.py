@@ -89,3 +89,61 @@ class TestBitrateParseProperty:
             assert got[i] == _ref_parse(s), repr(s)
 
 
+
+
+class TestBandBucketingProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=100_000),  # probe epoch us
+                st.integers(min_value=0, max_value=100_000),  # build epoch us
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        st.integers(min_value=1, max_value=7_000),  # band width, us
+    )
+    def test_bucketed_range_join_equals_naive(self, spark, pairs, band):
+        """join_range_bucketed's core rewrite: bucketing both sides by
+        floor(t/band) and fanning the probe to 3 adjacent buckets finds
+        EXACTLY the pairs |p - b| <= band that a naive all-pairs filter
+        finds - for arbitrary timestamps and band widths (each qualifying
+        pair must meet in exactly one bucket: the build row's)."""
+        probes = sorted({p for p, _ in pairs})
+        builds = sorted({b for _, b in pairs})
+        pdf = spark.createDataFrame([(i, t) for i, t in enumerate(probes)], "pid long, pt long")
+        bdf = spark.createDataFrame([(i, t) for i, t in enumerate(builds)], "bid long, bt long")
+
+        naive = {
+            (pi, bi)
+            for pi, pt in enumerate(probes)
+            for bi, bt in enumerate(builds)
+            if abs(pt - bt) <= band
+        }
+
+        fan = pdf.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.col("pt") / band) - 1,
+                    F.floor(F.col("pt") / band),
+                    F.floor(F.col("pt") / band) + 1,
+                )
+            ),
+        )
+        built = bdf.withColumn("bucket", F.floor(F.col("bt") / band))
+        got_rows = (
+            fan.join(
+                built,
+                (fan.bucket == built.bucket)
+                & (F.col("bt") >= F.col("pt") - band)
+                & (F.col("bt") <= F.col("pt") + band),
+            )
+            .select("pid", "bid")
+            .collect()
+        )
+        got = [(r["pid"], r["bid"]) for r in got_rows]
+        # exactness AND no duplicates (each pair meets in one bucket only)
+        assert len(got) == len(set(got))
+        assert set(got) == naive
