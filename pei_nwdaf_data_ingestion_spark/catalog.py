@@ -62,14 +62,27 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         key = (spark.sparkContext.applicationId, path)
         if key not in _CACHE:
             df = _read(spark, path, table)
-            # size-proportional parallelism: ~1 MiB of file per partition,
-            # capped at core count - small dims stay single-partition (no
-            # per-task overhead), big facts fan out across cores
-            n = min(
-                spark.sparkContext.defaultParallelism,
-                max(1, os.path.getsize(path) >> 20),
-            )
-            _CACHE[key] = (df.repartition(n) if n > 1 else df.coalesce(1)).cache()
+            size = os.path.getsize(path)
+            if size < (256 << 10):
+                # tiny dims stay single-partition: they broadcast anyway,
+                # and per-task overhead would dominate
+                df = df.coalesce(1)
+            else:
+                # non-tiny tables fan out to AT LEAST the shuffle width:
+                # the previous ~1 MiB/partition rule left documents (0.59
+                # MiB at sf0.1) on ONE cached partition, starving every
+                # self-join pipeline above it (dedup_ppjoin_prefix measured
+                # 2x slower; BENCH_r05 / VERDICT r5 item 1).  Matching the
+                # shuffle width keeps pre- and post-exchange task counts
+                # aligned (probe matrix tools/probe_ppjoin.py: 8-partition
+                # cache beat both coalesce(1) and 32-partition at 2.2 s vs
+                # 4.1-4.3 s under the bench's shuffle=8).
+                shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+                n = min(
+                    spark.sparkContext.defaultParallelism, max(shuf, size >> 20)
+                )
+                df = df.repartition(n)
+            _CACHE[key] = df.cache()
         return _CACHE[key]
     return _read(spark, path, table)
 

@@ -55,3 +55,49 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))
     )
     return salted.join(replicated, [*on, "_salt"], how).drop("_salt")
+
+
+def band_join(
+    probe,
+    build,
+    probe_key: Column | str,
+    build_key: Column | str,
+    band: int,
+    how: str = "inner",
+):
+    """No-equi-key range join |probe_key - build_key| <= band as an EQUI
+    join - the second rewrite Catalyst cannot derive (salted_join is the
+    first).  Spark plans a band predicate alone as broadcast-nested-loop /
+    cartesian, which dies at fact x fact scale; bucketing both sides by
+    floor(key / band) and fanning the probe to its 3 adjacent buckets
+    makes it a plain hash join on the bucket key plus a residual band
+    filter.  Each qualifying pair meets EXACTLY once (at the build row's
+    unique bucket), so no post-join dedup is needed - property-tested
+    against the naive all-pairs filter in tests/test_properties.py.
+
+    Scale posture: shuffle on the bucket key like any equi join; the 3x
+    fan-out is probe-side only.  Keys must be integral (e.g. epoch micros
+    via unix_micros - whole-second truncation would admit out-of-band
+    pairs); the two inputs must not share column names.  `how` supports
+    'inner' and 'left' (left rows with no in-band partner survive with
+    nulls, fan-out duplicates of unmatched rows carry only null build
+    columns, so count(build_col)-style aggs are unaffected; callers
+    needing bare left rows should dedup on the probe key).
+    """
+    if isinstance(probe_key, str):
+        probe_key = F.col(probe_key)
+    if isinstance(build_key, str):
+        build_key = F.col(build_key)
+    base = F.floor(probe_key / band)
+    fan = probe.withColumn(
+        "_bucket", F.explode(F.array(base - 1, base, base + 1))
+    )
+    built = build.withColumn("_bucket", F.floor(build_key / band))
+    joined = fan.join(
+        built,
+        (fan["_bucket"] == built["_bucket"])
+        & (build_key >= probe_key - band)
+        & (build_key <= probe_key + band),
+        how,
+    )
+    return joined.drop(fan["_bucket"]).drop(built["_bucket"])

@@ -790,9 +790,10 @@ def win_gap_islands(spark: SparkSession, sf: str) -> DataFrame:
       FROM pts CROSS JOIN mn
       GROUP BY event_type)
     SELECT event_type, n,
-           floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000.0 + 0.5)
-             / 10000.0 AS slope_per_hour,
-           floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+           floor(((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)) * 10000.0
+                 + 0.5) / 10000.0 AS slope_per_hour,
+           floor(((sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0))
+                   * sx) / n)
                  * 10000.0 + 0.5) / 10000.0 AS intercept
     FROM sums
     """,
@@ -828,8 +829,11 @@ def agg_regression_trend(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # denominator NULLed via nullif IDENTICALLY on both engines: a group
+    # whose timestamps are all equal (e.g. single-row) has n*sxx == sx*sx,
+    # and Spark's NaN/Infinity rendering differs from DuckDB's (ADVICE r5)
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
     return sums.select(

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions import pround
+from ..functions import band_join, pround
 from ..registry import query
 
 
@@ -916,7 +916,9 @@ def join_range_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     predicate, and each qualifying pair meets exactly once (at the build
     row's unique bucket - no post-join dedup).  Scales like any hash join:
     shuffle on the bucket key, 3x fan-out on the probe side only.
-    Catalyst cannot derive this rewrite itself; the plan is pinned
+    Catalyst cannot derive this rewrite itself, so it lives as the
+    library surface functions.band_join (property-tested vs the naive
+    all-pairs filter in tests/test_properties.py); the plan is pinned
     equi-join (never nested-loop) in tests/test_plan_quality.py."""
     # band in MICROseconds: unix_timestamp() truncates to whole seconds,
     # which admits pairs up to 1s outside the true +-5 min window and
@@ -930,25 +932,8 @@ def join_range_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     err = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("e_id"),
         F.unix_micros("ts").alias("e_us"),
-        F.floor(F.unix_micros("ts") / band).alias("bucket"),
     )
-    probe = purch.withColumn(
-        "bucket",
-        F.explode(
-            F.array(
-                F.floor(F.col("p_us") / band) - 1,
-                F.floor(F.col("p_us") / band),
-                F.floor(F.col("p_us") / band) + 1,
-            )
-        ),
-    )
-    joined = probe.join(
-        err,
-        (probe.bucket == err.bucket)
-        & (F.col("e_us") >= F.col("p_us") - band)
-        & (F.col("e_us") <= F.col("p_us") + band),
-        "left",
-    )
+    joined = band_join(purch, err, "p_us", "e_us", band, how="left")
     return joined.groupBy(F.col("p_id").alias("event_id")).agg(
         # count(e_id) ignores the nulls from unmatched fan-out rows; each
         # real pair appears once, so no distinct needed -- but the 3x

@@ -109,6 +109,10 @@ def _last_green_round() -> dict[str, int]:
             records = json.loads(open(p).read())
         except (ValueError, OSError, json.JSONDecodeError):
             continue
+        if not isinstance(records, dict):
+            # malformed artifact (e.g. a top-level list) degrades to "no
+            # signal" instead of crashing load_all() (ADVICE r5)
+            continue
         for name, rec in records.items():
             ok = isinstance(rec, dict) and (
                 rec.get("err") is None or rec.get("err") == "no_oracle"

@@ -122,7 +122,10 @@ class HmacTokenAuth:
             claims = json.loads(base64.urlsafe_b64decode(enc.encode()))
         except (ValueError, json.JSONDecodeError):
             return 401, "Invalid token"  # :45-47
-        if float(claims.get("exp", 0)) < self._now():
+        # expiry only checked when the claim is present: PyJWT's decode (the
+        # reference's verifier, auth_middleware.py:38-44) treats a missing
+        # exp as "no expiry" and accepts the token (ADVICE r5)
+        if "exp" in claims and float(claims["exp"]) < self._now():
             return 401, "Token expired"  # :43-44
         roles = set(claims.get("realm_access", {}).get("roles", []))
         if not roles & self.required_roles:

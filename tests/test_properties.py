@@ -105,11 +105,14 @@ class TestBandBucketingProperty:
         st.integers(min_value=1, max_value=7_000),  # band width, us
     )
     def test_bucketed_range_join_equals_naive(self, spark, pairs, band):
-        """join_range_bucketed's core rewrite: bucketing both sides by
-        floor(t/band) and fanning the probe to 3 adjacent buckets finds
-        EXACTLY the pairs |p - b| <= band that a naive all-pairs filter
-        finds - for arbitrary timestamps and band widths (each qualifying
-        pair must meet in exactly one bucket: the build row's)."""
+        """functions.band_join (the rewrite join_range_bucketed is built
+        on): bucketing both sides by floor(t/band) and fanning the probe to
+        3 adjacent buckets finds EXACTLY the pairs |p - b| <= band that a
+        naive all-pairs filter finds - for arbitrary timestamps and band
+        widths (each qualifying pair must meet in exactly one bucket: the
+        build row's)."""
+        from pei_nwdaf_data_ingestion_spark.functions import band_join
+
         probes = sorted({p for p, _ in pairs})
         builds = sorted({b for _, b in pairs})
         pdf = spark.createDataFrame([(i, t) for i, t in enumerate(probes)], "pid long, pt long")
@@ -122,26 +125,8 @@ class TestBandBucketingProperty:
             if abs(pt - bt) <= band
         }
 
-        fan = pdf.withColumn(
-            "bucket",
-            F.explode(
-                F.array(
-                    F.floor(F.col("pt") / band) - 1,
-                    F.floor(F.col("pt") / band),
-                    F.floor(F.col("pt") / band) + 1,
-                )
-            ),
-        )
-        built = bdf.withColumn("bucket", F.floor(F.col("bt") / band))
         got_rows = (
-            fan.join(
-                built,
-                (fan.bucket == built.bucket)
-                & (F.col("bt") >= F.col("pt") - band)
-                & (F.col("bt") <= F.col("pt") + band),
-            )
-            .select("pid", "bid")
-            .collect()
+            band_join(pdf, bdf, "pt", "bt", band).select("pid", "bid").collect()
         )
         got = [(r["pid"], r["bid"]) for r in got_rows]
         # exactness AND no duplicates (each pair meets in one bucket only)
