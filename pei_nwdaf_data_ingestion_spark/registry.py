@@ -67,6 +67,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "agg_retention_cohort": 5,
     "win_gap_islands": 5,
     "agg_regression_trend": 5,
+    "sim_ivf_quantized_topk": 6,
+    "stream_minhash_dedup": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -252,6 +252,28 @@ class TestSimilaritySearch:
         again = registry.QUERIES["sim_ivf_topk"](spark, sf).toPandas()
         assert ivf.equals(again)
 
+    def test_ivf_quantized_recall_vs_brute_force(self, spark):
+        """The int8-index IVF probe (VERDICT r5 item 4) must (a) keep the
+        same recall floor vs the float brute force as the float IVF, and
+        (b) agree with the float IVF on nearly every returned id - int8
+        quantization moves cosine by <1e-2 on these vectors, far below the
+        fixture's inter-neighbor gaps, so the cell scan ranks the same
+        vectors in almost every case."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        q = registry.QUERIES["sim_ivf_quantized_topk"](spark, sf).toPandas()
+        bf = registry.QUERIES["sim_cosine_topk"](spark, sf).toPandas()
+        assert len(q) == 10
+        assert len(set(q.vec_id) & set(bf.vec_id)) / len(bf) >= 0.5
+        ivf = registry.QUERIES["sim_ivf_topk"](spark, sf).toPandas()
+        # same cells scanned -> near-identical ranking vs the float probe
+        assert len(set(q.vec_id) & set(ivf.vec_id)) >= 8
+        # deterministic across invocations
+        again = registry.QUERIES["sim_ivf_quantized_topk"](spark, sf).toPandas()
+        assert q.equals(again)
+
 
 class TestMultimodal:
     def test_decode_stub_deterministic(self):

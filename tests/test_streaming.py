@@ -396,3 +396,40 @@ def test_stream_static_enrich_matches_batch_join(spark):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_minhash_dedup_matches_batch_dual(spark):
+    """Ingest-time MinHash dedup must award each band bucket to the same
+    document the batch rule would (first arrival = min doc_id under the
+    single-file deterministic source): identical (doc_id, n_band_wins)
+    multiset, and every document present exactly once."""
+    from pei_nwdaf_data_ingestion_spark import registry
+    from pei_nwdaf_data_ingestion_spark.catalog import load
+    from pei_nwdaf_data_ingestion_spark.queries.llm import minhash_band_cols
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    out = registry.QUERIES["stream_minhash_dedup"](spark, sf).toPandas()
+    docs = load(spark, sf, "documents")
+    assert len(out) == docs.count()
+    assert len(set(out.doc_id)) == len(out)
+
+    # batch dual: min doc_id wins each (band_id, sig) bucket
+    banded = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    ).select("doc_id", *minhash_band_cols())
+    wins: dict[int, int] = {}
+    for b in range(4):
+        for r in (
+            banded.groupBy(F.col(f"band{b}").alias("sig"))
+            .agg(F.min("doc_id").alias("winner"))
+            .collect()
+        ):
+            wins[r["winner"]] = wins.get(r["winner"], 0) + 1
+    want = sorted((d, wins.get(d, 0)) for d in out.doc_id)
+    got = sorted(zip(out.doc_id, out.n_band_wins))
+    assert got == want
+    # near-dup flag consistent with the win count
+    assert all(
+        (n < 4) == flag for _, n, flag in out[["doc_id", "n_band_wins", "is_near_dup"]].itertuples(index=False)
+    )
