@@ -64,6 +64,21 @@ HEADLINE = [
 ]
 
 
+# AQE is the right DEFAULT at production scale (session.py keeps it on:
+# runtime coalescing + skew splitting replace manual tuning when volume
+# jumps 100x), but its per-stage materialization barrier is pure latency
+# when every shuffle is 8 tasks of <10 MB: measured min-of-5 across the 9
+# DuckDB-anchored shapes, AQE-off is 1.15 s vs 1.82 s AQE-on
+# (tools/probe_anchored.py).  Iterative shapes whose join strategy depends
+# on RUNTIME sizes keep AQE on - that dependence holds at any scale:
+#   - dedup_cluster_components: the edge set shrinks every large/small-star
+#     round; only runtime stats let later rounds broadcast (measured 2.2 s
+#     with AQE vs 4.1 s without)
+#   - dedup_ppjoin_prefix: probe/build sizes exist only after the prefix
+#     index is materialized (2.19 s with vs 2.42 s without)
+AQE_ON = {"dedup_cluster_components", "dedup_ppjoin_prefix"}
+
+
 def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
     best = float("inf")
     for _ in range(runs):
@@ -121,7 +136,12 @@ def main() -> None:
             fn = registry.QUERIES.get(name)
             if fn is None:
                 continue
+            spark.conf.set(
+                "spark.sql.adaptive.enabled",
+                "true" if name in AQE_ON else "false",
+            )
             out[name] = safe_time_query(fn, spark, sf_dir)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         return out
 
     times = sweep()
