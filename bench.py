@@ -61,6 +61,11 @@ HEADLINE = [
     "pipeline_dataset_card",
     "join_range_bucketed",
     "events_funnel_conversion",
+    # round-6 additions: the no-join as-of spelling, the PQ ADC scan (the
+    # 8-bytes-per-vector search path), and the z-order layout manifest
+    "events_attribution_lasttouch",
+    "sim_pq_topk",
+    "pipeline_zorder_key",
 ]
 
 

@@ -842,3 +842,74 @@ def agg_regression_trend(spark: SparkSession, sf: str) -> DataFrame:
         pround(slope, 4).alias("slope_per_hour"),
         pround(intercept, 4).alias("intercept"),
     )
+
+
+@query(
+    "events_attribution_lasttouch",
+    oracle="""
+    WITH ce AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_ts
+      FROM events
+      WHERE event_type IN ('click', 'purchase'))
+    SELECT event_id AS purchase_id,
+           user_id,
+           CASE WHEN last_click_ts >= ts - INTERVAL 7 DAY
+                THEN last_click_id END AS attributed_click_id,
+           CASE WHEN last_click_ts >= ts - INTERVAL 7 DAY
+                THEN epoch_us(ts) - epoch_us(last_click_ts) END AS lag_us,
+           floor(value * 100.0 + 0.5) / 100.0 AS value_rounded
+    FROM ce
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution_lasttouch(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the same user's
+    most recent PRECEDING click within 7 days - the marketing-analytics
+    as-of shape.  Spelled as union + running last_value(ignorenulls) over
+    ONE (user_id, ts) window instead of a purchases-x-clicks range join:
+    a single shuffle on user_id, no join, no band fan-out - at 100 TB this
+    is the difference between sorting each user's events once and
+    building a join index over two fact tables (join_asof_lastsignup
+    covers the dim-join spelling; this is the fact-internal one).
+    Ordering key is (ts, event_id) so same-timestamp ties resolve
+    identically on both engines."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    seven_days_us = 7 * 24 * 3600 * 1_000_000
+    ce = (
+        ev.withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    in_window = F.unix_micros("last_click_ts") >= (
+        F.unix_micros("ts") - F.lit(seven_days_us)
+    )
+    return ce.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(in_window, F.col("last_click_id")).alias("attributed_click_id"),
+        F.when(
+            in_window, F.unix_micros("ts") - F.unix_micros("last_click_ts")
+        ).alias("lag_us"),
+        pround("value", 2).alias("value_rounded"),
+    )

@@ -1819,3 +1819,252 @@ def sim_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
         pround(nrm / 127.0, 6).alias("scale"),
         q8.alias("q8"),
     )
+
+
+# PQ codebook cache: (applicationId, sf_dir) -> [(sub, cell, centroid)].
+# Same rationale as _IVF_CENTROIDS: the build is deterministic and a PQ
+# codebook is trained once, then used to encode/search many times.
+_PQ_CODEBOOK: dict[tuple[str, str], list] = {}
+
+_PQ_M, _PQ_K, _PQ_DSUB = 8, 16, 8  # 64-dim = 8 subspaces x 8 dims, 16 cells
+
+
+def _pq_subvectors(vecs: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv): each 64-dim vector split into _PQ_M contiguous
+    8-dim subvectors - ONE map-side explode, no shuffle."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB).alias("sv"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    return vecs.select("vec_id", F.explode(subs).alias("x")).select(
+        "vec_id", "x.sub", "x.sv"
+    )
+
+
+def _pq_codebook_rows(spark: SparkSession, sf: str, vecs: DataFrame) -> list:
+    """Per-subspace K centroids - ALL _PQ_M subspaces trained in the SAME
+    jobs (k-means keyed by (sub, cell)), so the build costs the same 1 +
+    2x2 passes as the IVF coarse quantizer, not M times as many.
+    Deterministic init: subvectors of the _PQ_K lowest vec_ids."""
+    cache_key = (spark.sparkContext.applicationId, sf)
+    rows = _PQ_CODEBOOK.get(cache_key)
+    if rows is not None:
+        return rows
+    sv = _pq_subvectors(vecs)
+
+    def cents_df(rows):
+        return spark.createDataFrame(
+            [(s, c, list(v)) for s, c, v in rows],
+            "sub int, cell int, c array<double>",
+        )
+
+    def assign(cents):
+        d = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        # equi-join on `sub` (m x k broadcast), argmin per (vec_id, sub):
+        # map-side partial agg keeps the shuffle at one row per subvector
+        return (
+            sv.join(F.broadcast(cents), "sub")
+            .select("vec_id", "sub", "sv", "cell", d.alias("d"))
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.first("sv").alias("sv"),
+                F.min_by("cell", F.struct("d", "cell")).alias("cell"),
+            )
+        )
+
+    init = (
+        sv.join(
+            F.broadcast(
+                vecs.orderBy("vec_id").limit(_PQ_K).select("vec_id")
+            ).withColumn("cell", (F.row_number().over(
+                Window.orderBy("vec_id")) - 1).cast("int")),
+            "vec_id",
+        )
+        .select("sub", "cell", "sv")
+        .collect()
+    )
+    rows = sorted((r["sub"], r["cell"], r["sv"]) for r in init)
+    for _ in range(2):  # Lloyd rounds, all subspaces at once
+        new = (
+            assign(cents_df(rows))
+            .select("sub", "cell", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("sub", "cell", F.col("pm.m").alias("c"))
+            .collect()
+        )
+        rows = sorted((r["sub"], r["cell"], r["c"]) for r in new)
+    _PQ_CODEBOOK[cache_key] = rows
+    return rows
+
+
+def _pq_codes(spark: SparkSession, sf: str, vecs: DataFrame) -> DataFrame:
+    """(vec_id, sub, code): nearest codebook cell per subvector - the
+    stored PQ index, _PQ_M bytes per vector (32x smaller than float32)."""
+    rows = _pq_codebook_rows(spark, sf, vecs)
+    cents = spark.createDataFrame(
+        [(s, c, list(v)) for s, c, v in rows],
+        "sub int, cell int, c array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    return (
+        _pq_subvectors(vecs)
+        .join(F.broadcast(cents), "sub")
+        .select("vec_id", "sub", "cell", d.alias("d"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("cell", F.struct("d", "cell")).alias("code"))
+    )
+
+
+@query("sim_pq_encode")  # rows-only: k-means codebook is engine-tuned
+def sim_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encoding (Jegou et al., PAMI'11) - the memory
+    end-game for 100 TB ANN: each 64-dim float vector becomes _PQ_M=8
+    4-bit codes (one per 8-dim subspace, 16 centroids each) = 8 bytes, a
+    32x shrink over float32, vs int8 quantization's 4x
+    (sim_embed_quantize).  The codebook (m x k x d' = 1024 doubles) is
+    k-means-trained per subspace with all subspaces sharing the same jobs,
+    broadcast everywhere, and the encode is an equi-join on `sub` + argmin
+    - one explode, one broadcast join, one partial-agg shuffle, no UDF.
+
+    Output: one row per vector with the code array rendered canonically
+    (codes joined ','); reconstruction error and search recall are
+    asserted in tests/test_pipeline_components.py."""
+    e = load(spark, sf, "embeddings")
+    vecs = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    codes = _pq_codes(spark, sf, vecs)
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                    lambda x: x["code"].cast("string"),
+                ),
+                ",",
+            ).alias("pq_codes")
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query("sim_pq_topk")  # rows-only: ADC over the trained codebook
+def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-K search: the probe vector is NOT
+    quantized; its squared distance to every (sub, cell) centroid is a
+    driver-side m x k = 128-float table, broadcast and equi-joined to the
+    stored codes, and each vector's approximate distance is the SUM of its
+    m looked-up entries - a groupBy(vec_id) sum, no per-vector float math
+    at all.  This is exactly how a 100 TB PQ index is scanned: the codes
+    (8 bytes/vector) stream through a hash agg against a table that fits
+    in L1 cache; overlap with the exact float top-K is asserted in
+    tests."""
+    topk = 10
+    e = load(spark, sf, "embeddings")
+    vecs = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    codes = _pq_codes(spark, sf, vecs.select("vec_id", "v"))
+    rows = _pq_codebook_rows(spark, sf, vecs.select("vec_id", "v"))
+    p = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("p"))
+        .collect()[0]["p"]
+    )
+    # driver-side distance table: ||p_sub - c||^2 per (sub, cell)
+    dtab = [
+        (
+            s,
+            c,
+            sum(
+                (p[s * _PQ_DSUB + i] - v[i]) ** 2 for i in range(_PQ_DSUB)
+            ),
+        )
+        for s, c, v in rows
+    ]
+    dt = spark.createDataFrame(dtab, "sub int, code int, d double")
+    return (
+        codes.join(F.broadcast(dt), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("_adc"))
+        .orderBy(F.asc("_adc"), F.asc("vec_id"))
+        .limit(topk)
+        .join(vecs.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", pround("_adc", 4).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    )
+
+
+@query(
+    "pipeline_zorder_key",
+    oracle="""
+    WITH uh AS (
+      SELECT event_id,
+             user_id % 256 AS u,
+             CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) % 256 AS h
+      FROM events),
+    z AS (
+      SELECT event_id, u, h,
+             ((u // 1) % 2) * 1 + ((h // 1) % 2) * 2 + ((u // 2) % 2) * 4 + ((h // 2) % 2) * 8 + ((u // 4) % 2) * 16 + ((h // 4) % 2) * 32 + ((u // 8) % 2) * 64 + ((h // 8) % 2) * 128 + ((u // 16) % 2) * 256 + ((h // 16) % 2) * 512 + ((u // 32) % 2) * 1024 + ((h // 32) % 2) * 2048 + ((u // 64) % 2) * 4096 + ((h // 64) % 2) * 8192 + ((u // 128) % 2) * 16384 + ((h // 128) % 2) * 32768 AS zval
+      FROM uh)
+    SELECT zval // 1024 AS file_id,
+           count(*) AS n_rows,
+           min(u) AS u_min, max(u) AS u_max,
+           min(h) AS h_min, max(h) AS h_max
+    FROM z
+    GROUP BY 1
+    """,
+)
+def pipeline_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) layout key for multi-dimension data skipping - the
+    lakehouse clustering move at 100 TB: interleaving the low 8 bits of
+    user_id with the low 8 bits of the event hour gives a 1-D sort key
+    whose contiguous ranges are 2-D tiles, so files written in zval order
+    carry TIGHT min/max stats on BOTH columns and a scan filtered on
+    either dimension prunes most files (a 1-D sort gives tight stats on
+    one dimension only).  The interleave is 16 integer div/mod/multiply
+    terms - pure codegen arithmetic, bit-identical on both engines (no
+    engine-specific bit ops), zero shuffle until the final tiny
+    per-file-id stats agg.  Output is the layout manifest itself: per
+    file id (1024 z-cells = a 32x32 (u,h) tile each), the row count and the min/max of each dimension -
+    exactly the footer stats a pruning scan would consult.
+
+    At write time the companion move is repartitionByRange(zval) +
+    sortWithinPartitions(zval); the manifest here is what proves the
+    layout prunes."""
+    ev = load(spark, sf, "events")
+    u = F.col("user_id") % 256
+    h = F.floor(F.unix_micros("ts") / 3_600_000_000.0).cast("long") % 256
+    zval = None
+    for i in range(8):
+        ubit = (u / F.lit(2**i)).cast("long") % 2 * F.lit(2 ** (2 * i))
+        hbit = (h / F.lit(2**i)).cast("long") % 2 * F.lit(2 ** (2 * i + 1))
+        zval = ubit + hbit if zval is None else zval + ubit + hbit
+    z = ev.select("event_id", u.alias("u"), h.alias("h"), zval.alias("zval"))
+    return (
+        z.groupBy((F.col("zval") / F.lit(1024)).cast("long").alias("file_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+        )
+    )

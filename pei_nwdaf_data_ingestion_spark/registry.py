@@ -69,6 +69,10 @@ ADDED_IN_ROUND: dict[str, int] = {
     "agg_regression_trend": 5,
     "sim_ivf_quantized_topk": 6,
     "stream_minhash_dedup": 6,
+    "sim_pq_encode": 6,
+    "sim_pq_topk": 6,
+    "events_attribution_lasttouch": 6,
+    "pipeline_zorder_key": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -331,3 +331,23 @@ class TestClusterComponents:
 
         sizes = Counter(label.values())
         assert max(sizes.values()) > 2
+
+
+class TestZOrderLayout:
+    def test_zorder_tiles_are_bounded_in_both_dims(self, spark):
+        """The point of the z-order manifest: every file id is a 32x32
+        (u, h) tile, so its min/max footer stats are TIGHT in BOTH
+        dimensions (a 1-D sort would give tight stats on one dimension and
+        full-range stats on the other)."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        m = registry.QUERIES["pipeline_zorder_key"](spark, sf).toPandas()
+        assert len(m) > 1
+        assert ((m.u_max - m.u_min) <= 31).all()
+        assert ((m.h_max - m.h_min) <= 31).all()
+        # manifest covers every event exactly once
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        assert int(m.n_rows.sum()) == load(spark, sf, "events").count()

@@ -368,3 +368,31 @@ class TestNtileRangeConsistency:
         # and the spec orders by the unique (o_totalprice, o_orderkey) key
         (spec,) = specs
         assert "o_totalprice" in spec and "o_orderkey" in spec
+
+
+class TestRound6Plans:
+    def test_attribution_is_single_shuffle_no_join(self, spark):
+        """events_attribution_lasttouch's whole point is the union+window
+        spelling of the fact-internal as-of: ONE shuffle (the user_id
+        window exchange, tree + detail = 2 mentions) and NO join operator
+        of any kind - the range-join spelling it replaces would show a
+        second exchange and a join."""
+        plan = plan_of(spark, "events_attribution_lasttouch")
+        assert plan.count("Exchange") <= 2
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+            assert j not in plan
+
+    def test_pq_encode_joins_broadcast_only(self, spark):
+        """PQ encode's codebook join must be a broadcast hash join on
+        `sub` (m x k = 128 rows) - a sort-merge join would shuffle every
+        subvector row against a 128-row table."""
+        plan = plan_of(spark, "sim_pq_encode")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_zorder_key_is_single_agg_shuffle(self, spark):
+        """The Morton interleave is pure map-side arithmetic: the only
+        exchange is the final per-file-id stats agg."""
+        plan = plan_of(spark, "pipeline_zorder_key")
+        assert plan.count("Exchange") <= 2
+        assert "Join" not in plan
