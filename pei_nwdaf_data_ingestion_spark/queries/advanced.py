@@ -913,3 +913,53 @@ def events_attribution_lasttouch(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("lag_us"),
         pround("value", 2).alias("value_rounded"),
     )
+
+
+@query(
+    "events_journey_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n_transitions,
+           floor((count(*) * 1.0
+                  / sum(count(*)) OVER (PARTITION BY prev_type))
+                 * 10000.0 + 0.5) / 10000.0 AS p_next
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_journey_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order user-journey Markov matrix: counts and conditional
+    probabilities of event-type transitions within each user's (ts,
+    event_id)-ordered stream - the product-analytics complement to the
+    funnel (which fixes the path) and gaps-and-islands (which ignores the
+    type).  Two shuffles total at any scale: the per-user lag window, then
+    the 25-cell transition agg; the normalizing row-count-per-prev_type is
+    a window over the AGGREGATED frame (25 rows), not the event stream.
+    Same-timestamp ties order by event_id on both engines."""
+    seq = load(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        pround(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(tot), 4
+        ).alias("p_next"),
+    )

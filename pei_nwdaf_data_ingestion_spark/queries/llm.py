@@ -2068,3 +2068,45 @@ def pipeline_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
             F.max("h").alias("h_max"),
         )
     )
+
+
+@query(
+    "text_source_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, count(*) AS n
+      FROM documents GROUP BY lang, source),
+    t AS (
+      SELECT lang, sum(n) AS tot, count(*) AS n_sources FROM c GROUP BY lang)
+    SELECT c.lang,
+           CAST(t.tot AS BIGINT) AS n_docs,
+           t.n_sources,
+           floor((-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)))
+                 * 10000.0 + 0.5) / 10000.0 AS source_entropy_nats
+    FROM c JOIN t ON c.lang = t.lang
+    GROUP BY c.lang, t.tot, t.n_sources
+    """,
+)
+def text_source_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language source-mix entropy (nats) - the corpus-diversity
+    diagnostic a dataset card reports next to the raw counts
+    (pipeline_dataset_card): low entropy means one domain dominates the
+    language and the pretrain mix needs rebalancing (pipeline_mix_sample
+    is the actuator).  One hash agg to (lang, source) counts - the only
+    shuffle that touches data volume - then a lang-level window for the
+    totals and the entropy sum over ~|sources| rows.  ln() on the ratio is
+    evaluated identically on both engines; the result is pround-ed."""
+    d = load(spark, sf, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    p = F.col("n") * 1.0 / F.sum("n").over(w)
+    return (
+        c.select(
+            "lang",
+            F.sum("n").over(w).alias("n_docs"),
+            F.count("*").over(w).alias("n_sources"),
+            (p * F.log(p)).alias("plogp"),
+        )
+        .groupBy("lang", "n_docs", "n_sources")
+        .agg(pround(-F.sum("plogp"), 4).alias("source_entropy_nats"))
+    )

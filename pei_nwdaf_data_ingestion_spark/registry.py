@@ -73,6 +73,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "sim_pq_topk": 6,
     "events_attribution_lasttouch": 6,
     "pipeline_zorder_key": 6,
+    "events_journey_transitions": 6,
+    "text_source_entropy": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -67,3 +67,27 @@ def test_ntz_cast_is_value_preserving_utc(spark):
         f"read_parquet('{SF_DIR}/events.parquet') ORDER BY event_id LIMIT 1"
     ).fetchone()[0]
     assert got == want
+
+
+def test_cache_partitioning_floors_at_shuffle_width(spark, monkeypatch):
+    """r6 regression pin (VERDICT r5 item 1): the warm table cache must
+    never coalesce a non-tiny table below the shuffle width - a
+    1-partition cached documents table starved every self-join pipeline
+    (PPJoin measured 2-3x slower).  Tiny dims still coalesce to 1."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE", "1")
+    sf = "/root/testdata/sf0.01"  # lineitem is ~1 MiB here (>= 256 KiB gate)
+    saved = dict(catalog._CACHE)
+    catalog._CACHE.clear()
+    try:
+        li = catalog.load(spark, sf, "lineitem")
+        shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        want = min(spark.sparkContext.defaultParallelism, max(shuf, 1))
+        assert li.rdd.getNumPartitions() >= want
+        assert catalog.load(spark, sf, "region").rdd.getNumPartitions() == 1
+    finally:
+        for df in catalog._CACHE.values():
+            df.unpersist(blocking=True)
+        catalog._CACHE.clear()
+        catalog._CACHE.update(saved)
