@@ -162,6 +162,9 @@ def main() -> None:
     from pei_nwdaf_data_ingestion_spark.queries import llm
 
     llm._IVF_CENTROIDS.clear()
+    llm._IVF_INDEX_CACHE.clear()
+    llm._PQ_CODEBOOK.clear()
+    llm._PQ_CODES_CACHE.clear()
     for df in catalog._CACHE.values():
         df.unpersist(blocking=True)
     catalog._CACHE.clear()
