@@ -609,3 +609,104 @@ def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("is_near_dup", F.col("n_band_wins") < n_bands)
     )
+
+
+@query("stream_attribution_state")
+def stream_attribution_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState): per-user state = the most recent click seen
+    so far; each purchase is attributed at arrival time if that click is
+    within 7 days.  The stream is split into two time-ordered micro-batches
+    (early half first via file mtimes), so attribution state provably
+    SURVIVES the batch boundary - a click in batch 1 credits a purchase in
+    batch 2.  This is the streaming dual of events_attribution_lasttouch's
+    union+window spelling, and equality of the attributed set is asserted
+    in tests/test_streaming.py.
+
+    Scale posture: state is one (click_id, click_ts) pair per live user in
+    the state store (RocksDB at scale), partitioned by user_id - the same
+    shuffle key as the batch window, with O(users) state instead of a
+    sort."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="attrib_state_") as tmp:
+        med = ev.agg(F.percentile_approx("ts_us", 0.5, 10000).alias("m"))
+        (
+            ev.crossJoin(F.broadcast(med))
+            .withColumn("half", F.when(F.col("ts_us") < F.col("m"), "b1").otherwise("b2"))
+            .drop("m")
+            .coalesce(1)
+            .write.partitionBy("half")
+            .parquet(tmp, mode="overwrite")
+        )
+        # file source picks oldest mtime first: make b1 strictly older so
+        # the early half is micro-batch 1
+        now = time.time()
+        for half, age in (("half=b1", 100), ("half=b2", 0)):
+            d = os.path.join(tmp, half)
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (now - age, now - age))
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(tmp, "half=*"))
+        )
+
+        seven_days_us = 7 * 24 * 3600 * 1_000_000
+
+        def update(key, pdfs, state):
+            # worker-side closure: pandas + stdlib only
+            import warnings
+
+            warnings.filterwarnings(
+                "ignore",
+                message="The behavior of DataFrame concatenation with empty",
+                category=FutureWarning,
+            )
+            (user,) = key
+            cid, cts = state.get if state.exists else (None, None)
+            out_pid, out_cid, out_lag = [], [], []
+            for pdf in pdfs:
+                # event-time order within the group; micro-batch order
+                # (enforced by file mtimes) provides cross-batch order
+                for row in pdf.sort_values(["ts_us", "event_id"]).itertuples():
+                    if row.event_type == "click":
+                        cid, cts = int(row.event_id), int(row.ts_us)
+                    elif cts is not None and row.ts_us - cts <= 604800000000:
+                        out_pid.append(int(row.event_id))
+                        out_cid.append(cid)
+                        out_lag.append(int(row.ts_us) - cts)
+            if cid is not None:
+                state.update((cid, cts))
+            yield pd.DataFrame(
+                {
+                    "purchase_id": out_pid,
+                    "user_id": [user] * len(out_pid),
+                    "attributed_click_id": out_cid,
+                    "lag_us": out_lag,
+                }
+            )
+
+        assert seven_days_us == 604800000000  # literal inlined in worker
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            "purchase_id long, user_id long, attributed_click_id long, lag_us long",
+            "cid long, cts long",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+        name = "stream_attribution_out"
+        _drain(out, name, mode="append")
+        return spark.table(name)

@@ -75,6 +75,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "pipeline_zorder_key": 6,
     "events_journey_transitions": 6,
     "text_source_entropy": 6,
+    "stream_attribution_state": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

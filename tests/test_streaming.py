@@ -433,3 +433,23 @@ def test_stream_minhash_dedup_matches_batch_dual(spark):
     assert all(
         (n < 4) == flag for _, n, flag in out[["doc_id", "n_band_wins", "is_near_dup"]].itertuples(index=False)
     )
+
+
+def test_stream_attribution_state_matches_batch_window(spark):
+    """The stateful streaming attribution must credit exactly the purchases
+    the batch union+window query credits (same click, same lag), with the
+    time-split micro-batches proving state survives the batch boundary."""
+    from pei_nwdaf_data_ingestion_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["purchase_id"], r["user_id"], r["attributed_click_id"], r["lag_us"])
+        for r in registry.QUERIES["stream_attribution_state"](spark, sf).collect()
+    )
+    want = sorted(
+        (r["purchase_id"], r["user_id"], r["attributed_click_id"], r["lag_us"])
+        for r in registry.QUERIES["events_attribution_lasttouch"](spark, sf).collect()
+        if r["attributed_click_id"] is not None
+    )
+    assert got == want and len(got) > 0
