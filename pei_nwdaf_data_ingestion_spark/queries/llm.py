@@ -2149,3 +2149,90 @@ def text_source_entropy(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang", "n_docs", "n_sources")
         .agg(pround(-F.sum("plogp"), 4).alias("source_entropy_nats"))
     )
+
+
+@query(
+    "dedup_cross_split_leakage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx,
+             string_split(text, ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, hx,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks),
+    dfc AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 10),
+    train_g AS (
+      SELECT DISTINCT gr.g FROM grams gr JOIN dfc USING (g)
+      WHERE gr.hx NOT IN ('c', 'd', 'e', 'f')),
+    ev_hits AS (
+      SELECT gr.doc_id, count(DISTINCT gr.g) AS n
+      FROM grams gr JOIN dfc USING (g) JOIN train_g USING (g)
+      WHERE gr.hx IN ('c', 'd', 'e', 'f')
+      GROUP BY gr.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_leaked_trigrams,
+           CAST(coalesce(h.n, 0) > 0 AS INTEGER) AS leaked
+    FROM (SELECT doc_id FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('c', 'd', 'e', 'f')) d
+    LEFT JOIN ev_hits h USING (doc_id)
+    """,
+)
+def dedup_cross_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval leakage audit for a HASH-DERIVED split - the QA gate a
+    training pipeline runs after sharding: the md5-digit split
+    (sample_hash_det's spelling: digits c-f = the ~25% eval side) must not
+    share rare content with the train side, or eval metrics are
+    contaminated.  Per eval document, counts the distinct RARE trigrams
+    (document frequency <= 10) it shares with any train document.
+
+    The df cap is what makes this scale: boilerplate trigrams appearing in
+    hundreds of documents carry no leakage signal but dominate the join
+    volume (a plain trigram join is df-squared in the hot grams) - capping
+    df bounds every gram's join fan-out, the same move dedup_winnowing
+    makes.  Both gram sets are corpus-proportional, so the gram joins are
+    plain shuffled equi-joins on the gram key, never broadcast; the split
+    predicate is a pure column expression so each side prunes at scan
+    time."""
+    d = load(spark, sf, "documents")
+    toks = F.col("toks")
+    n2 = F.greatest(F.size(toks) - 2, F.lit(0))
+    trigrams = F.array_distinct(
+        F.zip_with(
+            F.zip_with(
+                F.slice(toks, 1, n2),
+                F.slice(toks, 2, n2),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ),
+            F.slice(toks, 3, n2),
+            lambda xy, z: F.concat_ws(" ", xy, z),
+        )
+    )
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_eval = hx.isin("c", "d", "e", "f")
+    grams = (
+        d.select("doc_id", is_eval.alias("ev"), F.split("text", " ").alias("toks"))
+        .select("doc_id", "ev", F.explode(trigrams).alias("g"))
+    )
+    rare = grams.groupBy("g").count().filter(F.col("count") <= 10).select("g")
+    rare_grams = grams.join(rare, "g")
+    train_g = rare_grams.filter(~F.col("ev")).select("g").distinct()
+    ev_hits = (
+        rare_grams.filter(F.col("ev"))
+        .join(train_g, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n"))
+    )
+    return (
+        d.filter(is_eval)
+        .select("doc_id")
+        .join(ev_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_leaked_trigrams"),
+            (F.coalesce("n", F.lit(0)) > 0).cast("int").alias("leaked"),
+        )
+    )
