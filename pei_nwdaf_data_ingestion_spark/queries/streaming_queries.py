@@ -710,3 +710,106 @@ def stream_attribution_state(spark: SparkSession, sf: str) -> DataFrame:
         name = "stream_attribution_out"
         _drain(out, name, mode="append")
         return spark.table(name)
+
+
+@query("stream_inactivity_flush")
+def stream_inactivity_flush(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time STATE TIMEOUT (the streaming semantics no other declared
+    query exercises): per-(user, day) running totals held in GroupState
+    with an EventTimeTimeout of last_event + 30 min; a group is emitted
+    ONLY when the watermark overtakes its timeout - the classic
+    inactivity flush, where results leave the operator because time
+    passed, not because data arrived.  Two time-ordered micro-batches
+    (early half first, file mtimes) plus the final no-data batch
+    availableNow runs to evaluate remaining timers: day-groups with no
+    batch-2 data flush in batch 2 once the batch-1 watermark overtakes
+    them; every surviving group flushes in the final batch iff its last
+    event + gap precedes the end-of-stream watermark; only groups active
+    in the stream's last 40 minutes are never emitted.  The batch dual in
+    tests/test_streaming.py recomputes this exact three-batch schedule.
+
+    At scale: state is one (n, sum, last_ts) per live (user, day) in the
+    state store, evicted BY THE TIMEOUT itself - the watermark bounds
+    state exactly as it bounds stream-stream join buffers."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("ts"),
+        "value",
+    )
+    with tempfile.TemporaryDirectory(prefix="inactivity_") as tmp:
+        med = ev.agg(F.percentile_approx(F.unix_micros("ts"), 0.5, 10000).alias("m"))
+        (
+            ev.crossJoin(F.broadcast(med))
+            .withColumn(
+                "half",
+                F.when(F.unix_micros("ts") < F.col("m"), "b1").otherwise("b2"),
+            )
+            .drop("m")
+            .coalesce(1)
+            .write.partitionBy("half")
+            .parquet(tmp, mode="overwrite")
+        )
+        now = time.time()
+        for half, age in (("half=b1", 100), ("half=b2", 0)):
+            d = os.path.join(tmp, half)
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (now - age, now - age))
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, day string, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(tmp, "half=*"))
+            .withWatermark("ts", "10 minutes")
+        )
+
+        def flush(key, pdfs, state):
+            import math
+            import warnings
+
+            warnings.filterwarnings(
+                "ignore",
+                message="The behavior of DataFrame concatenation with empty",
+                category=FutureWarning,
+            )
+            user, day = key
+            if state.hasTimedOut:
+                n, s, _last = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user],
+                        "day": [day],
+                        "n_events": [n],
+                        "value_sum": [math.floor(s * 100.0 + 0.5) / 100.0],
+                    }
+                )
+                return
+            n, s, last_ms = state.get if state.exists else (0, 0.0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                last_ms = max(
+                    last_ms, int(pdf["ts"].astype("int64").max()) // 1_000_000
+                )  # pandas datetime64 int64 is NANOseconds -> milliseconds
+            state.update((n, s, last_ms))
+            # event-time timeout: last event + 30 min (milliseconds)
+            state.setTimeoutTimestamp(last_ms + 30 * 60 * 1000)
+            yield pd.DataFrame(
+                {"user_id": [], "day": [], "n_events": [], "value_sum": []}
+            )
+
+        out = stream.groupBy("user_id", "day").applyInPandasWithState(
+            flush,
+            "user_id long, day string, n_events long, value_sum double",
+            "n long, s double, last_ms long",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        name = "stream_inactivity_out"
+        _drain(out, name, mode="append")
+        return spark.table(name)

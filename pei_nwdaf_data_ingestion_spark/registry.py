@@ -77,6 +77,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_source_entropy": 6,
     "stream_attribution_state": 6,
     "dedup_cross_split_leakage": 6,
+    "stream_inactivity_flush": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -453,3 +453,61 @@ def test_stream_attribution_state_matches_batch_window(spark):
         if r["attributed_click_id"] is not None
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_inactivity_flush_matches_watermark_rule(spark):
+    """EventTimeTimeout semantics recomputed in batch over the exact
+    micro-batch schedule the query runs (data batch 1, data batch 2, final
+    no-data batch): no timeout can fire in batch 1 (watermark still 0); a
+    group with NO batch-2 data flushes in batch 2 if its batch-1 timeout
+    precedes wm1 = max(b1 ts) - 10 min; every surviving group flushes in
+    the final no-data batch if its timeout precedes wm_final = max(all ts)
+    - 10 min.  Totals must equal the group's event totals at flush time."""
+    import math
+    from collections import defaultdict
+
+    from pei_nwdaf_data_ingestion_spark import registry
+    from pei_nwdaf_data_ingestion_spark.catalog import load
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["user_id"], r["day"], r["n_events"], r["value_sum"])
+        for r in registry.QUERIES["stream_inactivity_flush"](spark, sf).collect()
+    )
+
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    rows = ev.collect()
+    med = sorted(r["us"] for r in rows)[len(rows) // 2 - (len(rows) + 1) % 2]
+    # percentile_approx(0.5) picks the lower-middle element for even n;
+    # recompute the exact same split the query wrote
+    b1 = [r for r in rows if r["us"] < med]
+    gap_ms = 30 * 60 * 1000
+    wm1_ms = max(r["us"] for r in b1) // 1000 - 10 * 60 * 1000
+    wmf_ms = max(r["us"] for r in rows) // 1000 - 10 * 60 * 1000
+
+    g1 = defaultdict(lambda: [0, 0.0, 0])  # batch-1 totals per group
+    ga = defaultdict(lambda: [0, 0.0, 0])  # all-data totals per group
+    for r in rows:
+        tgt = [ga] if r["us"] >= med else [g1, ga]
+        for d in tgt:
+            g = d[(r["user_id"], r["day"])]
+            g[0] += 1
+            g[1] += r["value"]
+            g[2] = max(g[2], r["us"] // 1000)
+    want = []
+    for key, (n_all, s_all, last_all) in ga.items():
+        in_b2 = key not in g1 or ga[key][0] > g1[key][0]
+        if not in_b2 and g1[key][2] + gap_ms < wm1_ms:
+            n, s, _ = g1[key]  # flushed in batch 2 with batch-1 totals
+        elif last_all + gap_ms < wmf_ms:
+            n, s = n_all, s_all  # flushed in the final no-data batch
+        else:
+            continue  # still active at end of stream: never emitted
+        want.append((key[0], key[1], n, math.floor(s * 100.0 + 0.5) / 100.0))
+    assert got == sorted(want) and len(got) > 0
