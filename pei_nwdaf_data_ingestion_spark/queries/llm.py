@@ -1939,15 +1939,10 @@ def _pq_codebook_rows(spark: SparkSession, sf: str, vecs: DataFrame) -> list:
     return rows
 
 
-def _pq_codes(spark: SparkSession, sf: str, vecs: DataFrame) -> DataFrame:
-    """(vec_id, sub, code): nearest codebook cell per subvector - the
-    stored PQ index, _PQ_M bytes per vector (32x smaller than float32).
-    Cached per (application, table) like the codebook: the index is
-    encoded once at build time; probes only read it."""
-    key = (spark.sparkContext.applicationId, sf)
-    cached = _PQ_CODES_CACHE.get(key)
-    if cached is not None:
-        return cached
+def _pq_codes_plan(spark: SparkSession, sf: str, vecs: DataFrame) -> DataFrame:
+    """The un-checkpointed encode plan (broadcast codebook join + argmin);
+    split out so plan tests can assert the join strategy - the cached
+    wrapper below replaces the subtree with an RDD scan."""
     rows = _pq_codebook_rows(spark, sf, vecs)
     cents = spark.createDataFrame(
         [(s, c, list(v)) for s, c, v in rows],
@@ -1958,14 +1953,27 @@ def _pq_codes(spark: SparkSession, sf: str, vecs: DataFrame) -> DataFrame:
         F.lit(0.0),
         lambda acc, z: acc + z,
     )
-    codes = (
+    return (
         _pq_subvectors(vecs)
         .join(F.broadcast(cents), "sub")
         .select("vec_id", "sub", "cell", d.alias("d"))
         .groupBy("vec_id", "sub")
         .agg(F.min_by("cell", F.struct("d", "cell")).alias("code"))
-        .localCheckpoint(eager=False)
     )
+
+
+def _pq_codes(spark: SparkSession, sf: str, vecs: DataFrame) -> DataFrame:
+    """(vec_id, sub, code): nearest codebook cell per subvector - the
+    stored PQ index, _PQ_M bytes per vector (32x smaller than float32).
+    Cached per (application, table) like the codebook: the index is
+    encoded once at build time; probes only read it (the lazy
+    localCheckpoint truncates the lineage so repeat probes scan the
+    materialized codes instead of re-running the encode join)."""
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _PQ_CODES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    codes = _pq_codes_plan(spark, sf, vecs).localCheckpoint(eager=False)
     _PQ_CODES_CACHE[key] = codes
     return codes
 

@@ -385,8 +385,25 @@ class TestRound6Plans:
     def test_pq_encode_joins_broadcast_only(self, spark):
         """PQ encode's codebook join must be a broadcast hash join on
         `sub` (m x k = 128 rows) - a sort-merge join would shuffle every
-        subvector row against a 128-row table."""
-        plan = plan_of(spark, "sim_pq_encode")
+        subvector row against a 128-row table.  Inspected on the
+        un-checkpointed build plan (_pq_codes_plan): the cached/
+        checkpointed index the query itself scans replaces the subtree
+        with an RDD scan, by design."""
+        import contextlib
+        import io
+
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+        from pei_nwdaf_data_ingestion_spark.queries.llm import _pq_codes_plan
+        from pyspark.sql import functions as F
+
+        e = load(spark, SF_DIR, "embeddings")
+        vecs = e.filter(F.col("vec_id") != 0).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _pq_codes_plan(spark, SF_DIR, vecs).explain("formatted")
+        plan = buf.getvalue()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
