@@ -1,0 +1,619 @@
+"""Round-6 corpus / graph / time-series operators (SURVEY.md 2.9 extension
+families): compaction planning, token-budget splitting, curriculum ordering,
+perceptual-hash dedup, link-graph analytics (degree + PageRank), count
+anomaly detection, and the nearest-direction as-of join.
+
+Everything here follows the engine's two standing disciplines:
+- cross-engine exactness via integer arithmetic wherever a float sum would
+  be order-dependent (micro-scaled ints + `div`, the text_perplexity_proxy
+  trick), and functions.pround for the floats that remain;
+- 100 TB posture stated per operator: which shuffles exist, which side
+  broadcasts, and what replaces any single-partition stage at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import pround
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# corpus pipeline
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 2048  # chars per compaction bin (fixture-scaled)
+
+
+@query(
+    "pipeline_compaction_bins",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM documents)
+    SELECT source,
+           CAST(floor(cum_before / {_COMPACT_TARGET}.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+           CAST(min(doc_id) AS BIGINT) AS doc_min,
+           CAST(max(doc_id) AS BIGINT) AS doc_max
+    FROM c
+    GROUP BY source, bin_id
+    """,
+)
+def pipeline_compaction_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction manifest - the lakehouse maintenance job a
+    100 TB ingest REQUIRES (streaming ingest writes many small files;
+    unmerged they poison every downstream scan with per-file open cost).
+    Each source's files, taken in doc_id order, are cut into target-size
+    bins at running-byte-offset boundaries - the same streaming
+    concatenation plan OPTIMIZE/bin-packing compaction executes.  One
+    shuffle (the per-source window); the groupBy reuses the window's
+    partitioning so the agg is shuffle-free.  A pathologically hot source
+    would make the window partition skewed - the fix at scale is
+    sub-bucketing the source by date, which only renames the partition
+    key.  All columns are integers - bit-identical on both engines."""
+    d = load(spark, sf, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.floor(cum_before / float(_COMPACT_TARGET)).alias("bin_id"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_chars").alias("bin_bytes"),
+            F.min("doc_id").alias("doc_min"),
+            F.max("doc_id").alias("doc_max"),
+        )
+    )
+
+
+@query(
+    "pipeline_token_budget_split",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+      FROM documents),
+    tot AS (SELECT CAST(sum(t) AS BIGINT) AS total FROM toks),
+    c AS (
+      SELECT doc_id, t,
+             CAST(sum(t) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM toks)
+    SELECT CASE WHEN cum <= floor(total * 0.9) THEN 'train' ELSE 'val' END
+             AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS n_tokens
+    FROM c CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def pipeline_token_budget_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget train/val split: shuffle the corpus deterministically
+    (md5 of content - reproducible across runs AND engines, unlike
+    rand()), then cut at 90% of the total token budget by running count -
+    how a pretrain corpus is actually split when the budget is expressed
+    in tokens, not documents.  The running sum is spelled as ONE global
+    window here (exact, oracle-checkable); at 100 TB the same cut is
+    computed in the standard two phases - per-partition partial token
+    sums collected to the driver (one long per partition), partition
+    offsets broadcast back - which is precisely how Spark's own
+    zipWithIndex works, changing no semantics.  The total-budget scalar
+    is a broadcast 1-row cross join on both paths."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("t"),
+    )
+    tot = toks.agg(F.sum("t").alias("total"))
+    w = Window.orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = toks.select("doc_id", "t", F.sum("t").over(w).alias("cum"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("cum") <= F.floor(F.col("total") * 0.9), "train")
+            .otherwise("val")
+            .alias("split"),
+            "t",
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens"))
+    )
+
+
+@query(
+    "pipeline_curriculum_order",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS nd
+      FROM documents),
+    x AS (
+      SELECT doc_id, nt,
+             CAST(floor((nd * 1.0 / nt) * 1000000.0 + 0.5) AS BIGINT)
+               AS ttr_micro
+      FROM t),
+    p AS (
+      SELECT nt, ttr_micro,
+             CAST(ntile(4) OVER (ORDER BY ttr_micro, doc_id) AS BIGINT)
+               AS phase
+      FROM x)
+    SELECT phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens,
+           CAST(sum(ttr_micro) // count(*) AS BIGINT) AS avg_ttr_micro
+    FROM p
+    GROUP BY phase
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum phases for staged pretraining: rank documents by
+    type-token ratio (lexical diversity - the cheap difficulty proxy) and
+    deal them into 4 equal phases with ntile.  The ratio is micro-scaled
+    to an INTEGER before it becomes an ordering key or an average, so
+    ordering ties and the per-phase mean are bit-identical on both
+    engines (no float-sum order dependence).  The global ntile is the
+    oracle-exact spelling; at 100 TB the same phases come from
+    approx-quantile boundaries on ttr_micro broadcast as range bounds -
+    one pass, no global sort.  avg_ttr_micro uses integer floor-division
+    (`div`), not a double mean."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    x = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+    ).select(
+        "doc_id",
+        "nt",
+        F.floor((F.col("nd") * 1.0 / F.col("nt")) * 1000000.0 + 0.5).alias(
+            "ttr_micro"
+        ),
+    )
+    p = x.select(
+        "nt",
+        "ttr_micro",
+        F.ntile(4).over(Window.orderBy("ttr_micro", "doc_id")).cast("long").alias("phase"),
+    )
+    return p.groupBy("phase").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("sum_tokens"),
+        F.expr("CAST(sum(ttr_micro) div count(*) AS BIGINT)").alias(
+            "avg_ttr_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash dedup
+# ---------------------------------------------------------------------------
+
+_PHASH_LETTERS = "abcdefghijklmnop"
+
+
+def _phash16(text_col):
+    """16-bit content fingerprint: bit k = parity of the count of letter k
+    in the text - the engine-portable stand-in for a perceptual hash
+    (deterministic, content-derived, locality-preserving under small
+    edits, and computable as pure column arithmetic on BOTH engines)."""
+    bits = []
+    for k, ch in enumerate(_PHASH_LETTERS):
+        cnt = F.length(text_col) - F.length(F.replace(text_col, F.lit(ch), F.lit("")))
+        bits.append((cnt % 2) * (1 << k))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+@query(
+    "dedup_phash_hamming",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             """
+    + " + ".join(
+        f"((len(text) - len(replace(text, '{c}', ''))) % 2) * {1 << k}"
+        for k, c in enumerate(_PHASH_LETTERS)
+    )
+    + """ AS ph
+      FROM documents),
+    b AS (SELECT doc_id, CAST(ph AS BIGINT) AS ph,
+                 ph // 256 AS hi, ph % 256 AS lo FROM p),
+    cand AS (
+      SELECT a.doc_id AS da, c.doc_id AS db, a.ph AS pa, c.ph AS pb
+      FROM b a JOIN b c ON a.hi = c.hi AND a.doc_id < c.doc_id
+      UNION
+      SELECT a.doc_id, c.doc_id, a.ph, c.ph
+      FROM b a JOIN b c ON a.lo = c.lo AND a.doc_id < c.doc_id)
+    SELECT CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= 3
+    GROUP BY 1
+    """,
+)
+def dedup_phash_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash near-dup detection, the image-dedup shape (pHash +
+    Hamming-ball search) run over the text fixture's 16-bit parity
+    fingerprint: band the hash into two bytes, candidate = any pair
+    sharing EITHER band (a Hamming distance <= 3 on 16 bits guarantees at
+    least one intact byte - the pigeonhole banding guarantee, zero false
+    negatives), verify with bit_count(xor).  Both banding joins are plain
+    equi self-joins on a byte key (256 buckets), so the candidate stage
+    is hash-partitioned and never all-pairs; at 100 TB with a 64-bit
+    pHash the same plan uses 4x16-bit bands.  Output is the verified-pair
+    histogram by Hamming distance."""
+    d = load(spark, sf, "documents")
+    b = d.select(
+        "doc_id",
+        _phash16(F.col("text")).alias("ph"),
+    ).select(
+        "doc_id", "ph", F.expr("ph div 256").alias("hi"), (F.col("ph") % 256).alias("lo")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pair_cols = [
+        F.col("a.doc_id").alias("da"),
+        F.col("c.doc_id").alias("db"),
+        F.col("a.ph").alias("pa"),
+        F.col("c.ph").alias("pb"),
+    ]
+    cand = (
+        a.join(c, (F.col("a.hi") == F.col("c.hi")) & (F.col("a.doc_id") < F.col("c.doc_id")))
+        .select(*pair_cols)
+        .union(
+            a.join(
+                c,
+                (F.col("a.lo") == F.col("c.lo")) & (F.col("a.doc_id") < F.col("c.doc_id")),
+            ).select(*pair_cols)
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cand.select(ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# link-graph analytics
+# ---------------------------------------------------------------------------
+
+_PART_NODE_OFFSET = 1_000_000  # disjoint node-id spaces: supplier | part+1e6
+
+
+def _edge_set(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct supplier->part co-purchase edges from lineitem - the
+    fixture's natural bipartite link graph (same construction as
+    dedup_cluster_components' edge derivation)."""
+    li = load(spark, sf, "lineitem")
+    return li.select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_partkey") + _PART_NODE_OFFSET).alias("p"),
+    ).distinct()
+
+
+_GRAPH_EDGES_SQL = """
+      SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem
+"""
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH e0 AS ({_GRAPH_EDGES_SQL}),
+    sd AS (SELECT s, count(*) AS deg FROM e0 GROUP BY s),
+    pd AS (SELECT p, count(*) AS deg FROM e0 GROUP BY p)
+    SELECT 'supplier' AS side, CAST(deg AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM sd GROUP BY deg
+    UNION ALL
+    SELECT 'part', CAST(deg AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM pd GROUP BY deg
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree distribution of the bipartite link graph, both sides - the
+    first diagnostic before any graph algorithm at scale (a power-law
+    tail here is what forces salting / vertex-cut strategies later).
+    Two hash aggs over the distinct edge set, union of two tiny
+    histogram frames; the distinct is the only data-volume shuffle."""
+    e0 = _edge_set(spark, sf)
+    sd = e0.groupBy("s").agg(F.count("*").alias("deg"))
+    pd_ = e0.groupBy("p").agg(F.count("*").alias("deg"))
+    return (
+        sd.groupBy("deg")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(F.lit("supplier").alias("side"), F.col("deg").alias("degree"), "n_nodes")
+        .unionAll(
+            pd_.groupBy("deg")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(F.lit("part").alias("side"), F.col("deg").alias("degree"), "n_nodes")
+        )
+    )
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             CAST(150000 + (85 * sum(r.rank // d.outdeg)) // 100 AS BIGINT)
+               AS rank
+      FROM edges e
+      JOIN {prev} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst)"""
+
+
+@query(
+    "graph_pagerank_iter",
+    oracle=f"""
+    WITH e0 AS ({_GRAPH_EDGES_SQL}),
+    edges AS (SELECT s AS src, p AS dst FROM e0
+              UNION ALL SELECT p, s FROM e0),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+    {_pagerank_iter_sql("r0", "i1")},
+    {_pagerank_iter_sql("i1", "i2")},
+    {_pagerank_iter_sql("i2", "i3")}
+    SELECT node,
+           CASE WHEN node >= 1000000 THEN 'part' ELSE 'supplier' END AS kind,
+           rank AS rank_micro
+    FROM i3
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """,
+)
+def graph_pagerank_iter(spark: SparkSession, sf: str) -> DataFrame:
+    """Three damped PageRank iterations (alpha = 0.85) over the bidirected
+    link graph, in MICRO-RANK INTEGER arithmetic: contributions are
+    rank div outdeg, the damping is (85 * sum) div 100 - integer sums are
+    order-independent, so three chained iterations stay bit-identical to
+    the oracle (a float PageRank diverges across engines at the ulp level
+    per iteration; this is the text_perplexity_proxy discipline applied
+    to an iterative algorithm).  Each iteration is one fact-x-fact hash
+    join on src (ranks are re-partitioned by the join, which AQE sizes at
+    runtime) + one sum shuffle on dst - the canonical Pregel step as two
+    exchanges.  Bidirection guarantees no dangling mass.  At 100x the
+    edge set, the joins stay hash-partitioned on the same keys and the
+    per-iteration cost scales linearly; degree skew is the degree-stats
+    diagnostic's job (graph_degree_stats) and is handled by salting the
+    hot dst keys, which redistributes the SAME integer sum."""
+    e0 = _edge_set(spark, sf)
+    edges = e0.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionAll(
+        e0.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = edges.join(deg, "src")
+    r = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("rank"))
+    for _ in range(3):
+        r = (
+            ed.join(r, ed["src"] == r["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (F.lit(150000) + F.expr("(85 * s) div 100")).cast("long").alias("rank"),
+            )
+        )
+    return (
+        r.select(
+            "node",
+            F.when(F.col("node") >= _PART_NODE_OFFSET, "part")
+            .otherwise("supplier")
+            .alias("kind"),
+            F.col("rank").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), F.asc("node"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series anomaly + nearest as-of
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, day, n,
+             CAST(count(*) OVER w AS BIGINT) AS k,
+             CAST(sum(n) OVER w AS BIGINT) AS s1,
+             CAST(sum(n * n) OVER w AS BIGINT) AS s2
+      FROM d
+      WINDOW w AS (PARTITION BY event_type))
+    SELECT event_type, day, n,
+           floor(((n - s1 * 1.0 / k)
+                  / sqrt(nullif((s2 - s1 * 1.0 * s1 / k) / (k - 1), 0.0)))
+                 * 10000.0 + 0.5) / 10000.0 AS z,
+           abs(floor(((n - s1 * 1.0 / k)
+                  / sqrt(nullif((s2 - s1 * 1.0 * s1 / k) / (k - 1), 0.0)))
+                 * 10000.0 + 0.5) / 10000.0) > 2.0 AS is_anomaly
+    FROM s
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-volume anomaly detection per event type: z-score of each
+    day's count against the type's 30-day distribution.  Mean and
+    variance come from ALGEBRAIC sufficient statistics (k, sum n,
+    sum n^2) - integer sums over the aggregated daily frame, so they are
+    exact and order-independent where stddev_samp()'s float accumulation
+    would drift between engines (the agg_regression_trend discipline).
+    One data-volume shuffle (the daily count agg); the stats window runs
+    over ~150 aggregated rows.  The variance denominator is nullif-
+    guarded (single-day groups yield NULL z, not a crash - ADVICE r5).
+    The anomaly flag compares the ROUNDED z so the boundary decision is
+    the same computation on both engines."""
+    ev = load(spark, sf, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    s = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.count("*").over(w).alias("k"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("k")
+    var = (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("k")) / (
+        F.col("k") - 1
+    )
+    z = pround((F.col("n") - mean) / F.sqrt(F.nullif(var, F.lit(0.0))), 4)
+    return s.select(
+        "event_type",
+        "day",
+        "n",
+        z.alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH pe AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('purchase', 'error')),
+    c AS (
+      SELECT *,
+        last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+          OVER wp AS prev_ts,
+        last_value(CASE WHEN event_type = 'error' THEN event_id END
+                   IGNORE NULLS) OVER wp AS prev_id,
+        first_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+          OVER wn AS next_ts,
+        first_value(CASE WHEN event_type = 'error' THEN event_id END
+                    IGNORE NULLS) OVER wn AS next_id
+      FROM pe
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    g AS (
+      SELECT event_id, user_id,
+             prev_id, next_id,
+             epoch_us(ts) - epoch_us(prev_ts) AS gap_prev,
+             epoch_us(next_ts) - epoch_us(ts) AS gap_next
+      FROM c WHERE event_type = 'purchase')
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN gap_prev IS NOT NULL AND gap_prev <= 3600000000
+                     AND (gap_next IS NULL OR gap_next > 3600000000
+                          OR gap_prev <= gap_next)
+                THEN prev_id
+                WHEN gap_next IS NOT NULL AND gap_next <= 3600000000
+                THEN next_id END AS matched_error_id,
+           CASE WHEN gap_prev IS NOT NULL AND gap_prev <= 3600000000
+                     AND (gap_next IS NULL OR gap_next > 3600000000
+                          OR gap_prev <= gap_next)
+                THEN 'prev'
+                WHEN gap_next IS NOT NULL AND gap_next <= 3600000000
+                THEN 'next' END AS direction,
+           CASE WHEN gap_prev IS NOT NULL AND gap_prev <= 3600000000
+                     AND (gap_next IS NULL OR gap_next > 3600000000
+                          OR gap_prev <= gap_next)
+                THEN gap_prev
+                WHEN gap_next IS NOT NULL AND gap_next <= 3600000000
+                THEN gap_next END AS gap_us
+    FROM g
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof direction='nearest'
+    semantics): each purchase matched to the CLOSEST error event of the
+    same user within a 1-hour tolerance, looking both backward and
+    forward; ties prefer the earlier (backward) match.  Spelled as the
+    union-stream + two running ignore-nulls windows over ONE (user_id,
+    (ts, event_id)) sort - a single shuffle, no join operator at all,
+    same posture as events_attribution_lasttouch but with the forward
+    frame added.  Gaps are integer microseconds; every tolerance and
+    tie comparison is integer, so match decisions are bit-identical on
+    both engines."""
+    tol_us = 3_600_000_000
+    ev = load(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    err_id = F.when(F.col("event_type") == "error", F.col("event_id"))
+    c = (
+        ev.withColumn("prev_ts", F.last(err_ts, ignorenulls=True).over(wp))
+        .withColumn("prev_id", F.last(err_id, ignorenulls=True).over(wp))
+        .withColumn("next_ts", F.first(err_ts, ignorenulls=True).over(wn))
+        .withColumn("next_id", F.first(err_id, ignorenulls=True).over(wn))
+        .filter(F.col("event_type") == "purchase")
+    )
+    g = c.select(
+        "event_id",
+        "user_id",
+        "prev_id",
+        "next_id",
+        (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_prev"),
+        (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("gap_next"),
+    )
+    prev_ok = F.col("gap_prev").isNotNull() & (F.col("gap_prev") <= tol_us)
+    next_ok = F.col("gap_next").isNotNull() & (F.col("gap_next") <= tol_us)
+    take_prev = prev_ok & (
+        F.col("gap_next").isNull()
+        | (F.col("gap_next") > tol_us)
+        | (F.col("gap_prev") <= F.col("gap_next"))
+    )
+    return g.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(take_prev, F.col("prev_id"))
+        .when(next_ok, F.col("next_id"))
+        .alias("matched_error_id"),
+        F.when(take_prev, "prev").when(next_ok, "next").alias("direction"),
+        F.when(take_prev, F.col("gap_prev"))
+        .when(next_ok, F.col("gap_next"))
+        .alias("gap_us"),
+    )

@@ -78,6 +78,14 @@ ADDED_IN_ROUND: dict[str, int] = {
     "stream_attribution_state": 6,
     "dedup_cross_split_leakage": 6,
     "stream_inactivity_flush": 6,
+    "pipeline_compaction_bins": 6,
+    "pipeline_token_budget_split": 6,
+    "pipeline_curriculum_order": 6,
+    "dedup_phash_hamming": 6,
+    "graph_degree_stats": 6,
+    "graph_pagerank_iter": 6,
+    "events_anomaly_zscore": 6,
+    "join_asof_nearest": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -151,6 +159,7 @@ def load_all() -> None:
         streaming_queries,
         relational,
         scalars,
+        corpus_ops,
     )
 
     last = _last_green_round()
