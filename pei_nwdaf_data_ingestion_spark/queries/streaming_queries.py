@@ -813,3 +813,97 @@ def stream_inactivity_flush(spark: SparkSession, sf: str) -> DataFrame:
         name = "stream_inactivity_out"
         _drain(out, name, mode="append")
         return spark.table(name)
+
+
+@query("stream_cdc_upsert")
+def stream_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-style keyed upsert materialization: a change stream merged into
+    a persistent last-write-wins state table via foreachBatch, the
+    lakehouse `MERGE INTO` loop (reference posture: registry.py:76-88
+    INSERT OR REPLACE applied per notification; here it is applied per
+    MICRO-BATCH).  The stream is split into two time-ordered micro-batches
+    (median split, file mtimes - same rig as stream_attribution_state), so
+    the merge provably carries state across the batch boundary: a user
+    whose latest event is in batch 1 must survive batch 2's merge
+    untouched, one updated in batch 2 must be replaced.  Each merge is
+    argmax-per-key over (current state UNION batch winners) - the
+    read-modify-write every CDC sink performs; the state table is
+    localCheckpoint-materialized before the overwrite so the write never
+    scans the files it replaces.
+
+    Scale posture: per batch the work is ONE window shuffle over
+    |batch| + |changed keys| rows, not the full table - at a real
+    deployment the state table is Delta/Iceberg and the same merge is
+    MERGE INTO with file-level pruning on the key ranges the batch
+    touches.  The final table equals ref_upsert_lastwins' batch result
+    exactly (asserted in tests/test_streaming.py)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    with tempfile.TemporaryDirectory(prefix="cdc_upsert_") as tmp:
+        src = os.path.join(tmp, "src")
+        state_dir = os.path.join(tmp, "state")
+        med = ev.agg(F.percentile_approx("ts_us", 0.5, 10000).alias("m"))
+        (
+            ev.crossJoin(F.broadcast(med))
+            .withColumn(
+                "half", F.when(F.col("ts_us") < F.col("m"), "b1").otherwise("b2")
+            )
+            .drop("m")
+            .coalesce(1)
+            .write.partitionBy("half")
+            .parquet(src, mode="overwrite")
+        )
+        now = time.time()
+        for half, age in (("half=b1", 100), ("half=b2", 0)):
+            d = os.path.join(src, half)
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (now - age, now - age))
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "half=*"))
+        )
+
+        w = W.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+
+        def merge(batch_df: DataFrame, batch_id: int) -> None:
+            winners = (
+                batch_df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            if os.path.isdir(state_dir):
+                current = spark.read.parquet(state_dir)
+                winners = (
+                    current.unionByName(winners)
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .drop("rn")
+                )
+            merged = winners.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(state_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(state_dir).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            (F.col("ts_us") / 1000).cast("long").alias("ts_ms"),
+        )
+        # materialize into Spark block storage before the
+        # TemporaryDirectory (and the parquet files) vanish
+        return final.localCheckpoint(eager=True)

@@ -86,6 +86,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "graph_pagerank_iter": 6,
     "events_anomaly_zscore": 6,
     "join_asof_nearest": 6,
+    "stream_cdc_upsert": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

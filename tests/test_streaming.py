@@ -511,3 +511,23 @@ def test_stream_inactivity_flush_matches_watermark_rule(spark):
             continue  # still active at end of stream: never emitted
         want.append((key[0], key[1], n, math.floor(s * 100.0 + 0.5) / 100.0))
     assert got == sorted(want) and len(got) > 0
+
+
+def test_stream_cdc_upsert_matches_batch_lastwins(spark):
+    """The foreachBatch CDC merge's final state table must equal the batch
+    last-write-wins upsert row-for-row; the two time-split micro-batches
+    prove the merge preserves batch-1 winners and replaces superseded
+    ones."""
+    from pei_nwdaf_data_ingestion_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["user_id"], r["event_id"], r["event_type"], r["ts_ms"])
+        for r in registry.QUERIES["stream_cdc_upsert"](spark, sf).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["event_id"], r["event_type"], r["ts_ms"])
+        for r in registry.QUERIES["ref_upsert_lastwins"](spark, sf).collect()
+    )
+    assert got == want and len(got) > 0
