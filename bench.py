@@ -66,6 +66,10 @@ HEADLINE = [
     "events_attribution_lasttouch",
     "sim_pq_topk",
     "pipeline_zorder_key",
+    # round-6b additions: the iterative graph shape (3 join+agg rounds)
+    # and the double-banded pHash self-join
+    "graph_pagerank_iter",
+    "dedup_phash_hamming",
 ]
 
 
@@ -81,7 +85,9 @@ HEADLINE = [
 #     with AQE vs 4.1 s without)
 #   - dedup_ppjoin_prefix: probe/build sizes exist only after the prefix
 #     index is materialized (2.19 s with vs 2.42 s without)
-AQE_ON = {"dedup_cluster_components", "dedup_ppjoin_prefix"}
+#   - graph_pagerank_iter: rank frames are derived (no static stats);
+#     AQE's runtime sizing broadcasts them into the edge join per round
+AQE_ON = {"dedup_cluster_components", "dedup_ppjoin_prefix", "graph_pagerank_iter"}
 
 
 def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:

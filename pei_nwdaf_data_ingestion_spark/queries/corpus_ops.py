@@ -617,3 +617,178 @@ def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
         .when(next_ok, F.col("gap_next"))
         .alias("gap_us"),
     )
+
+
+@query(
+    "events_session_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    i AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM s),
+    p AS (
+      SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM i GROUP BY user_id, sess)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def events_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 full session paths (ordered event-type sequences within
+    30-minute-gap sessions) - the path-mining complement to
+    events_journey_transitions (which only sees pairs) over
+    win_session_gap's session rule.  One (user_id, ts) window shuffle
+    shared by the gap flag and the island id (same partitioning, one
+    sort); the path string is built by a per-session sorted collect -
+    bounded by session length, not stream length - then a hash agg over
+    distinct paths.  Ties in the top-20 break on the path string itself,
+    so the LIMIT is deterministic on both engines."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1_800_000_000
+    s = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > gap_us
+            ),
+            1,
+        ).otherwise(0),
+    )
+    i = s.withColumn(
+        "sess",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    p = (
+        i.groupBy("user_id", "sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@query(
+    "pipeline_filter_funnel",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    mt AS (
+      SELECT doc_id, max(c) AS maxtok FROM (
+        SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token)
+      GROUP BY doc_id),
+    t AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+             CAST(floor((len(list_distinct(string_split(d.text, ' '))) * 1.0
+                         / len(string_split(d.text, ' '))) * 1000000.0 + 0.5)
+                  AS BIGINT) AS ttr_micro,
+             mt.maxtok
+      FROM documents d JOIN mt ON d.doc_id = mt.doc_id),
+    f AS (
+      SELECT nt >= 30 AS p1,
+             ttr_micro >= 300000 AS p2,
+             maxtok * 5 <= nt AS p3
+      FROM t),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n3
+      FROM f)
+    SELECT 1 AS stage, 'min_length' AS rule, n0 AS n_in,
+           n0 - n1 AS n_dropped, n1 AS n_out FROM a
+    UNION ALL
+    SELECT 2, 'lexical_diversity', n1, n1 - n2, n2 FROM a
+    UNION ALL
+    SELECT 3, 'repetition_cap', n2, n2 - n3, n3 FROM a
+    """,
+)
+def pipeline_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential quality-gate funnel report (the C4/RefinedWeb-style
+    cleaning ledger): how many documents each rule drops GIVEN the
+    previous rules passed - min length, lexical diversity (type-token
+    ratio), repetition cap (no token may exceed 1/5 of the document).
+    The per-doc max-token-frequency is the only explode; everything else
+    is per-row column math, and the funnel itself is ONE aggregate row
+    fanned into 3 report rows (broadcast-sized).  All counts integer.
+    At 100 TB this is the report that justifies every byte the pipeline
+    deletes - it runs in the same pass as pipeline_pretrain_filter."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    mt = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("maxtok"))
+    )
+    t = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("nt"),
+        F.floor(
+            (F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)) * 1000000.0
+            + 0.5
+        ).alias("ttr_micro"),
+    ).join(mt, "doc_id")
+    p1 = F.col("nt") >= 30
+    p2 = F.col("ttr_micro") >= 300000
+    p3 = F.col("maxtok") * 5 <= F.col("nt")
+    a = t.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(p1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(p1 & p2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(p1 & p2 & p3, 1).otherwise(0)).alias("n3"),
+    )
+    s1 = a.select(
+        F.lit(1).alias("stage"),
+        F.lit("min_length").alias("rule"),
+        F.col("n0").alias("n_in"),
+        (F.col("n0") - F.col("n1")).alias("n_dropped"),
+        F.col("n1").alias("n_out"),
+    )
+    s2 = a.select(
+        F.lit(2).alias("stage"),
+        F.lit("lexical_diversity").alias("rule"),
+        F.col("n1").alias("n_in"),
+        (F.col("n1") - F.col("n2")).alias("n_dropped"),
+        F.col("n2").alias("n_out"),
+    )
+    s3 = a.select(
+        F.lit(3).alias("stage"),
+        F.lit("repetition_cap").alias("rule"),
+        F.col("n2").alias("n_in"),
+        (F.col("n2") - F.col("n3")).alias("n_dropped"),
+        F.col("n3").alias("n_out"),
+    )
+    return s1.unionAll(s2).unionAll(s3)

@@ -87,6 +87,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "events_anomaly_zscore": 6,
     "join_asof_nearest": 6,
     "stream_cdc_upsert": 6,
+    "events_session_paths": 6,
+    "pipeline_filter_funnel": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -413,3 +413,47 @@ class TestRound6Plans:
         plan = plan_of(spark, "pipeline_zorder_key")
         assert plan.count("Exchange") <= 2
         assert "Join" not in plan
+
+
+class TestRound6bPlans:
+    def test_phash_dedup_is_equi_join_never_cartesian(self, spark):
+        """Both banding self-joins must plan as hash/sort-merge EQUI joins
+        on the byte band key - a cartesian or broadcast-nested-loop here
+        means the banding rewrite regressed to all-pairs."""
+        plan = plan_of(spark, "dedup_phash_hamming")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_asof_nearest_is_single_shuffle_no_join(self, spark):
+        """The nearest as-of is the union-stream + two-frame window
+        spelling: one user_id window exchange, zero join operators."""
+        plan = plan_of(spark, "join_asof_nearest")
+        assert plan.count("Exchange") <= 2  # tree + detail of one exchange
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+            assert j not in plan
+
+    def test_compaction_bins_agg_reuses_window_partitioning(self, spark):
+        """The per-source window and the (source, bin) agg share the
+        source hash partitioning: exactly one data shuffle."""
+        plan = plan_of(spark, "pipeline_compaction_bins")
+        # one Exchange appears twice in formatted output (tree + detail)
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "Join" not in plan
+
+    def test_anomaly_zscore_single_data_shuffle(self, spark):
+        """The daily-count agg is the only data-volume shuffle; the stats
+        window runs over the aggregated ~150-row frame."""
+        plan = plan_of(spark, "events_anomaly_zscore")
+        assert "Join" not in plan
+
+    def test_pagerank_no_cartesian_and_integer_ranks(self, spark):
+        """Each PageRank iteration must stay an equi hash join + hash agg;
+        the output rank column must be integral (the cross-engine
+        determinism contract)."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        df = registry.QUERIES["graph_pagerank_iter"](spark, SF_DIR)
+        assert dict(df.dtypes)["rank_micro"] == "bigint"
+        plan = plan_of(spark, "graph_pagerank_iter")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
