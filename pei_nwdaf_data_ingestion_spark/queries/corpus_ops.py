@@ -792,3 +792,79 @@ def pipeline_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n3").alias("n_out"),
     )
     return s1.unionAll(s2).unionAll(s3)
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH anchor AS (
+      SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS a FROM events),
+    u AS (
+      SELECT user_id,
+             CAST(floor((a - max(epoch_us(ts))) / 86400000000.0) AS BIGINT)
+               AS rec_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events CROSS JOIN anchor
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, a),
+    s AS (
+      SELECT monetary_cents,
+             CAST(ntile(4) OVER (ORDER BY rec_days, user_id) AS BIGINT) AS r,
+             CAST(ntile(4) OVER (ORDER BY freq, user_id) AS BIGINT) AS f,
+             CAST(ntile(4) OVER (ORDER BY monetary_cents, user_id)
+                  AS BIGINT) AS m
+      FROM u)
+    SELECT r * 100 + f * 10 + m AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(monetary_cents) AS BIGINT) AS monetary_cents_total
+    FROM s GROUP BY 1
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation - the
+    marketing-analytics workhorse: per purchasing user, days since last
+    purchase (against the stream's own max-ts anchor, so the query is
+    replayable - no current_timestamp), purchase count, and lifetime
+    value in INTEGER cents (per-event flooring before the sum keeps the
+    per-user total order-independent); each metric quartiled with ntile
+    and composed into a 3-digit segment code.  One data shuffle (the
+    per-user agg); the three ntiles run over the ~|users| aggregated
+    frame - at 100 TB they become approx-quantile boundary lookups,
+    same as pipeline_curriculum_order's scale path.  The anchor scalar
+    is a broadcast 1-row cross join."""
+    ev = load(spark, sf, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("a"))
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "a")
+        .agg(
+            F.floor(
+                (F.col("a") - F.max(F.unix_micros("ts"))) / 86400000000.0
+            ).alias("rec_days"),
+            F.count("*").alias("freq"),
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    s = u.select(
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("rec_days", "user_id")).cast("long").alias("r"),
+        F.ntile(4).over(Window.orderBy("freq", "user_id")).cast("long").alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .cast("long")
+        .alias("m"),
+    )
+    return (
+        s.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("monetary_cents").alias("monetary_cents_total"),
+        )
+    )

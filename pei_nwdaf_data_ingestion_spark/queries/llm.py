@@ -2244,3 +2244,64 @@ def dedup_cross_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
             (F.coalesce("n", F.lit(0)) > 0).cast("int").alias("leaked"),
         )
     )
+
+
+@query(
+    "sim_maxsim_multivector",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE label = 0),
+    d AS (
+      SELECT label, embedding::DOUBLE[] AS dv
+      FROM embeddings WHERE label <> 0),
+    pm AS (
+      SELECT d.label, q.qid,
+             CAST(floor(max(list_dot_product(d.dv, q.qv)
+                   / (sqrt(list_dot_product(d.dv, d.dv))
+                      * sqrt(list_dot_product(q.qv, q.qv))))
+                  * 1000000.0 + 0.5) AS BIGINT) AS m
+      FROM d CROSS JOIN q
+      GROUP BY d.label, q.qid)
+    SELECT label,
+           CAST(sum(m) AS BIGINT) AS maxsim_micro,
+           CAST(count(*) AS BIGINT) AS n_query_vecs
+    FROM pm GROUP BY label
+    """,
+)
+def sim_maxsim_multivector(spark: SparkSession, sf: str) -> DataFrame:
+    """Late-interaction multi-vector retrieval (ColBERT-style MaxSim,
+    Khattab & Zaharia SIGIR'20): the label-0 vector set is the QUERY's
+    token embeddings; every other label group is a candidate document's
+    token set; score(doc) = sum over query tokens of the best cosine in
+    the doc group.  The query side is tiny by construction (one query's
+    tokens) and BROADCAST; the per-(doc, query-token) max is a partial
+    agg that collapses each doc group map-side before any shuffle, so
+    the only shuffled rows are |docs| x |query tokens| maxima - at 100 TB
+    the doc side stays embarrassingly partition-parallel and the scale
+    lever is the same IVF/PQ pruning as single-vector search (probe only
+    cells near any query token).  Per-token maxima are floored to micro
+    ints BEFORE the cross-token sum (floor is monotone, so max-then-
+    floor = floor-then-max), keeping the final sum order-independent
+    and bit-identical to the oracle."""
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    d = e.filter(F.col("label") != 0).select(
+        "label", F.col("embedding").alias("dv")
+    )
+    cos = _dot(F.col("dv"), F.col("qv")) / (
+        _norm(F.col("dv")) * _norm(F.col("qv"))
+    )
+    pm = (
+        _spread(d, "label")
+        .crossJoin(F.broadcast(q))
+        .select("label", "qid", cos.alias("cos"))
+        .groupBy("label", "qid")
+        .agg(F.floor(F.max("cos") * 1000000.0 + 0.5).alias("m"))
+    )
+    return pm.groupBy("label").agg(
+        F.sum("m").alias("maxsim_micro"),
+        F.count("*").alias("n_query_vecs"),
+    )

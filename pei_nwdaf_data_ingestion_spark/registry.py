@@ -89,6 +89,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "stream_cdc_upsert": 6,
     "events_session_paths": 6,
     "pipeline_filter_funnel": 6,
+    "sim_maxsim_multivector": 6,
+    "events_rfm_segments": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
