@@ -85,9 +85,10 @@ HEADLINE = [
 #     with AQE vs 4.1 s without)
 #   - dedup_ppjoin_prefix: probe/build sizes exist only after the prefix
 #     index is materialized (2.19 s with vs 2.42 s without)
-#   - graph_pagerank_iter: rank frames are derived (no static stats);
-#     AQE's runtime sizing broadcasts them into the edge join per round
-AQE_ON = {"dedup_cluster_components", "dedup_ppjoin_prefix", "graph_pagerank_iter"}
+#   (graph_pagerank_iter briefly sat here too; once its adjacency index
+#   was materialized per-application the iteration sizes became static and
+#   AQE's barrier was again pure latency - measured 1.13 s on vs 0.88 s off)
+AQE_ON = {"dedup_cluster_components", "dedup_ppjoin_prefix"}
 
 
 def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
