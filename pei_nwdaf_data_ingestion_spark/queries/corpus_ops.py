@@ -893,3 +893,145 @@ def events_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("monetary_cents").alias("monetary_cents_total"),
         )
     )
+
+
+@query(
+    "time_gapfill_interp",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, min(hour_id) AS h0, max(hour_id) AS h1
+      FROM h GROUP BY 1),
+    grid AS (
+      SELECT b.event_type, unnest(generate_series(b.h0, b.h1)) AS hour_id
+      FROM bounds b),
+    j AS (
+      SELECT g.event_type, g.hour_id, h.n,
+             last_value(CASE WHEN h.n IS NOT NULL THEN h.n END IGNORE NULLS)
+               OVER wp AS prev_n,
+             last_value(CASE WHEN h.n IS NOT NULL THEN g.hour_id END
+                        IGNORE NULLS) OVER wp AS prev_h,
+             first_value(CASE WHEN h.n IS NOT NULL THEN h.n END IGNORE NULLS)
+               OVER wn AS next_n,
+             first_value(CASE WHEN h.n IS NOT NULL THEN g.hour_id END
+                         IGNORE NULLS) OVER wn AS next_h
+      FROM grid g LEFT JOIN h
+        ON g.event_type = h.event_type AND g.hour_id = h.hour_id
+      WINDOW
+        wp AS (PARTITION BY g.event_type ORDER BY g.hour_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY g.event_type ORDER BY g.hour_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, hour_id,
+           n IS NULL AS was_gap,
+           floor((CASE WHEN n IS NOT NULL THEN n * 1.0
+                       ELSE prev_n + (next_n - prev_n) * 1.0
+                            * (hour_id - prev_h) / (next_h - prev_h) END)
+                 * 10000.0 + 0.5) / 10000.0 AS n_filled
+    FROM j
+    """,
+)
+def time_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation - the hypertable
+    / TSDB `time_bucket_gapfill + interpolate` shape: densify each event
+    type's hourly count series over its own [min, max] hour range, then
+    fill missing buckets by interpolating between the nearest known
+    neighbors (two running ignore-nulls windows, one backward one
+    forward - the same frames as join_asof_nearest).  The grid is
+    sequence+explode (map-side 1->N, no driver loop); the dense-grid
+    left join is an equi join on (type, hour).  One window shuffle on
+    event_type covers both frames and the join's right side reuses the
+    hourly agg.  Interp inputs are exact integers (counts + hour ids),
+    so the interpolated double is computed identically on both engines
+    and pround-ed.  At 100 TB the grid per key is bounded by the time
+    range, not the row count - the classic reason gapfill scales."""
+    ev = load(spark, sf, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 3_600_000_000.0).cast("long").alias("hour_id"),
+    ).agg(F.count("*").alias("n"))
+    bounds = h.groupBy("event_type").agg(
+        F.min("hour_id").alias("h0"), F.max("hour_id").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("hour_id")
+    )
+    j = grid.join(h, ["event_type", "hour_id"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_n = F.when(F.col("n").isNotNull(), F.col("n"))
+    known_h = F.when(F.col("n").isNotNull(), F.col("hour_id"))
+    j = (
+        j.withColumn("prev_n", F.last(known_n, ignorenulls=True).over(wp))
+        .withColumn("prev_h", F.last(known_h, ignorenulls=True).over(wp))
+        .withColumn("next_n", F.first(known_n, ignorenulls=True).over(wn))
+        .withColumn("next_h", F.first(known_h, ignorenulls=True).over(wn))
+    )
+    interp = F.col("prev_n") + (F.col("next_n") - F.col("prev_n")) * 1.0 * (
+        F.col("hour_id") - F.col("prev_h")
+    ) / (F.col("next_h") - F.col("prev_h"))
+    return j.select(
+        "event_type",
+        "hour_id",
+        F.col("n").isNull().alias("was_gap"),
+        pround(
+            F.when(F.col("n").isNotNull(), F.col("n") * 1.0).otherwise(interp), 4
+        ).alias("n_filled"),
+    )
+
+
+@query(
+    "events_forecast_snaive",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, day, n,
+             lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+      FROM d)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_eval,
+           CAST(sum(abs(n - f)) AS BIGINT) AS total_abs_err,
+           floor((sum(abs(n - f)) * 1.0 / count(*)) * 10000.0 + 0.5)
+             / 10000.0 AS mae
+    FROM l WHERE f IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_forecast_snaive(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (forecast(d) = actual(d-7), the
+    baseline every real forecaster must beat): per event type, the mean
+    absolute error of the week-ago-naive forecast over all evaluable
+    days.  lag(7) over the aggregated daily frame - the window runs over
+    ~30 rows per type, never the raw stream; absolute errors are INTEGER
+    day-count diffs summed exactly, and the MAE division happens once on
+    exact integers (pround-ed).  One data-volume shuffle (the daily
+    agg).  Day keys order lexicographically = chronologically
+    (yyyy-MM-dd), so lag(7) is the same row on both engines."""
+    ev = load(spark, sf, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.withColumn("f", F.lag("n", 7).over(w)).filter(F.col("f").isNotNull())
+    err = F.abs(F.col("n") - F.col("f"))
+    return l.groupBy("event_type").agg(
+        F.count("*").alias("n_days_eval"),
+        F.sum(err).alias("total_abs_err"),
+        pround(F.sum(err) * 1.0 / F.count("*"), 4).alias("mae"),
+    )

@@ -91,6 +91,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "pipeline_filter_funnel": 6,
     "sim_maxsim_multivector": 6,
     "events_rfm_segments": 6,
+    "time_gapfill_interp": 6,
+    "events_forecast_snaive": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
