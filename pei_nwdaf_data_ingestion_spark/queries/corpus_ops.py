@@ -1035,3 +1035,298 @@ def events_forecast_snaive(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(err).alias("total_abs_err"),
         pround(F.sum(err) * 1.0 / F.count("*"), 4).alias("mae"),
     )
+
+
+@query(
+    "events_funnel_latency",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT su.user_id,
+             min(epoch_us(e.ts) - epoch_us(su.signup_ts)) AS lag_us,
+             strftime(date_trunc('day', su.signup_ts), '%Y-%m-%d') AS cohort
+      FROM su JOIN events e
+        ON e.user_id = su.user_id AND e.event_type = 'purchase'
+           AND e.ts >= su.signup_ts
+      GROUP BY su.user_id, su.signup_ts)
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           floor((quantile_cont(lag_us, 0.5) / 3600000000.0) * 10000.0 + 0.5)
+             / 10000.0 AS p50_hours,
+           floor((quantile_cont(lag_us, 0.9) / 3600000000.0) * 10000.0 + 0.5)
+             / 10000.0 AS p90_hours
+    FROM conv GROUP BY cohort
+    """,
+)
+def events_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert distribution per signup cohort: for each user, the
+    lag from first signup to first subsequent purchase, quantiled within
+    the signup-day cohort - the latency view the conversion funnel
+    (events_funnel_conversion counts) doesn't show.  Two hash aggs keyed
+    user_id with an equi join between them on the SAME key (co-
+    partitioned, no extra exchange under AQE); lags are exact integer
+    microseconds and the p50/p90 interpolation (Spark percentile =
+    DuckDB quantile_cont) runs over per-cohort frames of converted
+    users.  The >= filter rides in the join condition, so never-
+    converting users exit before the agg."""
+    ev = load(spark, sf, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        su.join(
+            pu,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("signup_ts")),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.min(
+                F.unix_micros("p_ts") - F.unix_micros("signup_ts")
+            ).alias("lag_us")
+        )
+        .select(
+            F.date_format(F.date_trunc("day", "signup_ts"), "yyyy-MM-dd").alias(
+                "cohort"
+            ),
+            "lag_us",
+        )
+    )
+    return conv.groupBy("cohort").agg(
+        F.count("*").alias("n_converted"),
+        pround(F.percentile("lag_us", F.lit(0.5)) / 3_600_000_000.0, 4).alias(
+            "p50_hours"
+        ),
+        pround(F.percentile("lag_us", F.lit(0.9)) / 3_600_000_000.0, 4).alias(
+            "p90_hours"
+        ),
+    )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT event_type, user_id FROM events),
+    n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM s GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_overlap
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b, na.n_users AS n_a, nb.n_users AS n_b,
+           i.n_overlap,
+           floor((i.n_overlap * 1.0
+                  / (na.n_users + nb.n_users - i.n_overlap))
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM inter i
+    JOIN n na ON na.event_type = i.type_a
+    JOIN n nb ON nb.event_type = i.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the distinct user
+    sets of every event-type pair - the segmentation diagnostic behind
+    'do clickers also purchase'.  The distinct (type, user) projection is
+    the only data-volume shuffle; the pair intersection is a self-join
+    on user_id (hash-partitioned, 5 types -> each user contributes
+    <= 10 pairs map-side) and the Jaccard denominators come from a
+    broadcast 5-row count dim joined twice.  All counts integer; the
+    ratio is a single division of exact ints, pround-ed.  At 100 TB with
+    high-cardinality types the same query degrades gracefully to
+    HLL-sketch unions (agg_hll_sketch_merge is the declared sketch
+    path)."""
+    ev = load(spark, sf, "events")
+    s = ev.select("event_type", "user_id").distinct()
+    n = s.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = s.select(F.col("event_type").alias("type_a"), "user_id")
+    b = s.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("ub"))
+    inter = (
+        a.join(b, (F.col("user_id") == F.col("ub")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    na = F.broadcast(n.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")))
+    nb = F.broadcast(n.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")))
+    return (
+        inter.join(na, "type_a")
+        .join(nb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_overlap",
+            pround(
+                F.col("n_overlap")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS vsum_cents_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-row rolling 24-hour window (RANGE frame over event-time
+    microseconds) - the TSDB 'value over trailing day' shape that a ROWS
+    frame cannot express (row counts per day vary).  Spelled as a numeric
+    RANGE frame over epoch microseconds on BOTH engines (Spark's
+    rangeBetween takes longs, DuckDB's RANGE takes the same integral
+    bounds), so frame membership - including all same-timestamp peers -
+    is decided by integer comparison identically.  Summed values are
+    per-event integer cents (exact, order-independent).  One shuffle:
+    the user_id window partitioning.  At 100 TB the range frame is the
+    argument FOR watermark-windowed streaming duals (win_sliding): the
+    batch window sorts each user once and scans with two pointers."""
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count("*").over(w).alias("n_24h"),
+        F.sum(cents).over(w).alias("vsum_cents_24h"),
+    )
+
+
+@query(
+    "agg_decimal_money",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
+                         AS DECIMAL(18,2))) AS VARCHAR) AS total_price,
+           CAST(sum(CAST(floor(l_discount * 10000.0 + 0.5) / 10000.0
+                         AS DECIMAL(18,4))) AS VARCHAR) AS total_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_money(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact fixed-point money aggregation: doubles quantized to cents /
+    basis points, cast to DECIMAL, and summed in decimal arithmetic -
+    zero float error at ANY row count, the accounting-grade path (a
+    double sum of 100 TB of prices drifts; a decimal sum cannot).  The
+    quantize-before-cast uses the same floor(x*scale+0.5) rule as every
+    pround, so both engines construct identical decimals; decimal sums
+    are exact integer arithmetic and therefore order-independent across
+    partitions (unlike the float sums this query exists to replace).
+    Rendered as strings because the exact decimal IS the result - the
+    driver compares it digit-for-digit.  Plain map-side-combined hash
+    agg, one shuffle of 3 groups x 2 int128s."""
+    li = load(spark, sf, "lineitem")
+    price_dec = (F.floor(F.col("l_extendedprice") * 100.0 + 0.5) / 100.0).cast(
+        "decimal(18,2)"
+    )
+    disc_dec = (F.floor(F.col("l_discount") * 10000.0 + 0.5) / 10000.0).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(price_dec).cast("string").alias("total_price"),
+            F.sum(disc_dec).cast("string").alias("total_discount"),
+        )
+    )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH tf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token),
+    rk AS (
+      SELECT CAST(floor(ln(row_number() OVER (ORDER BY c DESC, token))
+                        * 1000.0 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(c) * 1000.0 + 0.5) AS BIGINT) AS y
+      FROM tf),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM rk)
+    SELECT n AS n_terms,
+           floor(((n * sxy - sx * sy) * 1.0
+                  / nullif(n * sxx - sx * sx, 0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS zipf_slope
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of log(count)
+    vs log(rank) - the one-number corpus-health check (natural text sits
+    near -1; synthetic or templated corpora flatten).  Log coordinates
+    are milli-scaled INTEGERS before any sum (the agg_regression_trend /
+    perplexity discipline), so the OLS sufficient statistics are exact
+    and order-independent; the slope is a single division of exact ints,
+    nullif-guarded, pround-ed.  One explode + hash agg for term counts
+    (map-side combined), one global rank window over the |vocab| frame -
+    vocabulary, not corpus, sized; at 100 TB the window input is the
+    df-capped term dictionary, exactly like text_keyword_topk's df
+    stage."""
+    d = load(spark, sf, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    rk = tf.select(
+        F.floor(
+            F.log(
+                F.row_number()
+                .over(Window.orderBy(F.desc("c"), F.asc("token")))
+                .cast("double")
+            )
+            * 1000.0
+            + 0.5
+        ).alias("x"),
+        F.floor(F.log("c") * 1000.0 + 0.5).alias("y"),
+    )
+    s = rk.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0)
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        pround(num * 1.0 / den, 6).alias("zipf_slope"),
+    )

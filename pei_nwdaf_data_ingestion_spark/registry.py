@@ -93,6 +93,11 @@ ADDED_IN_ROUND: dict[str, int] = {
     "events_rfm_segments": 6,
     "time_gapfill_interp": 6,
     "events_forecast_snaive": 6,
+    "events_funnel_latency": 6,
+    "events_audience_overlap": 6,
+    "win_time_range_frame": 6,
+    "agg_decimal_money": 6,
+    "text_zipf_slope": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
