@@ -1330,3 +1330,145 @@ def text_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").alias("n_terms"),
         pround(num * 1.0 / den, 6).alias("zipf_slope"),
     )
+
+
+@query(
+    "pipeline_snapshot_diff",
+    oracle="""
+    WITH v2 AS (
+      SELECT doc_id, md5(text) AS h
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 30),
+    v1 AS (
+      SELECT doc_id, source, md5(text) AS h
+      FROM documents)
+    SELECT v1.source,
+           CAST(count(*) AS BIGINT) AS n_v1,
+           CAST(sum(CASE WHEN v2.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN v2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM v1 LEFT JOIN v2 ON v1.doc_id = v2.doc_id AND v1.h = v2.h
+    GROUP BY v1.source
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-version diff audit: compare corpus snapshot v1 (raw) with
+    v2 (the min-length quality gate applied - pipeline_filter_funnel's
+    first rule) by (doc_id, content-hash) and report per-source kept/
+    removed counts - the manifest diff a data-versioning layer (Delta
+    history, LakeFS) prints for a dataset release note.  Content
+    equality is by md5, so a doc whose text CHANGED between versions
+    counts as removed+absent rather than kept (the join requires both
+    id and hash to match).  One equi join on doc_id (hash-partitioned
+    both sides, AQE-broadcastable when the diff side is small) + one
+    per-source agg.  All counts integer."""
+    d = load(spark, sf, "documents")
+    v2 = d.filter(F.size(F.split("text", " ")) >= 30).select(
+        F.col("doc_id").alias("v2_id"), F.md5("text").alias("v2_h")
+    )
+    v1 = d.select("doc_id", "source", F.md5("text").alias("h"))
+    j = v1.join(
+        v2, (F.col("doc_id") == F.col("v2_id")) & (F.col("h") == F.col("v2_h")), "left"
+    )
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_v1"),
+        F.sum(F.when(F.col("v2_id").isNull(), 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(F.col("v2_id").isNotNull(), 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+# one written-out copy per (application, sf, format) - a source-format
+# round-trip is an ingest-time event, not a per-query one; dirs removed at
+# interpreter exit
+_SRC_DUMP: dict[tuple[str, str, str], str] = {}
+
+
+def _dump_dir(spark: SparkSession, sf: str, fmt: str, build) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf, fmt)
+    if key not in _SRC_DUMP:
+        d = tempfile.mkdtemp(prefix=f"src_{fmt}_")
+        build(d)
+        _SRC_DUMP[key] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return _SRC_DUMP[key]
+
+
+@query(
+    "scan_json_source",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS vsum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scan_json_source(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines source connector parity: the events table round-trips
+    through newline-delimited JSON (the wire format the reference's HTTP
+    ingest actually receives, receiver.py:357) and the aggregate over the
+    JSON-sourced frame must equal the parquet-sourced oracle exactly.
+    Timestamps and money leave the JSON as integers (epoch micros /
+    cents) - the schema-explicit, locale-proof encoding - so the
+    round-trip is bit-exact and the JSON reader runs with a user schema
+    (no sampling-based inference job, which at 100 TB is a full extra
+    scan).  The dump happens once per application; the query's own work
+    is the schema-bound JSON scan + one hash agg."""
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    d = _dump_dir(
+        spark, sf, "json",
+        lambda p: ev.coalesce(1).write.mode("overwrite").json(p),
+    )
+    src = spark.read.schema(
+        "event_id long, ts_us long, user_id long, event_type string, cents long"
+    ).json(d)
+    return src.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("vsum_cents")
+    )
+
+
+@query(
+    "scan_csv_source",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def scan_csv_source(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV source connector parity: the documents metadata round-trips
+    through headered CSV and the per-(lang, source) rollup must equal
+    the parquet-sourced oracle.  Read with an EXPLICIT schema and
+    header=true - never inferSchema, which costs a full extra pass and
+    can flip types between runs at scale.  Only scalar metadata columns
+    ride the CSV (the text column stays in columnar formats where it
+    belongs - CSV is the interchange format for manifests, not
+    payloads)."""
+    dm = load(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+    d = _dump_dir(
+        spark, sf, "csv",
+        lambda p: dm.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(p),
+    )
+    src = spark.read.schema(
+        "doc_id long, lang string, source string, n_chars long"
+    ).option("header", True).csv(d)
+    return src.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )

@@ -2305,3 +2305,93 @@ def sim_maxsim_multivector(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("m").alias("maxsim_micro"),
         F.count("*").alias("n_query_vecs"),
     )
+
+
+@query(
+    "sim_bm25_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY doc_id),
+    df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len) AS BIGINT) AS sumlen
+      FROM dl),
+    q AS (
+      SELECT DISTINCT token FROM tok WHERE doc_id = 0),
+    hits AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * d.len
+                                 / (s.sumlen * 1.0 / s.n_docs)))
+               * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+      FROM tf t
+      JOIN q ON t.token = q.token
+      JOIN df f ON f.token = t.token
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.doc_id <> 0)
+    SELECT doc_id,
+           CAST(sum(s_micro) AS BIGINT) AS bm25_micro,
+           CAST(count(*) AS BIGINT) AS n_matched_terms
+    FROM hits GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT 10
+    """,
+)
+def sim_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson-Sparck Jones; k1=1.2, b=0.75) -
+    the sparse half of every hybrid search stack, next to the dense half
+    (sim_cosine_topk / sim_maxsim_multivector): doc 0's token set is the
+    query; candidates score sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b +
+    b*len/avglen)).  The inverted-index shape: ONE explode builds tf
+    (map-side combined), df and doclen derive from tf/tok aggs, the
+    query-term probe is an equi join on token against the tf postings -
+    exactly how a 100 TB BM25 runs (postings partitioned by term, query
+    terms broadcast), never a doc x doc product.  The corpus stats
+    (N, sumlen) ride a broadcast 1-row cross join.  Per-term partial
+    scores are floored to micro ints BEFORE the per-doc sum, so ranking
+    and scores are bit-identical to the oracle; top-10 ties break on
+    doc_id."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("len").alias("sumlen")
+    )
+    q = tok.filter(F.col("doc_id") == 0).select("token").distinct()
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avglen = F.col("sumlen") * 1.0 / F.col("n_docs")
+    s = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / avglen)
+    )
+    hits = (
+        tf.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q), "token")
+        .join(df, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.floor(s * 1000000.0 + 0.5).alias("s_micro"))
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.sum("s_micro").alias("bm25_micro"),
+            F.count("*").alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -98,6 +98,10 @@ ADDED_IN_ROUND: dict[str, int] = {
     "win_time_range_frame": 6,
     "agg_decimal_money": 6,
     "text_zipf_slope": 6,
+    "sim_bm25_topk": 6,
+    "pipeline_snapshot_diff": 6,
+    "scan_json_source": 6,
+    "scan_csv_source": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
