@@ -457,3 +457,42 @@ class TestRound6bPlans:
         plan = plan_of(spark, "graph_pagerank_iter")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound6cPlans:
+    def test_bm25_probe_broadcasts_query_terms(self, spark):
+        """BM25's postings probe must broadcast the query-term set (one
+        query's tokens) - shuffling the postings against a ~100-row dim
+        would be the wrong plan at any scale."""
+        plan = plan_of(spark, "sim_bm25_topk")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_maxsim_doc_side_never_shuffles_for_the_probe(self, spark):
+        """MaxSim's query side is broadcast; the doc side's only exchange
+        is its deliberate _spread repartition + the two aggs."""
+        plan = plan_of(spark, "sim_maxsim_multivector")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_json_csv_sources_scan_with_explicit_schema(self, spark):
+        """Source round-trips must not run schema inference (an extra full
+        scan at 100 TB): the scan node carries the user schema."""
+        for name, fmt in (("scan_json_source", "json"), ("scan_csv_source", "csv")):
+            plan = plan_of(spark, name)
+            assert f"Scan {fmt}" in plan, name
+
+    def test_time_range_frame_single_window_shuffle(self, spark):
+        plan = plan_of(spark, "win_time_range_frame")
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+    def test_decimal_money_sums_are_decimal_typed(self, spark):
+        """The money aggregation must run in decimal arithmetic, not
+        re-enter doubles before the render."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        df = registry.QUERIES["agg_decimal_money"](spark, SF_DIR)
+        plan = plan_of(spark, "agg_decimal_money")
+        assert "sum(" in plan and "decimal(" in plan.lower()
+        assert dict(df.dtypes)["total_price"] == "string"
