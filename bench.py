@@ -70,6 +70,11 @@ HEADLINE = [
     # and the double-banded pHash self-join
     "graph_pagerank_iter",
     "dedup_phash_hamming",
+    # round-6c additions: the inverted-index BM25 probe, the decimal-exact
+    # money agg, and the event-time RANGE frame window
+    "sim_bm25_topk",
+    "agg_decimal_money",
+    "win_time_range_frame",
 ]
 
 

@@ -1472,3 +1472,108 @@ def scan_csv_source(spark: SparkSession, sf: str) -> DataFrame:
     return src.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
     )
+
+
+@query(
+    "text_bpe_merge_step",
+    oracle="""
+    WITH tf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(token) - 1),
+                                   i -> substr(token, i, 2))) AS pair,
+             c
+      FROM tf WHERE len(token) >= 2)
+    SELECT pair, CAST(sum(c) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 10
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One byte-pair-encoding merge iteration (Sennrich et al., ACL'16 -
+    the algorithm behind every modern tokenizer vocabulary): count
+    adjacent character pairs across the corpus weighted by token
+    frequency and emit the top-10 merge candidates.  The trainer's full
+    loop repeats this step after applying the winning merge; ONE step is
+    the oracle-checkable unit, and its data shape is the whole story:
+    pair counting runs over the DISTINCT-term dictionary (|vocab| rows)
+    weighted by pre-aggregated term counts - never over the raw corpus -
+    so a 100 TB corpus costs one term-count agg (map-side combined) and
+    a vocabulary-sized pair explode.  Pair generation is a codegen
+    substring transform (1->len-1 map-side fan-out, no UDF); counts are
+    exact integers; top-10 ties break on the pair string."""
+    d = load(spark, sf, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = tf.filter(F.length("token") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("token") - 1),
+                lambda i: F.col("token").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(10)
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    proj AS (
+      SELECT DISTINCT a.s AS s1, b.s AS s2
+      FROM e0 a JOIN e0 b ON a.p = b.p AND a.s < b.s),
+    tri AS (
+      SELECT 1 AS one
+      FROM proj ab
+      JOIN proj bc ON bc.s1 = ab.s2
+      JOIN proj ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(count(*) AS BIGINT) FROM proj) AS n_proj_edges
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting on the supplier co-purchase projection (suppliers
+    sharing a part) - the clustering-coefficient numerator and the
+    canonical second graph benchmark after PageRank.  Ordered-edge
+    enumeration (s1 < s2 < s3 via two equi joins) counts each triangle
+    EXACTLY once - the compact-forward algorithm, no post-division by 6.
+    The projection itself is the part-blocked pairwise join (same
+    blocking discipline as dedup_near_jaccard); at 100 TB the known
+    hazard is hub parts creating quadratic pair fan-out, and the
+    production mitigation - cap or sample per-part neighbor lists - is
+    the same df-cap documented in dedup_winnowing.  Everything is an
+    equi join on integer keys; the count is exact."""
+    li = load(spark, sf, "lineitem")
+    e0 = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    a = e0.select(F.col("p").alias("pa"), F.col("s").alias("sa"))
+    b = e0.select(F.col("p").alias("pb"), F.col("s").alias("sb"))
+    proj = (
+        a.join(b, (F.col("pa") == F.col("pb")) & (F.col("sa") < F.col("sb")))
+        .select(F.col("sa").alias("s1"), F.col("sb").alias("s2"))
+        .distinct()
+    )
+    ab = proj.select(F.col("s1").alias("x1"), F.col("s2").alias("x2"))
+    bc = proj.select(F.col("s1").alias("y1"), F.col("s2").alias("y2"))
+    ac = proj.select(F.col("s1").alias("z1"), F.col("s2").alias("z2"))
+    tri = ab.join(bc, F.col("y1") == F.col("x2")).join(
+        ac, (F.col("z1") == F.col("x1")) & (F.col("z2") == F.col("y2"))
+    )
+    n_edges = proj.agg(F.count("*").alias("n_proj_edges"))
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        F.broadcast(n_edges)
+    )

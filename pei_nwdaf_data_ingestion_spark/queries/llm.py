@@ -2395,3 +2395,67 @@ def sim_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query("sim_mmr_rerank")  # rows-only: greedy selection is inherently sequential
+def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein,
+    SIGIR'98) - the diversity pass every RAG retriever runs after ANN:
+    fetch a candidate pool by relevance (distributed brute-force cosine
+    vs the broadcast probe, same plan as sim_cosine_topk), then greedily
+    pick k results maximizing lambda*rel - (1-lambda)*max-sim-to-already-
+    selected.  The greedy phase is sequential BY DEFINITION, so it runs
+    driver-side over the BOUNDED candidate pool (20 vectors x 64 dims -
+    the same bounded-collect posture as the IVF centroid build,
+    llm.py; the distributed work - scoring the full corpus - happened in
+    the pool query).  At 100 TB only the pool query scales; the rerank
+    cost is O(k * pool) regardless of corpus size.  Deterministic:
+    python floats on canonically-ordered candidates, ties broken by
+    vec_id."""
+    e = load(spark, sf, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+            (
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv")))
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(20)
+    )
+    rows = cand.collect()  # bounded: 20 candidates x 64 dims
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb)
+
+    lam, k = 0.7, 5
+    pool = [(r["vec_id"], r["label"], list(r["v"]), float(r["rel"])) for r in rows]
+    selected = []
+    while pool and len(selected) < k:
+        best = None
+        for vid, lab, v, rel in pool:
+            red = max((cos(v, sv) for _, _, sv, _, _ in selected), default=0.0)
+            score = lam * rel - (1.0 - lam) * red
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, (vid, lab, v, rel), score)
+        selected.append(best[1] + (best[2],))
+        pool = [p for p in pool if p[0] != best[1][0]]
+    out = [
+        (i + 1, vid, lab, round(rel, 6), round(score, 6))
+        for i, (vid, lab, _v, rel, score) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, label int, relevance double, mmr_score double"
+    )

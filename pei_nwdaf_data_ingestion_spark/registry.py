@@ -102,6 +102,9 @@ ADDED_IN_ROUND: dict[str, int] = {
     "pipeline_snapshot_diff": 6,
     "scan_json_source": 6,
     "scan_csv_source": 6,
+    "text_bpe_merge_step": 6,
+    "graph_triangle_count": 6,
+    "sim_mmr_rerank": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
