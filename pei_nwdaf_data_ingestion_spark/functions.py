@@ -101,3 +101,109 @@ def band_join(
         how,
     )
     return joined.drop(fan["_bucket"]).drop(built["_bucket"])
+
+
+def _ranged_with_pid(df, sort_cols, ascending=None):
+    """Range-shuffle df on sort_cols so partition ids follow sort order,
+    and tag each row with its pid.  Foundation of the distributed global
+    rank / running sum (the win_ntile recipe).
+
+    The pid-tagged frame is lazily localCheckpoint-ed: the counts/offsets
+    branch and the output branch BOTH scan the one materialized RDD, so
+    their pids agree STRUCTURALLY - not by the weaker
+    deterministic-bound-sampling argument, which AQE can break when its
+    runtime coalescing gives the two planned copies of the range exchange
+    different input layouts (observed as a corrupted rank at sf0.1).
+    This is also exactly zipWithIndex's contract: one materializing pass
+    to learn per-partition sizes, then the cheap offset arithmetic."""
+    spark = df.sparkSession
+    p = max(2, spark.sparkContext.defaultParallelism)
+    cols = [
+        (F.col(c) if isinstance(c, str) else c) for c in sort_cols
+    ]
+    if ascending:
+        cols = [
+            c if asc else c.desc()
+            for c, asc in zip(cols, ascending)
+        ]
+    return (
+        df.repartitionByRange(p, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+
+def global_rank(df, sort_cols, out: str = "rn", ascending=None):
+    """Global 1-based row_number over sort_cols WITHOUT the
+    Exchange-SinglePartition plan `row_number() OVER (ORDER BY ...)`
+    produces (banned by tests/test_plan_quality.py TestNoGlobalWindow).
+
+    Distributed-rank recipe (win_ntile, windows.py): range shuffle ->
+    local row_number within each range -> per-range counts -> prefix
+    offsets via a P-row self-join, broadcast back -> rank = offset +
+    local rank.  Requires sort_cols to be a UNIQUE key (ties would make
+    the rank nondeterministic on any engine).  `ascending` is an
+    optional list of bools per sort col (default all ascending)."""
+    from pyspark.sql import Window as W
+
+    ranged = _ranged_with_pid(df, sort_cols, ascending)
+    order = [
+        (F.col(c) if isinstance(c, str) else c) for c in sort_cols
+    ]
+    if ascending:
+        order = [c if asc else c.desc() for c, asc in zip(order, ascending)]
+    w_local = W.partitionBy("_pid").orderBy(*order)
+    local = ranged.withColumn("_local_rn", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_local_rn")).cast("long"))
+        .drop("_pid", "_local_rn", "_off")
+    )
+
+
+def global_running_sum(df, val_col: str, sort_cols, out: str = "cum"):
+    """Global inclusive running sum of val_col over sort_cols order,
+    spelled distributed (same offsets trick as global_rank with per-range
+    SUMS instead of counts).  sort_cols must be a unique key; val_col
+    must be integral for cross-engine exactness."""
+    from pyspark.sql import Window as W
+
+    ranged = _ranged_with_pid(df, sort_cols)
+    w_local = (
+        W.partitionBy("_pid")
+        .orderBy(*[F.col(c) if isinstance(c, str) else c for c in sort_cols])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("_local_cum", F.sum(val_col).over(w_local))
+    sums = ranged.groupBy("_pid").agg(F.sum(val_col).alias("_psum"))
+    offsets = (
+        sums.alias("a")
+        .join(sums.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._psum"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_local_cum")).cast("long"))
+        .drop("_pid", "_local_cum", "_off")
+    )
+
+
+def ntile_expr(rn: str, n_total: str, tiles: int) -> Column:
+    """Exact SQL ntile(t) arithmetic on a precomputed global rank column:
+    the first n%t tiles get one extra row (the win_ntile distributed
+    spelling, windows.py).  Takes COLUMN NAMES (integral types)."""
+    b = f"({n_total} div {tiles})"
+    m = f"({n_total} % {tiles})"
+    return F.expr(
+        f"CASE WHEN {rn} <= {m} * ({b} + 1)"
+        f" THEN ({rn} + {b}) div ({b} + 1)"
+        f" ELSE {m} + (({rn} - {m} * ({b} + 1) + {b} - 1) div {b}) END"
+    )

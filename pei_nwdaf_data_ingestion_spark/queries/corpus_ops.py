@@ -109,13 +109,15 @@ def pipeline_token_budget_split(spark: SparkSession, sf: str) -> DataFrame:
     (md5 of content - reproducible across runs AND engines, unlike
     rand()), then cut at 90% of the total token budget by running count -
     how a pretrain corpus is actually split when the budget is expressed
-    in tokens, not documents.  The running sum is spelled as ONE global
-    window here (exact, oracle-checkable); at 100 TB the same cut is
-    computed in the standard two phases - per-partition partial token
-    sums collected to the driver (one long per partition), partition
-    offsets broadcast back - which is precisely how Spark's own
-    zipWithIndex works, changing no semantics.  The total-budget scalar
-    is a broadcast 1-row cross join on both paths."""
+    in tokens, not documents.  The running sum is DISTRIBUTED
+    (functions.global_running_sum: range shuffle on the unique (h,
+    doc_id) key, per-range local cumsum, P-row prefix-offset join
+    broadcast back - the zipWithIndex recipe), so no single-partition
+    sort exists anywhere in the plan (TestNoGlobalWindow); semantics are
+    identical to the oracle's one-window SQL spelling.  The total-budget
+    scalar is a broadcast 1-row cross join on both paths."""
+    from ..functions import global_running_sum
+
     d = load(spark, sf, "documents")
     toks = d.select(
         "doc_id",
@@ -123,10 +125,7 @@ def pipeline_token_budget_split(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("t"),
     )
     tot = toks.agg(F.sum("t").alias("total"))
-    w = Window.orderBy("h", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = toks.select("doc_id", "t", F.sum("t").over(w).alias("cum"))
+    c = global_running_sum(toks, "t", ["h", "doc_id"], out="cum")
     return (
         c.crossJoin(F.broadcast(tot))
         .select(
@@ -173,11 +172,15 @@ def pipeline_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
     deal them into 4 equal phases with ntile.  The ratio is micro-scaled
     to an INTEGER before it becomes an ordering key or an average, so
     ordering ties and the per-phase mean are bit-identical on both
-    engines (no float-sum order dependence).  The global ntile is the
-    oracle-exact spelling; at 100 TB the same phases come from
-    approx-quantile boundaries on ttr_micro broadcast as range bounds -
-    one pass, no global sort.  avg_ttr_micro uses integer floor-division
-    (`div`), not a double mean."""
+    engines (no float-sum order dependence).  The ntile is computed from
+    a DISTRIBUTED global rank (functions.global_rank - range shuffle +
+    prefix offsets, no Exchange SinglePartition anywhere, per
+    TestNoGlobalWindow) with the exact SQL ntile arithmetic applied to
+    the rank (functions.ntile_expr), so output equals the oracle's
+    ntile() window row-for-row.  avg_ttr_micro uses integer
+    floor-division (`div`), not a double mean."""
+    from ..functions import global_rank, ntile_expr
+
     d = load(spark, sf, "documents")
     toks = F.split("text", " ")
     x = d.select(
@@ -191,10 +194,15 @@ def pipeline_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
             "ttr_micro"
         ),
     )
-    p = x.select(
-        "nt",
-        "ttr_micro",
-        F.ntile(4).over(Window.orderBy("ttr_micro", "doc_id")).cast("long").alias("phase"),
+    tot = x.agg(F.count("*").alias("n_total"))
+    p = (
+        global_rank(x, ["ttr_micro", "doc_id"], out="rn")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nt",
+            "ttr_micro",
+            ntile_expr("rn", "n_total", 4).cast("long").alias("phase"),
+        )
     )
     return p.groupBy("phase").agg(
         F.count("*").alias("n_docs"),
@@ -834,13 +842,28 @@ def pipeline_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
       FROM events CROSS JOIN anchor
       WHERE event_type = 'purchase'
       GROUP BY user_id, a),
+    q AS (
+      SELECT quantile_cont(rec_days, 0.25) AS r1, quantile_cont(rec_days, 0.5) AS r2,
+             quantile_cont(rec_days, 0.75) AS r3,
+             quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+             quantile_cont(freq, 0.75) AS f3,
+             quantile_cont(monetary_cents, 0.25) AS m1,
+             quantile_cont(monetary_cents, 0.5) AS m2,
+             quantile_cont(monetary_cents, 0.75) AS m3
+      FROM u),
     s AS (
       SELECT monetary_cents,
-             CAST(ntile(4) OVER (ORDER BY rec_days, user_id) AS BIGINT) AS r,
-             CAST(ntile(4) OVER (ORDER BY freq, user_id) AS BIGINT) AS f,
-             CAST(ntile(4) OVER (ORDER BY monetary_cents, user_id)
+             CAST(1 + (CASE WHEN rec_days > r1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN rec_days > r2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN rec_days > r3 THEN 1 ELSE 0 END) AS BIGINT) AS r,
+             CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN freq > f2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) AS BIGINT) AS f,
+             CAST(1 + (CASE WHEN monetary_cents > m1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN monetary_cents > m2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN monetary_cents > m3 THEN 1 ELSE 0 END)
                   AS BIGINT) AS m
-      FROM u)
+      FROM u CROSS JOIN q)
     SELECT r * 100 + f * 10 + m AS segment,
            CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(monetary_cents) AS BIGINT) AS monetary_cents_total
@@ -853,12 +876,15 @@ def events_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     purchase (against the stream's own max-ts anchor, so the query is
     replayable - no current_timestamp), purchase count, and lifetime
     value in INTEGER cents (per-event flooring before the sum keeps the
-    per-user total order-independent); each metric quartiled with ntile
-    and composed into a 3-digit segment code.  One data shuffle (the
-    per-user agg); the three ntiles run over the ~|users| aggregated
-    frame - at 100 TB they become approx-quantile boundary lookups,
-    same as pipeline_curriculum_order's scale path.  The anchor scalar
-    is a broadcast 1-row cross join."""
+    per-user total order-independent); each metric scored 1-4 against
+    its own exact quartile BOUNDARIES (percentile / quantile_cont - the
+    interpolation both engines share) and composed into a 3-digit
+    segment code.  Boundary scoring instead of ntile is deliberate: the
+    9 boundaries are ONE 1-row agg broadcast everywhere - no global
+    sort, no single-partition window, and the same plan at any user
+    count (TestNoGlobalWindow pins the invariant).  One data shuffle
+    (the per-user agg); the anchor scalar is a broadcast 1-row cross
+    join."""
     ev = load(spark, sf, "events")
     anchor = ev.agg(F.max(F.unix_micros("ts")).alias("a"))
     u = (
@@ -875,14 +901,32 @@ def events_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    s = u.select(
+    q = u.agg(
+        *[
+            F.percentile(col, F.lit(p)).alias(f"{pre}{i}")
+            for col, pre in (
+                ("rec_days", "r"),
+                ("freq", "f"),
+                ("monetary_cents", "m"),
+            )
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(col: str, pre: str):
+        v = F.col(col)
+        return (
+            F.lit(1)
+            + F.when(v > F.col(f"{pre}1"), 1).otherwise(0)
+            + F.when(v > F.col(f"{pre}2"), 1).otherwise(0)
+            + F.when(v > F.col(f"{pre}3"), 1).otherwise(0)
+        ).cast("long")
+
+    s = u.crossJoin(F.broadcast(q)).select(
         "monetary_cents",
-        F.ntile(4).over(Window.orderBy("rec_days", "user_id")).cast("long").alias("r"),
-        F.ntile(4).over(Window.orderBy("freq", "user_id")).cast("long").alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary_cents", "user_id"))
-        .cast("long")
-        .alias("m"),
+        score("rec_days", "r").alias("r"),
+        score("freq", "f").alias("f"),
+        score("monetary_cents", "m").alias("m"),
     )
     return (
         s.groupBy(
@@ -1293,26 +1337,24 @@ def text_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     perplexity discipline), so the OLS sufficient statistics are exact
     and order-independent; the slope is a single division of exact ints,
     nullif-guarded, pround-ed.  One explode + hash agg for term counts
-    (map-side combined), one global rank window over the |vocab| frame -
-    vocabulary, not corpus, sized; at 100 TB the window input is the
-    df-capped term dictionary, exactly like text_keyword_topk's df
+    (map-side combined); the frequency rank uses the DISTRIBUTED global
+    rank (functions.global_rank with descending count order - no
+    single-partition sort, per TestNoGlobalWindow) over the |vocab|
+    frame - vocabulary, not corpus, sized; at 100 TB the rank input is
+    the df-capped term dictionary, exactly like text_keyword_topk's df
     stage."""
+    from ..functions import global_rank
+
     d = load(spark, sf, "documents")
     tf = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("c"))
     )
-    rk = tf.select(
-        F.floor(
-            F.log(
-                F.row_number()
-                .over(Window.orderBy(F.desc("c"), F.asc("token")))
-                .cast("double")
-            )
-            * 1000.0
-            + 0.5
-        ).alias("x"),
+    rk = global_rank(
+        tf, ["c", "token"], out="rn", ascending=[False, True]
+    ).select(
+        F.floor(F.log(F.col("rn").cast("double")) * 1000.0 + 0.5).alias("x"),
         F.floor(F.log("c") * 1000.0 + 0.5).alias("y"),
     )
     s = rk.agg(
