@@ -138,23 +138,34 @@ def global_rank(df, sort_cols, out: str = "rn", ascending=None):
     Exchange-SinglePartition plan `row_number() OVER (ORDER BY ...)`
     produces (banned by tests/test_plan_quality.py TestNoGlobalWindow).
 
-    Distributed-rank recipe (win_ntile, windows.py): range shuffle ->
-    local row_number within each range -> per-range counts -> prefix
-    offsets via a P-row self-join, broadcast back -> rank = offset +
-    local rank.  Requires sort_cols to be a UNIQUE key (ties would make
-    the rank nondeterministic on any engine).  `ascending` is an
-    optional list of bools per sort col (default all ascending)."""
-    from pyspark.sql import Window as W
-
-    ranged = _ranged_with_pid(df, sort_cols, ascending)
-    order = [
-        (F.col(c) if isinstance(c, str) else c) for c in sort_cols
-    ]
+    The zipWithIndex spelling: range shuffle on the (unique) key ->
+    sortWithinPartitions -> monotonically_increasing_id encodes
+    (partition id << 33 | local row number) IN the sorted stage - no
+    Window operator, no extra exchange - then the frame is lazily
+    localCheckpoint-ed so the per-partition-count branch and the output
+    branch scan ONE materialized RDD (structural pid consistency; AQE
+    coalescing merges only ADJACENT ranges, so pid order still follows
+    key order).  Prefix offsets come from a P-row self-join broadcast
+    back; rank = offset + local index + 1.  Requires sort_cols to be a
+    UNIQUE key; `ascending` is an optional list of bools per sort col.
+    Partitions are capped at 2^33 rows by the id encoding - at 8 bytes
+    a row that is a 64 GB shuffle partition, far past any sane task
+    size."""
+    spark = df.sparkSession
+    p = max(2, spark.sparkContext.defaultParallelism)
+    cols = [(F.col(c) if isinstance(c, str) else c) for c in sort_cols]
     if ascending:
-        order = [c if asc else c.desc() for c, asc in zip(order, ascending)]
-    w_local = W.partitionBy("_pid").orderBy(*order)
-    local = ranged.withColumn("_local_rn", F.row_number().over(w_local))
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+        cols = [c if asc else c.desc() for c, asc in zip(cols, ascending)]
+    tagged = (
+        df.repartitionByRange(p, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    tagged = tagged.withColumn(
+        "_pid", F.shiftright("_mid", 33)
+    ).withColumn("_lrn", F.col("_mid") % F.lit(1 << 33))
+    counts = tagged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     offsets = (
         counts.alias("a")
         .join(counts.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
@@ -162,9 +173,9 @@ def global_rank(df, sort_cols, out: str = "rn", ascending=None):
         .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out, (F.col("_off") + F.col("_local_rn")).cast("long"))
-        .drop("_pid", "_local_rn", "_off")
+        tagged.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_lrn") + 1).cast("long"))
+        .drop("_mid", "_pid", "_lrn", "_off")
     )
 
 

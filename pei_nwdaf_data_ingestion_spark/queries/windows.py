@@ -69,45 +69,22 @@ def win_ntile(spark: SparkSession, sf: str) -> DataFrame:
     offset table is P rows regardless of data size.  Output stays
     hash-identical to the DuckDB oracle because the sort key is unique.
 
-    Cross-branch pid consistency: `local` feeds BOTH the counts/offsets
-    branch and the final rank join, and each branch plans its own range
-    exchange (no ReusedExchange - see tests/test_plan_quality.py).  The
-    branches still assign identical pids because RangePartitioner's bound
-    sampling is seeded deterministically from the partition index
-    (byteswap32 in Spark's Partitioner.scala), so equal input + equal
-    partitioning spec => equal bounds; the plan test asserts every
-    rangepartitioning spec in this plan is byte-identical, which is the
-    precondition that argument needs.  (Exchange reuse, when Spark applies
-    it, only short-circuits work the branches would have computed equal
-    anyway.)"""
+    Cross-branch pid consistency is STRUCTURAL: functions.global_rank
+    lazily localCheckpoints the pid-tagged range frame, so the counts/
+    offsets branch and the rank join scan the one materialized RDD.
+    (The earlier deterministic-bound-sampling argument is insufficient
+    under AQE: runtime coalescing can hand the two planned copies of the
+    range exchange different input layouts - observed as a corrupted
+    distributed rank at sf0.1 in round 6, now pinned by the repeated
+    scale probes in tools/probe_new.py runs.)"""
+    from ..functions import global_rank, ntile_expr
+
     o = load(spark, sf, "orders")
-    p = max(2, spark.sparkContext.defaultParallelism)
-    ranged = o.repartitionByRange(p, "o_totalprice", "o_orderkey").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_local = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    local = ranged.withColumn("local_rn", F.row_number().over(w_local))
-    counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
-    offsets = (
-        counts.alias("a")
-        .join(counts.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("off"))
-    )
-    total = counts.agg(F.sum("cnt").alias("n_total"))
+    total = o.agg(F.count("*").alias("n_total"))
     ranked = (
-        local.join(F.broadcast(offsets), "pid")
+        global_rank(o, ["o_totalprice", "o_orderkey"], out="rn")
         .crossJoin(F.broadcast(total))
-        .withColumn("rn", F.col("off") + F.col("local_rn"))
-        .withColumn("b", F.expr("n_total div 4"))
-        .withColumn("m", F.col("n_total") % 4)
-        .withColumn(
-            "tile",
-            F.when(
-                F.col("rn") <= F.col("m") * (F.col("b") + 1),
-                F.expr("(rn + b) div (b + 1)"),
-            ).otherwise(F.expr("m + ((rn - m * (b + 1) + b - 1) div b)")),
-        )
+        .withColumn("tile", ntile_expr("rn", "n_total", 4))
     )
     return (
         ranked.groupBy(F.col("tile").cast("long").alias("tile"))

@@ -344,30 +344,42 @@ class TestAdvancedPlans:
 
 
 class TestNtileRangeConsistency:
-    def test_all_range_exchanges_share_one_spec(self, spark):
-        """win_ntile's counts branch and rank-join branch each plan their own
-        range exchange over `local` (no ReusedExchange node); cross-branch
-        pid agreement then rests on (a) every rangepartitioning spec being
-        identical and (b) RangePartitioner's deterministic (byteswap32-
-        seeded) bound sampling.  (b) is Spark's contract; this pins (a) -
-        if a future edit makes the branches range-partition on different
-        keys/counts, pids diverge per-branch and global ranks silently
-        corrupt (ADVICE r2)."""
+    def test_rank_branches_share_one_materialized_frame(self, spark):
+        """win_ntile (via functions.global_rank) must get cross-branch pid
+        consistency STRUCTURALLY: the counts/offsets branch and the rank
+        join both scan the single lazily-checkpointed indexed frame - the
+        plan shows ExistingRDD scans and NO live range exchange that each
+        branch could re-plan differently.  (Round 6 observed AQE runtime
+        coalescing corrupt the rank when the two branches planned their
+        own copies of the range exchange; the checkpoint removes that
+        failure mode by construction.)  The id-encoding spelling also
+        means no Window operator and no SinglePartition exchange appear
+        anywhere.  (An Exchange SinglePartition still appears for the
+        legitimate 1-row n_total aggregate - that is a count, not a
+        sort.)"""
         import re
 
         plan = plan_of(spark, "win_ntile")
-        # normalize expression ids (#23L etc.) - the branches plan separate
-        # exchanges, so attribute ids differ while the spec must not
-        specs = {
-            re.sub(r"#\d+L?", "", s)
-            for s in re.findall(r"rangepartitioning\([^)]*\)", plan)
-        }
-        n = len(re.findall(r"rangepartitioning\(", plan))
-        assert n >= 2, f"expected multiple range exchanges, got {n}"
-        assert len(specs) == 1, f"divergent range specs: {specs}"
-        # and the spec orders by the unique (o_totalprice, o_orderkey) key
-        (spec,) = specs
-        assert "o_totalprice" in spec and "o_orderkey" in spec
+        assert plan.count("Scan ExistingRDD") >= 2
+        assert len(re.findall(r"rangepartitioning\(", plan)) == 0
+        assert "Window" not in plan
+
+    def test_global_rank_is_exact_permutation(self, spark):
+        """The distributed rank must be a bijection onto 1..n that agrees
+        with the driver-side sort - the property the r6 pid-drift bug
+        violated."""
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+        from pei_nwdaf_data_ingestion_spark.functions import global_rank
+
+        o = load(spark, SF_DIR, "orders")
+        r = global_rank(o, ["o_totalprice", "o_orderkey"], out="rn")
+        pdf = (
+            r.select("o_totalprice", "o_orderkey", "rn")
+            .toPandas()
+            .sort_values(["o_totalprice", "o_orderkey"])
+            .reset_index(drop=True)
+        )
+        assert list(pdf["rn"]) == list(range(1, len(pdf) + 1))
 
 
 class TestRound6Plans:
