@@ -266,13 +266,15 @@ def dedup_phash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual-hash near-dup detection, the image-dedup shape (pHash +
     Hamming-ball search) run over the text fixture's 16-bit parity
     fingerprint: band the hash into two bytes, candidate = any pair
-    sharing EITHER band (a Hamming distance <= 3 on 16 bits guarantees at
-    least one intact byte - the pigeonhole banding guarantee, zero false
-    negatives), verify with bit_count(xor).  Both banding joins are plain
-    equi self-joins on a byte key (256 buckets), so the candidate stage
-    is hash-partitioned and never all-pairs; at 100 TB with a 64-bit
-    pHash the same plan uses 4x16-bit bands.  Output is the verified-pair
-    histogram by Hamming distance."""
+    sharing EITHER band, verify with bit_count(xor).  The pigeonhole
+    guarantee of b bands is Hamming <= b-1 (here: <= 1 with full recall,
+    pinned by tests/test_properties.py); candidates at distance 2-3
+    surface only when the flipped bits cluster in one band - the
+    standard LSH-banding recall trade-off, and the reason a production
+    64-bit pHash uses 4x16-bit bands (guarantee <= 3).  Both banding
+    joins are plain equi self-joins on a byte key (256 buckets), so the
+    candidate stage is hash-partitioned and never all-pairs.  Output is
+    the verified-candidate histogram by Hamming distance."""
     d = load(spark, sf, "documents")
     b = d.select(
         "doc_id",

@@ -132,3 +132,87 @@ class TestBandBucketingProperty:
         # exactness AND no duplicates (each pair meets in one bucket only)
         assert len(got) == len(set(got))
         assert set(got) == naive
+
+
+class TestGlobalOrderHelpers:
+    def test_ntile_expr_matches_sql_ntile_all_sizes(self, spark):
+        """functions.ntile_expr must reproduce SQL ntile(t) exactly for
+        every (n, t) - including the first-m-tiles-get-one-extra rule -
+        checked exhaustively for n up to 40 against Spark's own ntile."""
+        import pandas as pd
+        from pyspark.sql import Window, functions as F
+
+        from pei_nwdaf_data_ingestion_spark.functions import ntile_expr
+
+        for n in (1, 2, 3, 4, 5, 7, 8, 11, 16, 23, 40):
+            for t in (2, 3, 4, 5):
+                df = spark.createDataFrame(
+                    pd.DataFrame({"rn": range(1, n + 1)})
+                ).withColumn("n_total", F.lit(n).cast("long"))
+                got = (
+                    df.withColumn("tile", ntile_expr("rn", "n_total", t))
+                    .orderBy("rn")
+                    .select("tile")
+                    .toPandas()["tile"]
+                    .tolist()
+                )
+                want = (
+                    spark.createDataFrame(pd.DataFrame({"rn": range(1, n + 1)}))
+                    .withColumn("tile", F.ntile(t).over(Window.orderBy("rn")))
+                    .orderBy("rn")
+                    .select("tile")
+                    .toPandas()["tile"]
+                    .tolist()
+                )
+                assert got == want, (n, t, got, want)
+
+    def test_global_running_sum_matches_window_spelling(self, spark):
+        """global_running_sum must equal the (banned-in-declared-queries)
+        unpartitioned-window cumsum row-for-row."""
+        from pyspark.sql import Window, functions as F
+
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+        from pei_nwdaf_data_ingestion_spark.functions import global_running_sum
+
+        d = load(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", F.col("n_chars").cast("long").alias("v")
+        )
+        got = {
+            r["doc_id"]: r["cum"]
+            for r in global_running_sum(d, "v", ["doc_id"], out="cum").collect()
+        }
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["doc_id"]: r["cum"]
+            for r in d.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        assert got == want
+
+    def test_phash_banding_guarantee_is_hamming_le_1(self, spark):
+        """Pigeonhole guarantee of 2 bands: every doc pair within Hamming
+        distance b-1 = 1 on the 16-bit pHash MUST share a byte band -
+        checked exhaustively against the all-pairs truth on the fixture.
+        (Distance 2-3 pairs may legitimately be missed when the flips
+        split across bands - the documented LSH-banding recall
+        trade-off; the fixture indeed contains such pairs, which is what
+        keeps this assertion honest at <= 1 and not <= 3.)"""
+        from itertools import combinations
+
+        from pyspark.sql import functions as F
+
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+        from pei_nwdaf_data_ingestion_spark.queries.corpus_ops import _phash16
+
+        d = load(spark, "/root/testdata/sf0.001", "documents")
+        rows = d.select("doc_id", _phash16(F.col("text")).alias("ph")).collect()
+        hashes = {r["doc_id"]: r["ph"] for r in rows}
+        checked = 0
+        for a, b in combinations(sorted(hashes), 2):
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if ham <= 1:
+                checked += 1
+                shares = (hashes[a] // 256 == hashes[b] // 256) or (
+                    hashes[a] % 256 == hashes[b] % 256
+                )
+                assert shares, (a, b, ham)
+        assert checked > 0  # the guarantee was actually exercised
