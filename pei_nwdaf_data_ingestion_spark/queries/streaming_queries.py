@@ -907,3 +907,33 @@ def stream_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
         # materialize into Spark block storage before the
         # TemporaryDirectory (and the parquet files) vanish
         return final.localCheckpoint(eager=True)
+
+
+@query("stream_sliding_hll")
+def stream_sliding_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window approximate distinct users on a stream: 2-hour
+    windows sliding by 1 hour, approx_count_distinct(user_id) per
+    (window, event_type) - the sketch-based cardinality shape a real-time
+    dashboard runs (exact streaming distinct would need unbounded keyed
+    state; the HLL sketch is fixed-size per window and merges across
+    partitions AND across micro-batches, which is the whole point).
+    Watermark bounds window state exactly as in stream_ingest_pipeline;
+    the batch dual with exact countDistinct is asserted within sketch
+    tolerance in tests/test_streaming.py."""
+    ev = _events_stream(spark, sf)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_users_approx",
+        )
+    )
+    name = "stream_sliding_hll_out"
+    # complete mode: append would hold back the final windows still inside
+    # the watermark when the bounded stream ends (stream_session_window's
+    # rationale)
+    _drain(agg, name, mode="complete")
+    return spark.table(name)

@@ -105,6 +105,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_bpe_merge_step": 6,
     "graph_triangle_count": 6,
     "sim_mmr_rerank": 6,
+    "stream_sliding_hll": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -531,3 +531,34 @@ def test_stream_cdc_upsert_matches_batch_lastwins(spark):
         for r in registry.QUERIES["ref_upsert_lastwins"](spark, sf).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_sliding_hll_within_sketch_tolerance(spark):
+    """Streaming HLL distinct-user counts per sliding window must sit
+    within the configured rsd band of the exact batch countDistinct."""
+    from pyspark.sql import functions as F
+
+    from pei_nwdaf_data_ingestion_spark import registry
+    from pei_nwdaf_data_ingestion_spark.catalog import load
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["win_start"], r["event_type"]): r["n_users_approx"]
+        for r in registry.QUERIES["stream_sliding_hll"](spark, sf).collect()
+    }
+    exact = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in load(spark, sf, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) > 0
+    for k, approx in got.items():
+        assert abs(approx - exact[k]) <= max(2, 0.1 * exact[k]), (k, approx, exact[k])
