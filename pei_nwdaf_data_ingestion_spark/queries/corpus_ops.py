@@ -1621,3 +1621,91 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         F.broadcast(n_edges)
     )
+
+
+@query(
+    "agg_mad_robust",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(med.m * 10000.0 + 0.5) / 10000.0 AS median_val,
+           floor(quantile_cont(abs(e.value - med.m), 0.5) * 10000.0 + 0.5)
+             / 10000.0 AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type, med.m
+    """,
+)
+def agg_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
+    """Median absolute deviation per group - the robust dispersion stat
+    that survives the outliers stddev drowns in (the anomaly detector's
+    production-grade alternative to events_anomaly_zscore's z-score).
+    Inherently two-pass (the deviations need the median first): pass 1
+    computes per-group medians (5 rows), broadcast back into pass 2's
+    deviation percentile - two shuffles on the same group key, the
+    textbook MAD plan at any scale.  Both percentiles are the exact
+    interpolated kind both engines share (Spark percentile = DuckDB
+    quantile_cont); |x - m| is computed from identical doubles."""
+    ev = load(spark, sf, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(
+            F.count("*").alias("n"),
+            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias(
+                "mad_raw"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            pround("m", 4).alias("median_val"),
+            pround("mad_raw", 4).alias("mad"),
+        )
+    )
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS vsum_cents
+    FROM events
+    WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-pruned scan as a user-facing operator: the events table
+    is laid out once per application as day-partitioned parquet (the
+    100 TB fact layout), and a single-day query reads ONLY that day's
+    directory - the filter becomes a PartitionFilter (directory pruning,
+    zero data touched outside the day) rather than a row predicate.
+    tests/test_plan_quality.py pins the PartitionFilters/no-post-scan-
+    Condition plan shape for this layout; the oracle runs the same day
+    predicate over the unpartitioned parquet, proving layout changes
+    results not at all.  Money rides as integer cents."""
+    ev = load(spark, sf, "events")
+    d = _dump_dir(
+        spark, sf, "events_by_day",
+        lambda p: ev.withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(p),
+    )
+    src = spark.read.parquet(d).filter(F.col("day") == "2024-01-15")
+    return src.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias(
+            "vsum_cents"
+        ),
+    )

@@ -106,6 +106,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "graph_triangle_count": 6,
     "sim_mmr_rerank": 6,
     "stream_sliding_hll": 6,
+    "agg_mad_robust": 6,
+    "scan_partition_pruned": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
