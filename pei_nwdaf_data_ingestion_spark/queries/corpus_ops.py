@@ -1709,3 +1709,201 @@ def scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
             "vsum_cents"
         ),
     )
+
+
+@query(
+    "merge_scd2_history",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id, next_ts
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type),
+    v AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM ch)
+    SELECT user_id,
+           event_type AS attr_value,
+           CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(valid_to) AS BIGINT) AS valid_to_us,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+    FROM v
+    """,
+)
+def merge_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build: collapse each
+    user's event stream into attribute VERSIONS - a new row only when the
+    value changes, carrying [valid_from, valid_to) and an is_current
+    flag - the warehouse transform behind every dimension table with
+    history.  Two windows over ONE (user_id, (ts, event_id)) sort (the
+    change filter reuses the partitioning for the validity lead), open
+    intervals NULL-terminated.  Interval bounds leave as exact integer
+    microseconds.  At 100 TB this runs per dimension key exactly like
+    any sessionization - one shuffle, state bounded by versions, not
+    events."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    ch = seq.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    return v.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id FROM seq
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    v AS (
+      SELECT user_id, event_type AS attr_value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM ch),
+    p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id, v.attr_value,
+           CAST(epoch_us(p.ts) - epoch_us(v.valid_from) AS BIGINT)
+             AS version_age_us
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+         AND p.ts >= v.valid_from
+         AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 history: each
+    purchase picks the attribute version valid AT its timestamp - the
+    query pattern every ML feature store and audit report runs against a
+    versioned dimension, and the reason SCD2 exists.  The containment
+    predicate rides INSIDE a user_id equi join (versions per user are
+    few), so the plan is a plain hash join + residual filter - never an
+    interval cross product; at 100 TB the version side is the small one
+    and broadcasts or co-partitions on the same key as the fact.  Each
+    purchase matches EXACTLY one version (intervals partition the
+    timeline), asserted by construction: the half-open [from, to)
+    bounds."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    v = ch.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("valid_to"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "attr_value",
+        (F.unix_micros("ts") - F.unix_micros("valid_from")).alias(
+            "version_age_us"
+        ),
+    )
+
+
+@query(
+    "agg_key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_orderkey),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_key_rows,
+             quantile_cont(n, 0.5) AS p50,
+             quantile_cont(n, 0.99) AS p99
+      FROM c)
+    SELECT n_keys, n_rows, max_key_rows,
+           floor(p50 * 100.0 + 0.5) / 100.0 AS p50_key_rows,
+           floor(p99 * 100.0 + 0.5) / 100.0 AS p99_key_rows,
+           CAST(floor((max_key_rows * 1000000.0 / n_rows) + 0.5) AS BIGINT)
+             AS max_share_ppm
+    FROM s
+    """,
+)
+def agg_key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the per-key row-count
+    distribution (p50/p99/max and the hottest key's parts-per-million
+    share) for lineitem's join key - the number you read BEFORE choosing
+    between a plain hash join, functions.salted_join, or AQE skew
+    handling.  One hash agg to per-key counts, then a 1-row stats agg
+    over the |keys| frame; exact percentile interpolation both engines.
+    This is the operator form of the planning rule every 100 TB join in
+    this repo documents: measure skew, then pick the join."""
+    li = load(spark, sf, "lineitem")
+    c = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    s = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.percentile("n", F.lit(0.5)).alias("p50"),
+        F.percentile("n", F.lit(0.99)).alias("p99"),
+    )
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        pround("p50", 2).alias("p50_key_rows"),
+        pround("p99", 2).alias("p99_key_rows"),
+        F.floor((F.col("max_key_rows") * 1000000.0 / F.col("n_rows")) + 0.5).alias(
+            "max_share_ppm"
+        ),
+    )

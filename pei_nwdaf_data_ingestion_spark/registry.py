@@ -108,6 +108,9 @@ ADDED_IN_ROUND: dict[str, int] = {
     "stream_sliding_hll": 6,
     "agg_mad_robust": 6,
     "scan_partition_pruned": 6,
+    "merge_scd2_history": 6,
+    "join_scd2_pointintime": 6,
+    "agg_key_skew_profile": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
