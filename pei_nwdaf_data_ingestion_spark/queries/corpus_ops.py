@@ -1907,3 +1907,140 @@ def agg_key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
             "max_share_ppm"
         ),
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+           CAST(len(a.toks) AS BIGINT) AS n_a,
+           floor((len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks))
+                 * 10000.0 + 0.5) / 10000.0 AS containment_a_in_b
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks) >= 0.9
+          AND len(a.toks) * 2 <= len(b.toks)
+    """,
+)
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment (asymmetric Jaccard) near-dup detection: |A ∩ B| / |A|
+    >= 0.9 where A is at most half B's size - the quote-inclusion /
+    boilerplate-wrapper duplicates symmetric Jaccard structurally CANNOT
+    catch (a 50-token quote inside a 500-token page has Jaccard ~0.1 but
+    containment ~1.0).  Same (lang, source) blocking discipline as
+    dedup_near_jaccard, with the size-asymmetry gate IN the join
+    predicate so the pair explosion prunes before any array work;
+    ordered pairs (A strictly smaller) are the semantics, not a dedup
+    shortcut.  At 100 TB the blocked pairwise gives way to the same
+    MinHash banding as Jaccard - containment just changes the estimator
+    (MinHash of A intersected with B's band buckets)."""
+    d = load(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("la"),
+        F.col("source").alias("sa"),
+        F.col("toks").alias("ta"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lb"),
+        F.col("source").alias("sb"),
+        F.col("toks").alias("tb"),
+    )
+    common = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    contain = common * 1.0 / F.size("ta")
+    return (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (F.size("ta") * 2 <= F.size("tb")),
+        )
+        .filter(contain >= 0.9)
+        .select(
+            "doc_a",
+            "doc_b",
+            common.cast("long").alias("n_common"),
+            F.size("ta").cast("long").alias("n_a"),
+            pround(contain, 4).alias("containment_a_in_b"),
+        )
+    )
+
+
+@query(
+    "sim_embed_norm_audit",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings),
+    med AS (SELECT quantile_cont(nrm, 0.5) AS m FROM n),
+    mad AS (
+      SELECT quantile_cont(abs(n.nrm - med.m), 0.5) AS d, med.m AS m
+      FROM n CROSS JOIN med GROUP BY med.m)
+    SELECT n.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN abs(n.nrm - mad.m) > 3 * mad.d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           floor(min(n.nrm) * 10000.0 + 0.5) / 10000.0 AS norm_min,
+           floor(max(n.nrm) * 10000.0 + 0.5) / 10000.0 AS norm_max
+    FROM n CROSS JOIN mad
+    GROUP BY n.label
+    """,
+)
+def sim_embed_norm_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-pipeline health audit: per-label vector-norm extremes
+    and the count of robust outliers (|norm - median| > 3 MAD) - the QC
+    gate run before any index build, because a batch of near-zero or
+    exploded norms means the encoder broke upstream (and cosine quietly
+    hides it).  Norms are the sequential-fold exact dot; the global
+    median and MAD are two 1-row aggregates broadcast back (the
+    agg_mad_robust two-pass, corpus-wide); min/max per label are exact
+    double order statistics - no float sums anywhere."""
+    e = load(spark, sf, "embeddings")
+    n = e.select("vec_id", "label", F.sqrt(_dot_local(F.col("embedding"), F.col("embedding"))).alias("nrm"))
+    med = n.agg(F.percentile("nrm", F.lit(0.5)).alias("m"))
+    mad = (
+        n.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(F.abs(F.col("nrm") - F.col("m")), F.lit(0.5)).alias("d"),
+            F.first("m").alias("m"),
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(mad))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("nrm") - F.col("m")) > 3 * F.col("d"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            pround(F.min("nrm"), 4).alias("norm_min"),
+            pround(F.max("nrm"), 4).alias("norm_max"),
+        )
+    )
+
+
+def _dot_local(a, b):
+    """Sequential-fold double dot product (llm._dot's discipline, local
+    copy to keep corpus_ops import-free of llm)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

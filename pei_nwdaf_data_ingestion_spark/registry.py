@@ -111,6 +111,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "merge_scd2_history": 6,
     "join_scd2_pointintime": 6,
     "agg_key_skew_profile": 6,
+    "dedup_containment": 6,
+    "sim_embed_norm_audit": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
