@@ -351,3 +351,55 @@ class TestZOrderLayout:
         from pei_nwdaf_data_ingestion_spark.catalog import load
 
         assert int(m.n_rows.sum()) == load(spark, sf, "events").count()
+
+
+class TestRound6NonVacuous:
+    """Oracle hash-matches are vacuous when both sides are empty (VERDICT
+    r2 lesson); every round-6 operator with a selective filter must
+    actually select something on the smallest fixture."""
+
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize(
+        "name",
+        [
+            "dedup_containment",
+            "dedup_phash_hamming",
+            "scan_partition_pruned",
+            "events_funnel_latency",
+            "events_anomaly_zscore",
+            "graph_triangle_count",
+            "sim_bm25_topk",
+            "pipeline_snapshot_diff",
+            "merge_scd2_history",
+            "join_scd2_pointintime",
+        ],
+    )
+    def test_new_filtered_ops_nonempty(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        df = registry.QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert df.count() > 0, f"{name} returned no rows - vacuous oracle"
+
+    def test_asof_nearest_actually_matches(self, spark):
+        from pyspark.sql import functions as F
+
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        df = registry.QUERIES["join_asof_nearest"](spark, "/root/testdata/sf0.001")
+        n_matched = df.filter(F.col("matched_error_id").isNotNull()).count()
+        n_prev = df.filter(F.col("direction") == "prev").count()
+        n_next = df.filter(F.col("direction") == "next").count()
+        assert n_matched > 0 and n_prev > 0 and n_next > 0
+
+    def test_triangle_count_positive_and_consistent(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        row = registry.QUERIES["graph_triangle_count"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert row["n_triangles"] > 0
+        assert row["n_proj_edges"] >= 3  # a triangle needs at least 3 edges
