@@ -2044,3 +2044,88 @@ def _dot_local(a, b):
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+@query(
+    "events_active_users_rolling",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+               AS day_id,
+             user_id
+      FROM events),
+    bounds AS (
+      SELECT min(day_id) AS d0, max(day_id) AS d1 FROM pairs),
+    grid AS (
+      SELECT unnest(generate_series(b.d0, b.d1)) AS day_id FROM bounds b),
+    dau AS (
+      SELECT day_id, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY 1),
+    wau AS (
+      SELECT t AS day_id, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM (SELECT unnest(generate_series(day_id, day_id + 6)) AS t, user_id
+            FROM pairs)
+      GROUP BY t),
+    mau AS (
+      SELECT t AS day_id, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM (SELECT unnest(generate_series(day_id, day_id + 27)) AS t, user_id
+            FROM pairs)
+      GROUP BY t)
+    SELECT g.day_id,
+           coalesce(dau.dau, 0) AS dau,
+           coalesce(wau.wau, 0) AS wau,
+           coalesce(mau.mau, 0) AS mau
+    FROM grid g
+    LEFT JOIN dau ON dau.day_id = g.day_id
+    LEFT JOIN wau ON wau.day_id = g.day_id
+    LEFT JOIN mau ON mau.day_id = g.day_id
+    """,
+)
+def events_active_users_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact rolling active-user counts - DAU plus trailing 7-day WAU and
+    28-day MAU per day, the product-analytics headline metric.  Rolling
+    DISTINCT cannot be window-summed (users overlap across days), so the
+    exact spelling is contribution fan-out: each distinct (day, user)
+    pair is exploded to the 7 (resp. 28) target days it keeps the user
+    active for - map-side 1->N with NO self-join - then one distinct
+    count per target day.  The (day, user) projection is the only
+    data-volume shuffle; fan-out rows are |pairs| x window days, the
+    same work a TSDB's sliding HLL would do, but exact (the sketch
+    alternative for 100 TB is stream_sliding_hll's
+    approx_count_distinct, declared separately).  Day grid from
+    sequence+explode; trailing windows at the stream head are partial
+    by definition; days past the last activity are clipped by the
+    grid."""
+    ev = load(spark, sf, "events")
+    pairs = ev.select(
+        F.floor(F.unix_micros("ts") / 86_400_000_000.0).cast("long").alias("day_id"),
+        "user_id",
+    ).distinct()
+    bounds = pairs.agg(F.min("day_id").alias("d0"), F.max("day_id").alias("d1"))
+    grid = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day_id"))
+    dau = pairs.groupBy("day_id").agg(F.count("*").alias("dau"))
+
+    def rolling(days: int, name: str) -> DataFrame:
+        return (
+            pairs.select(
+                F.explode(
+                    F.sequence(F.col("day_id"), F.col("day_id") + (days - 1))
+                ).alias("day_id"),
+                "user_id",
+            )
+            .distinct()
+            .groupBy("day_id")
+            .agg(F.count("*").alias(name))
+        )
+
+    out = (
+        grid.join(dau, "day_id", "left")
+        .join(rolling(7, "wau"), "day_id", "left")
+        .join(rolling(28, "mau"), "day_id", "left")
+        .select(
+            "day_id",
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+            F.coalesce("mau", F.lit(0)).alias("mau"),
+        )
+    )
+    return out

@@ -113,6 +113,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "agg_key_skew_profile": 6,
     "dedup_containment": 6,
     "sim_embed_norm_audit": 6,
+    "events_active_users_rolling": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
