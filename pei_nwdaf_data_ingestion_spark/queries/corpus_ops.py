@@ -2129,3 +2129,110 @@ def events_active_users_rolling(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "pipeline_feature_hashing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 4)) AS INTEGER) % 64
+               AS bucket
+      FROM tok),
+    c AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY doc_id, bucket)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_nonzero,
+           CAST(max(n) AS BIGINT) AS max_bucket_count,
+           string_agg(bucket || ':' || n, ',' ORDER BY bucket) AS features
+    FROM c
+    GROUP BY doc_id
+    """,
+)
+def pipeline_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al., ICML'09): tokens
+    hashed into a fixed 64-bucket count vector per document - the
+    vocabulary-free featurizer that needs NO dictionary build, no
+    broadcast, and no extra pass, which is why it is the default for
+    100 TB text -> features.  The bucket hash is the first 16 bits of
+    md5 mod 64 - engine-portable (xxhash64/DuckDB hash() differ across
+    engines; md5 does not).  One explode + two hash aggs, all map-side
+    combinable; the sparse vector renders canonically (bucket-sorted
+    'b:n' pairs) so the feature row itself is oracle-checkable."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    b = tok.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("int") % 64).alias(
+            "bucket"
+        ),
+    )
+    c = b.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    return c.groupBy("doc_id").agg(
+        F.count("*").alias("n_nonzero"),
+        F.max("n").alias("max_bucket_count"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "n"))),
+                lambda x: F.concat_ws(":", x["bucket"], x["n"]),
+            ),
+            ",",
+        ).alias("features"),
+    )
+
+
+@query(
+    "pipeline_target_encoding",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events GROUP BY event_type),
+    g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_all,
+             CAST(sum(sum_cents) AS BIGINT) AS cents_all
+      FROM s)
+    SELECT s.event_type, s.n,
+           floor(((s.sum_cents + 20.0 * (g.cents_all * 1.0 / g.n_all))
+                  / (s.n + 20.0)) * 100.0 + 0.5) / 100.0
+             AS encoded_cents,
+           floor((g.cents_all * 1.0 / g.n_all) * 100.0 + 0.5) / 100.0
+             AS prior_cents
+    FROM s CROSS JOIN g
+    """,
+)
+def pipeline_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Smoothed target encoding (the categorical-feature workhorse):
+    each category's mean target shrunk toward the global prior with
+    pseudo-count m=20 - (sum + m*prior) / (n + m) - so rare categories
+    don't memorize their few labels.  Sufficient statistics are INTEGER
+    cents (exact, order-independent); the global prior is a 1-row agg
+    OVER the category frame (not a second data pass) broadcast back.
+    Two tiny shuffles total; at 100 TB the per-category stats frame is
+    |categories| rows and the encode itself is a broadcast join against
+    the fact table - this query emits the encoding table that join
+    consumes.  Production footnote: leakage-free variants (K-fold /
+    leave-one-out) reuse the same sufficient statistics per fold."""
+    ev = load(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(cents).alias("sum_cents")
+    )
+    g = s.agg(
+        F.sum("n").alias("n_all"), F.sum("sum_cents").alias("cents_all")
+    )
+    prior = F.col("cents_all") * 1.0 / F.col("n_all")
+    return s.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n",
+        pround((F.col("sum_cents") + 20.0 * prior) / (F.col("n") + 20.0), 2).alias(
+            "encoded_cents"
+        ),
+        pround(prior, 2).alias("prior_cents"),
+    )

@@ -114,6 +114,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "dedup_containment": 6,
     "sim_embed_norm_audit": 6,
     "events_active_users_rolling": 6,
+    "pipeline_feature_hashing": 6,
+    "pipeline_target_encoding": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
