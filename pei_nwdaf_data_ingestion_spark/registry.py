@@ -116,6 +116,10 @@ ADDED_IN_ROUND: dict[str, int] = {
     "events_active_users_rolling": 6,
     "pipeline_feature_hashing": 6,
     "pipeline_target_encoding": 6,
+    "win_ewma_smooth": 6,
+    "time_resample_ohlc": 6,
+    "graph_common_neighbors": 6,
+    "pipeline_kfold_stratified": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -190,6 +194,7 @@ def load_all() -> None:
         relational,
         scalars,
         corpus_ops,
+        analytics_ops,
     )
 
     last = _last_green_round()

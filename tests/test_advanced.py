@@ -403,3 +403,62 @@ class TestRound6NonVacuous:
         ).collect()[0]
         assert row["n_triangles"] > 0
         assert row["n_proj_edges"] >= 3  # a triangle needs at least 3 edges
+
+
+class TestAnalyticsOpsSession2:
+    """Semantic invariants for the round-6 session-2 analytics batch
+    (oracle parity itself is covered by test_parity's auto-parametrize)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_ewma_first_day_equals_count(self, spark):
+        """With no lags present the renormalized truncated kernel reduces
+        to ewma == n exactly - pins the renormalization semantics."""
+        import pandas as pd
+
+        df = self._run(spark, "win_ewma_smooth").toPandas()
+        assert df.ewma.notna().all()
+        first = df.sort_values("day").groupby("event_type").first()
+        assert (first.ewma == first.n).all()
+        # smoother output stays inside the per-type count envelope
+        for _, g in df.groupby("event_type"):
+            assert (g.ewma <= g.n.max()).all() and (g.ewma >= g.n.min()).all()
+
+    def test_ohlc_bar_invariants(self, spark):
+        from pyspark.sql import functions as F
+
+        df = self._run(spark, "time_resample_ohlc")
+        bad = df.filter(
+            (F.col("low_cents") > F.col("high_cents"))
+            | (F.col("open_cents") < F.col("low_cents"))
+            | (F.col("open_cents") > F.col("high_cents"))
+            | (F.col("close_cents") < F.col("low_cents"))
+            | (F.col("close_cents") > F.col("high_cents"))
+            | (F.col("n_events") <= 0)
+        ).count()
+        assert bad == 0
+
+    def test_common_neighbors_bounds(self, spark):
+        rows = self._run(spark, "graph_common_neighbors").collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 0 < r.n_common <= min(r.deg1, r.deg2)
+            assert 0 < r.jaccard_micro <= 1_000_000
+            assert r.s1 < r.s2
+
+    def test_kfold_partition_is_exhaustive_and_balanced(self, spark):
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        df = self._run(spark, "pipeline_kfold_stratified").toPandas()
+        assert set(df.fold) <= set(range(5))
+        n_docs_total = load(spark, self.SF, "documents").count()
+        assert int(df.n_docs.sum()) == n_docs_total  # exactly one fold each
+        # per-lang shares sum to ~1e6 (floor-division loses < K units)
+        for _, g in df.groupby("lang"):
+            assert 1_000_000 - 5 <= g.share_micro.sum() <= 1_000_000
