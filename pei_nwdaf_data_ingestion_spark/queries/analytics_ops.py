@@ -312,3 +312,389 @@ def pipeline_kfold_stratified(spark: SparkSession, sf: str) -> DataFrame:
             "share_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus quality-rule audit (Gopher/MassiveText-style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             CAST(len(replace(text, ' ', '')) AS BIGINT) AS sumlen,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x = 'the' OR x = 'a')) AS BIGINT)
+               AS n_stop,
+             CAST(len(list_distinct(list_transform(
+                    range(1, len(string_split(text, ' '))),
+                    i -> string_split(text, ' ')[i] || ' '
+                         || string_split(text, ' ')[i+1]))) AS BIGINT)
+               AS n_dbig
+      FROM documents),
+    p AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN nt >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+             CAST(sum(CASE WHEN 3 * nt <= sumlen AND sumlen <= 10 * nt
+                           THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+             CAST(sum(CASE WHEN 50 * n_stop >= nt THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p3,
+             CAST(sum(CASE WHEN 2 * n_dbig >= nt - 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p4
+      FROM t GROUP BY lang)
+    SELECT lang, 'min_words' AS rule, n_docs, p1 AS n_pass,
+           CAST((p1 * 1000000) // n_docs AS BIGINT) AS pass_micro FROM p
+    UNION ALL
+    SELECT lang, 'mean_word_len', n_docs, p2,
+           CAST((p2 * 1000000) // n_docs AS BIGINT) FROM p
+    UNION ALL
+    SELECT lang, 'stopword_frac', n_docs, p3,
+           CAST((p3 * 1000000) // n_docs AS BIGINT) FROM p
+    UNION ALL
+    SELECT lang, 'bigram_dup', n_docs, p4,
+           CAST((p4 * 1000000) // n_docs AS BIGINT) FROM p
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText-style quality-rule AUDIT matrix: per language,
+    the independent pass rate of each cleaning rule - min word count,
+    mean word length in [3, 10] (spelled integer: 3*nt <= sum word chars
+    <= 10*nt; sum word chars = len(text) minus spaces, zero extra
+    passes), stopword fraction >= 2% (the 'has function words' signal -
+    the fixture vocabulary carries 'the'/'a'), and duplicate-bigram cap
+    (distinct bigrams must cover >= half the bigram positions).  This is
+    the rule-calibration view a pipeline team reads BEFORE wiring rules
+    into the sequential drop funnel (pipeline_filter_funnel is the
+    composed counterpart; this one answers 'which rule would fire, per
+    stratum, independently').  Everything is per-row column math over one
+    scan - the bigram distinct runs inside transform/array_distinct on
+    the already-split token array, no explode - followed by ONE per-lang
+    hash agg fanned into 4 report rows with stack().  Pass rates are
+    integer micro-units (floor div).  Zero joins, one tiny shuffle."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("nt"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias("sumlen"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("long").alias("n_stop"),
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 2),"
+                    " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1]))"
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_dbig"),
+    )
+    p = t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("nt") >= 30, 1).otherwise(0)).alias("p1"),
+        F.sum(
+            F.when(
+                (3 * F.col("nt") <= F.col("sumlen"))
+                & (F.col("sumlen") <= 10 * F.col("nt")),
+                1,
+            ).otherwise(0)
+        ).alias("p2"),
+        F.sum(F.when(50 * F.col("n_stop") >= F.col("nt"), 1).otherwise(0)).alias("p3"),
+        F.sum(F.when(2 * F.col("n_dbig") >= F.col("nt") - 1, 1).otherwise(0)).alias(
+            "p4"
+        ),
+    )
+    return p.select(
+        "lang",
+        "n_docs",
+        F.expr(
+            "stack(4, 'min_words', p1, 'mean_word_len', p2,"
+            " 'stopword_frac', p3, 'bigram_dup', p4) AS (rule, n_pass)"
+        ),
+    ).select(
+        "lang",
+        "rule",
+        "n_docs",
+        "n_pass",
+        F.expr("CAST((n_pass * 1000000) div n_docs AS BIGINT)").alias("pass_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span detection (C4-style intra-corpus span dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8  # tokens per span
+
+
+@query(
+    "dedup_span_repeats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks
+      FROM documents),
+    s AS (
+      SELECT t.doc_id, t.source,
+             md5(array_to_string(t.toks[r.i:r.i+{_SPAN_W - 1}], ' ')) AS h
+      FROM t, LATERAL (SELECT unnest(range(1, len(t.toks) - {_SPAN_W - 2})) AS i) r),
+    rep AS (
+      SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    per_doc AS (
+      SELECT s.doc_id, s.source,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rep
+      FROM s LEFT JOIN rep ON s.h = rep.h
+      GROUP BY s.doc_id, s.source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_rep > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_repeat,
+           CAST(sum(n_spans) AS BIGINT) AS n_spans,
+           CAST(sum(n_rep) AS BIGINT) AS n_rep_positions,
+           CAST((sum(n_rep) * 1000000) // sum(n_spans) AS BIGINT)
+             AS repeat_micro
+    FROM per_doc GROUP BY source
+    """,
+)
+def dedup_span_repeats(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style duplicated-SPAN detection: every {_SPAN_W}-token sliding
+    window is hashed; a span occurring in >= 2 DISTINCT documents is a
+    repeat, and the report shows, per source, how much of its span mass
+    is repeated - the signal C4's 'discard duplicated three-sentence
+    spans' rule acts on, at finer grain than whole-document dedup
+    (dedup_exact) or pairwise near-dup (dedup_near_jaccard): boilerplate
+    headers and templated passages repeat across otherwise-distinct
+    docs.  Spans are md5'd INSIDE the per-row transform (map-side 1->N
+    explode of ~nt positions per doc; only the 32-char hash leaves the
+    row, never the span text - at 100 TB that is the difference between
+    shuffling the corpus 8x and shuffling fixed-width keys).  Two
+    shuffles: the distinct-doc count per span hash, and the span->repeat
+    semi join on the same hash key (co-partitioned under AQE); the
+    per-doc and per-source rollups reuse small frames.  All integer."""
+    d = load(spark, sf, "documents")
+    spans = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {_SPAN_W - 1}),"
+                f" i -> md5(array_join(slice(split(text, ' '), i, {_SPAN_W}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    rep = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_rep"))
+    )
+    per_doc = (
+        spans.join(rep, "h", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_rep"), F.lit(0))).alias("n_rep"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_rep") > 0, 1).otherwise(0)).alias("n_docs_with_repeat"),
+        F.sum("n_spans").alias("n_spans"),
+        F.sum("n_rep").alias("n_rep_positions"),
+        F.expr("CAST((sum(n_rep) * 1000000) div sum(n_spans) AS BIGINT)").alias(
+            "repeat_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 128
+
+
+def _cm_bucket_sql(r: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' ||"
+        f" CAST({key} AS VARCHAR)), 1, 6)) AS BIGINT) % {_CM_WIDTH}"
+    )
+
+
+@query(
+    "agg_countmin_topk",
+    oracle=f"""
+    WITH quad AS (
+      SELECT e.user_id, r.r, {_cm_bucket_sql("r.r", "e.user_id")} AS bucket
+      FROM events e, (SELECT unnest(range(0, {_CM_DEPTH})) AS r) r),
+    sketch AS (
+      SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM quad GROUP BY r, bucket),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 10),
+    est AS (
+      SELECT x.user_id, x.exact_n, CAST(min(s.cnt) AS BIGINT) AS est_n
+      FROM exact x, (SELECT unnest(range(0, {_CM_DEPTH})) AS r) r
+      JOIN sketch s
+        ON s.r = r.r AND s.bucket = {_cm_bucket_sql("r.r", "x.user_id")}
+      GROUP BY x.user_id, x.exact_n)
+    SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount
+    FROM est
+    """,
+)
+def agg_countmin_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan '05):
+    a {_CM_DEPTH}x{_CM_WIDTH} counter matrix - each event increments one
+    bucket per hash row - queried for the top-10 heaviest users and
+    compared against their exact counts.  The sketch is what you SHIP at
+    100 TB: {_CM_DEPTH * _CM_WIDTH} integers summarize any stream, it
+    merges across partitions/days by element-wise addition (the same
+    map-side combine the hash agg below already does), and the estimate
+    errors are one-sided (est >= exact, pinned in tests) with bound
+    eps = e/{_CM_WIDTH} of total mass per row.  Hashes are md5-derived
+    (engine-portable, the pipeline_feature_hashing discipline).  Build =
+    one explode x{_CM_DEPTH} + a hash agg onto <= {_CM_DEPTH * _CM_WIDTH}
+    cells (tiny, perfectly combinable - the shuffle carries at most
+    {_CM_DEPTH * _CM_WIDTH} rows per map task regardless of data size);
+    probe = broadcast 10-row exact top-K against the sketch cells.  The
+    exact top-10 here is the TEST harness for the sketch, not the scale
+    path - at 100 TB the heavy-hitter list itself comes from the sketch +
+    a heap (or stream_windowed_topk)."""
+    ev = load(spark, sf, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r"), F.col("user_id"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CM_WIDTH
+    )
+    quad = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))).alias("r")
+    )
+    sketch = (
+        quad.select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+    )
+    probes = F.broadcast(
+        exact.select(
+            "user_id",
+            "exact_n",
+            F.explode(F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))).alias("r"),
+        ).select("user_id", "exact_n", "r", bucket.alias("bucket"))
+    )
+    est = (
+        probes.join(sketch, ["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# integer-exact signed random projection (JL / SimHash family)
+# ---------------------------------------------------------------------------
+
+_RP_OUT_DIMS = 16
+
+
+@query(
+    "sim_random_projection",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, i.i, j.j,
+             CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+      CROSS JOIN (SELECT unnest(range(0, {_RP_OUT_DIMS})) AS j) j),
+    p AS (
+      SELECT vec_id, j,
+             CAST(sum(CASE WHEN (instr('0123456789abcdef',
+                        substr(md5(CAST(i - 1 AS VARCHAR) || ','
+                               || CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                           THEN qv ELSE -qv END) AS BIGINT) AS pv
+      FROM q GROUP BY vec_id, j)
+    SELECT vec_id,
+           string_agg(j || ':' || pv, ',' ORDER BY j) AS proj,
+           CAST(sum(abs(pv)) AS BIGINT) AS l1_norm
+    FROM p GROUP BY vec_id
+    """,
+)
+def sim_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Signed random projection 64 -> {_RP_OUT_DIMS} dims (the
+    Johnson-Lindenstrauss / SimHash family: Achlioptas-style +-1 signs) in
+    INTEGER arithmetic end to end: components are micro-quantized
+    (floor(v * 1e4 + 0.5), exact - float32 -> float64 widening is lossless)
+    BEFORE the signed sum, so the projection is an order-independent
+    integer aggregate - bit-identical across engines, partitionings and
+    scales, where a float dot product would drift with summation order.
+    The sign matrix is never materialized: sign(i, j) = parity of the
+    first md5 hex digit of "i,j" - a pure function computed inline on both
+    engines (the same md5-digit discipline as pipeline_mix_sample).  Plan:
+    posexplode (map-side 1->64) x {_RP_OUT_DIMS} output dims, ONE hash agg
+    keyed (vec_id, j) with map-side combine, then the per-vector render
+    agg on the same key prefix.  At 100 TB this is the cheap front half of
+    every ANN index build (project-then-bucket); the banded variant is
+    sim_knn_join's hyperplane LSH, which this operator generalizes to
+    arbitrary output dims."""
+    emb = load(spark, sf, "embeddings")
+    u = emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+    q = u.select(
+        "vec_id",
+        "i",
+        F.floor(F.col("v").cast("double") * 10000.0 + 0.5).cast("long").alias("qv"),
+    ).select(
+        "vec_id",
+        "i",
+        "qv",
+        F.explode(F.sequence(F.lit(0), F.lit(_RP_OUT_DIMS - 1))).alias("j"),
+    )
+    sign_even = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat_ws(",", F.col("i"), F.col("j"))), 1, 1),
+        )
+        - 1
+    ) % 2 == 0
+    p = (
+        q.select(
+            "vec_id",
+            "j",
+            F.when(sign_even, F.col("qv")).otherwise(-F.col("qv")).alias("sq"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.sum("sq").alias("pv"))
+    )
+    return p.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "pv"))),
+                lambda x: F.concat_ws(":", x["j"], x["pv"]),
+            ),
+            ",",
+        ).alias("proj"),
+        F.sum(F.abs(F.col("pv"))).alias("l1_norm"),
+    )

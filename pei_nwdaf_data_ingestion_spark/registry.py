@@ -120,6 +120,10 @@ ADDED_IN_ROUND: dict[str, int] = {
     "time_resample_ohlc": 6,
     "graph_common_neighbors": 6,
     "pipeline_kfold_stratified": 6,
+    "text_gopher_rules": 6,
+    "dedup_span_repeats": 6,
+    "agg_countmin_topk": 6,
+    "sim_random_projection": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

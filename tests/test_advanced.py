@@ -462,3 +462,74 @@ class TestAnalyticsOpsSession2:
         # per-lang shares sum to ~1e6 (floor-division loses < K units)
         for _, g in df.groupby("lang"):
             assert 1_000_000 - 5 <= g.share_micro.sum() <= 1_000_000
+
+
+class TestSketchAndProjectionOps:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_countmin_estimates_are_one_sided(self, spark):
+        """CM guarantees est >= exact always (counters only ever share,
+        never miss); overcount must be bounded by eps*N with high
+        probability - assert the hard one-sided bound and a loose cap."""
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        rows = self._run(spark, "agg_countmin_topk").collect()
+        assert len(rows) == 10
+        n_total = load(spark, self.SF, "events").count()
+        for r in rows:
+            assert r.overcount >= 0, "CM undercounted - impossible"
+            assert r.est_n >= r.exact_n
+            # 4 rows of width 128: overcount beyond 20% of stream mass
+            # would mean the min-of-rows estimate is broken
+            assert r.overcount <= n_total * 0.2
+
+    def test_gopher_rules_matrix_shape(self, spark):
+        df = self._run(spark, "text_gopher_rules").toPandas()
+        rules = {"min_words", "mean_word_len", "stopword_frac", "bigram_dup"}
+        assert set(df.rule) == rules
+        # every (lang, rule) cell present exactly once
+        assert len(df) == df.lang.nunique() * 4
+        assert ((df.n_pass >= 0) & (df.n_pass <= df.n_docs)).all()
+        assert ((df.pass_micro >= 0) & (df.pass_micro <= 1_000_000)).all()
+        # rules must discriminate: not everything passes everywhere
+        assert (df.n_pass < df.n_docs).any()
+
+    def test_span_repeats_bounds_and_nonvacuous(self, spark):
+        df = self._run(spark, "dedup_span_repeats").toPandas()
+        assert (df.n_docs_with_repeat <= df.n_docs).all()
+        assert (df.n_rep_positions <= df.n_spans).all()
+        assert int(df.n_rep_positions.sum()) > 0, "no repeated spans found"
+        # every doc has >= nt-7 >= 3 spans, so span mass dominates docs
+        assert (df.n_spans >= df.n_docs * 3).all()
+
+    def test_random_projection_is_integer_exact_and_repartition_stable(self, spark):
+        """The whole point of the integer spelling: the projection must be
+        IDENTICAL under a different partitioning of the input."""
+        import pandas as pd
+
+        df = self._run(spark, "sim_random_projection")
+        a = df.toPandas().sort_values("vec_id").reset_index(drop=True)
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        try:
+            b = (
+                registry.QUERIES["sim_random_projection"](spark, self.SF)
+                .toPandas()
+                .sort_values("vec_id")
+                .reset_index(drop=True)
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        pd.testing.assert_frame_equal(a, b)
+        # 16 dims rendered per vector, l1_norm consistent with the render
+        first = a.iloc[0]
+        parts = dict(kv.split(":") for kv in first.proj.split(","))
+        assert set(parts) == {str(j) for j in range(16)}
+        assert sum(abs(int(v)) for v in parts.values()) == first.l1_norm
