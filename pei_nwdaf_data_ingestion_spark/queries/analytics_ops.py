@@ -698,3 +698,185 @@ def sim_random_projection(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("proj"),
         F.sum(F.abs(F.col("pv"))).alias("l1_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_id
+      FROM events),
+    l AS (
+      SELECT user_id, day_id,
+             lag(day_id) OVER (PARTITION BY user_id ORDER BY day_id)
+               AS prev_day
+      FROM a),
+    c AS (
+      SELECT day_id,
+             CASE WHEN prev_day IS NULL THEN 'new'
+                  WHEN day_id - prev_day = 1 THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM l),
+    s AS (
+      SELECT day_id,
+             CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_resurrected,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM c GROUP BY day_id)
+    SELECT s.day_id, s.n_new, s.n_retained, s.n_resurrected, s.n_active,
+           CAST(coalesce(p.n_active, 0) - s.n_retained AS BIGINT)
+             AS n_churned
+    FROM s LEFT JOIN s p ON p.day_id = s.day_id - 1
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Growth accounting at daily grain (the new/retained/resurrected/
+    churned ledger every growth team runs - the Social Capital
+    formulation): each user-day is classified by the gap to that user's
+    previous active day - first appearance = new, exactly-yesterday =
+    retained, longer gap = resurrected - and churn falls out by
+    CONSERVATION: churned(d) = active(d-1) - retained(d), which is
+    non-negative by construction because today's retained users are a
+    subset of yesterday's actives (the identity is pinned in tests).
+    Plan: distinct user-day pairs (the one data-volume shuffle), a lag
+    over each user's own activity days (window keyed by user - frame
+    bounded by a user's lifetime, never the stream), a per-day hash agg,
+    and the yesterday lookup spelled as an equi SELF-JOIN on day_id - 1
+    over the ~150-row daily frame - NOT a global-order window, so no
+    Exchange SinglePartition exists anywhere (TestNoGlobalWindow).  All
+    integers, exact on both engines."""
+    ev = load(spark, sf, "events")
+    a = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86_400_000_000.0).cast("long").alias("day_id"),
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("day_id")
+    l = a.withColumn("prev_day", F.lag("day_id").over(wu))
+    status = (
+        F.when(F.col("prev_day").isNull(), "new")
+        .when(F.col("day_id") - F.col("prev_day") == 1, "retained")
+        .otherwise("resurrected")
+    )
+    s = (
+        l.select("day_id", status.alias("status"))
+        .groupBy("day_id")
+        .agg(
+            F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("status") == "retained", 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+            F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0)).alias(
+                "n_resurrected"
+            ),
+            F.count("*").alias("n_active"),
+        )
+    )
+    p = s.select((F.col("day_id") + 1).alias("day_id"), F.col("n_active").alias("pa"))
+    return (
+        s.join(F.broadcast(p), "day_id", "left")
+        .select(
+            "day_id",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_active",
+            (F.coalesce(F.col("pa"), F.lit(0)) - F.col("n_retained"))
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection
+# ---------------------------------------------------------------------------
+
+_CUSUM_BASE_DAYS = 14  # baseline window length (days)
+_CUSUM_H = 3  # drift threshold, in baseline-means of cumulative deviation
+
+
+@query(
+    "win_cusum_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, day_id, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day_id)
+               AS rn
+      FROM d),
+    base AS (
+      SELECT event_type,
+             CAST((sum(n) * 1000000) // count(*) AS BIGINT) AS mean_micro
+      FROM r WHERE rn <= {_CUSUM_BASE_DAYS} GROUP BY event_type),
+    c AS (
+      SELECT r.event_type, r.day_id, r.n, b.mean_micro,
+             CAST(sum(r.n * 1000000 - b.mean_micro)
+                    OVER (PARTITION BY r.event_type ORDER BY r.day_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_micro
+      FROM r JOIN base b ON r.event_type = b.event_type)
+    SELECT event_type, day_id, n, cusum_micro,
+           abs(cusum_micro) > {_CUSUM_H} * mean_micro AS is_drift
+    FROM c
+    """,
+)
+def win_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM control chart over each event type's daily volume: cumulative
+    sum of deviations from a baseline mean estimated on the first
+    {_CUSUM_BASE_DAYS} days, flagging days where the accumulated
+    deviation exceeds {_CUSUM_H} baseline-means - the change-point /
+    drift detector that catches slow level shifts a per-day z-score
+    (events_anomaly_zscore) integrates right past.  The baseline mean is
+    an integer micro-mean (floor div), deviations are exact integers, so
+    the running sum is order-independent per the chart's own ORDER BY -
+    bit-identical on both engines, no float accumulation anywhere.
+    Plan: one data-volume shuffle (daily agg); the row_number, the
+    baseline agg, and the running sum all live on the (event_type,
+    day) frame (~150 rows), windows keyed by event_type (bounded
+    partitions, no global window); the baseline joins back broadcast
+    (|types| rows).  At 100 TB the chart frame is calendar-bounded -
+    the detector costs what the daily rollup costs."""
+    ev = load(spark, sf, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 86_400_000_000.0).cast("long").alias("day_id"),
+    ).agg(F.count("*").alias("n"))
+    wr = Window.partitionBy("event_type").orderBy("day_id")
+    r = d.withColumn("rn", F.row_number().over(wr))
+    base = (
+        r.filter(F.col("rn") <= _CUSUM_BASE_DAYS)
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST((sum(n) * 1000000) div count(*) AS BIGINT)").alias(
+                "mean_micro"
+            )
+        )
+    )
+    c = r.join(F.broadcast(base), "event_type").withColumn(
+        "cusum_micro",
+        F.sum(F.col("n") * 1_000_000 - F.col("mean_micro")).over(
+            wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return c.select(
+        "event_type",
+        "day_id",
+        "n",
+        F.col("cusum_micro").cast("long").alias("cusum_micro"),
+        (F.abs(F.col("cusum_micro")) > _CUSUM_H * F.col("mean_micro")).alias(
+            "is_drift"
+        ),
+    )

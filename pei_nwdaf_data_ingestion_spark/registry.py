@@ -124,6 +124,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "dedup_span_repeats": 6,
     "agg_countmin_topk": 6,
     "sim_random_projection": 6,
+    "events_growth_accounting": 6,
+    "win_cusum_drift": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -533,3 +533,47 @@ class TestSketchAndProjectionOps:
         parts = dict(kv.split(":") for kv in first.proj.split(","))
         assert set(parts) == {str(j) for j in range(16)}
         assert sum(abs(int(v)) for v in parts.values()) == first.l1_norm
+
+
+class TestGrowthAndDriftOps:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_growth_accounting_conservation(self, spark):
+        """active = new + retained + resurrected per day; churn is
+        non-negative (retained(d) is a subset of active(d-1)); first day
+        is all-new."""
+        df = (
+            self._run(spark, "events_growth_accounting")
+            .toPandas()
+            .sort_values("day_id")
+            .reset_index(drop=True)
+        )
+        assert (
+            df.n_active == df.n_new + df.n_retained + df.n_resurrected
+        ).all()
+        assert (df.n_churned >= 0).all()
+        first = df.iloc[0]
+        assert first.n_retained == 0 and first.n_resurrected == 0
+        assert first.n_new == first.n_active > 0
+
+    def test_cusum_is_exact_prefix_sum_of_deviations(self, spark):
+        """Recompute the chart independently: cusum at row k must equal
+        the exact integer prefix sum of (n*1e6 - mean_micro) with the
+        baseline mean fit on the first 14 days - pins both the baseline
+        window and the integer arithmetic."""
+        df = self._run(spark, "win_cusum_drift").toPandas()
+        assert df.cusum_micro.notna().all() and df.is_drift.notna().all()
+        for et, g in df.groupby("event_type"):
+            g = g.sort_values("day_id").reset_index(drop=True)
+            mean_micro = int(g.n.head(14).sum()) * 1_000_000 // 14
+            expect = (g.n * 1_000_000 - mean_micro).cumsum()
+            assert (g.cusum_micro == expect).all(), et
+            assert (
+                g.is_drift == (g.cusum_micro.abs() > 3 * mean_micro)
+            ).all(), et
