@@ -937,3 +937,54 @@ def stream_sliding_hll(spark: SparkSession, sf: str) -> DataFrame:
     # rationale)
     _drain(agg, name, mode="complete")
     return spark.table(name)
+
+
+@query("stream_ohlc_bars")
+def stream_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming OHLC bar builder: per (event_type, 1-day tumbling window)
+    open/high/low/close in integer cents, the ingest-time counterpart of
+    time_resample_ohlc (analytics_ops.py) - a real market-data /
+    metrics-rollup pipeline computes bars AS data arrives, not in a
+    nightly batch.  Open/close ride as min/max over the struct
+    (ts, event_id, cents) - structs compare lexicographically, min/max
+    are classic algebraic accumulators, so the bar state is ONE struct
+    pair + 3 longs per open window regardless of event volume (bounded
+    by watermark x type cardinality), and every accumulator merges
+    associatively across micro-batches - the property that makes the
+    streaming result EQUAL the batch query on the same data, asserted as
+    batch-dual equality in tests/test_streaming.py.  Complete-mode drain
+    like stream_windowed_topk; at scale the sink is Kafka/Delta with
+    append mode once the watermark closes each day."""
+    ev = _events_stream(spark, sf)
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    e = ev.select(
+        "event_type",
+        "ts",
+        F.struct("ts", "event_id", cents.alias("cents")).alias("k"),
+        cents.alias("cents"),
+    )
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.min("k").alias("first_k"),
+            F.max("k").alias("last_k"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("volume_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("first_k.cents").alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("last_k.cents").alias("close_cents"),
+            "n_events",
+            "volume_cents",
+        )
+    )
+    name = "stream_ohlc_bars_out"
+    _drain(agg, name, mode="complete")
+    return spark.table(name)

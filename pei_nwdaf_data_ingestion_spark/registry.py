@@ -126,6 +126,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "sim_random_projection": 6,
     "events_growth_accounting": 6,
     "win_cusum_drift": 6,
+    "stream_ohlc_bars": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

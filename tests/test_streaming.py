@@ -562,3 +562,40 @@ def test_stream_sliding_hll_within_sketch_tolerance(spark):
     assert set(got) == set(exact) and len(got) > 0
     for k, approx in got.items():
         assert abs(approx - exact[k]) <= max(2, 0.1 * exact[k]), (k, approx, exact[k])
+
+
+def test_stream_ohlc_bars_equal_batch_resample(spark):
+    """Streaming OHLC bars must equal time_resample_ohlc on the same data
+    bar-for-bar: min/max-struct accumulators merge associatively across
+    micro-batches, so stream == batch exactly (the stream_session_window
+    batch-dual pattern)."""
+    import pandas as pd
+
+    from pei_nwdaf_data_ingestion_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    cols = [
+        "event_type",
+        "day",
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+        "n_events",
+        "volume_cents",
+    ]
+    s = (
+        registry.QUERIES["stream_ohlc_bars"](spark, sf)
+        .toPandas()[cols]
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    b = (
+        registry.QUERIES["time_resample_ohlc"](spark, sf)
+        .toPandas()[cols]
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    assert len(s) > 0
+    pd.testing.assert_frame_equal(s, b.astype(s.dtypes.to_dict()))
