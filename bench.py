@@ -195,13 +195,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # cache invariant (VERDICT r5 item 2): a warm table cache that LOSES to
     # cold parquet scans is always a layout bug (r5: coalesce(1)-cached
-    # documents starved dedup_ppjoin_prefix 3.3x) - make it machine-visible
+    # documents starved dedup_ppjoin_prefix 3.3x) - make it machine-visible.
+    # The same absolute 0.25 s slack as the ratchet: the uncached sweep runs
+    # SECOND in the process, so every plan is JIT-compiled by then - on
+    # sub-second shapes that ordering advantage alone shows as a spurious
+    # 1.5x "loss" that has nothing to do with cache layout.
     cache_regressions = sorted(
         n
         for n in times
         if isinstance(times.get(n), float)
         and isinstance(uncached.get(n), float)
-        and times[n] > 1.5 * uncached[n]
+        and times[n] > 1.5 * uncached[n] + 0.25
     )
     # per-query ratchet (VERDICT r5 item 7): best-known warm time per query,
     # checked in at tools/bench_ratchet.json.  A query is flagged when it
