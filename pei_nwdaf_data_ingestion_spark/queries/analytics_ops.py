@@ -880,3 +880,163 @@ def win_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
             "is_drift"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# one Lloyd iteration of k-means, integer-exact
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+
+
+@query(
+    "sim_kmeans_lloyd_step",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))
+               AS qa
+      FROM embeddings),
+    init AS (
+      SELECT vec_id AS k, qa AS ca FROM q WHERE vec_id < {_KM_K}),
+    d AS (
+      SELECT q.vec_id, i.k,
+             list_sum(list_transform(range(1, 65),
+               j -> (q.qa[j] - i.ca[j]) * (q.qa[j] - i.ca[j]))) AS dist
+      FROM q CROSS JOIN init i),
+    a AS (
+      SELECT vec_id, CAST(min(dist * {_KM_K} + k) AS BIGINT) AS key
+      FROM d GROUP BY vec_id),
+    asg AS (
+      SELECT a.vec_id, a.key % {_KM_K} AS k, a.key // {_KM_K} AS dist, q.qa
+      FROM a JOIN q ON a.vec_id = q.vec_id)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(dist) AS BIGINT) AS sse,
+           CAST(sum(qa[1]) // count(*) AS BIGINT) AS c0,
+           CAST(sum(qa[2]) // count(*) AS BIGINT) AS c1,
+           CAST(sum(qa[3]) // count(*) AS BIGINT) AS c2,
+           CAST(sum(qa[4]) // count(*) AS BIGINT) AS c3
+    FROM asg GROUP BY k
+    """,
+)
+def sim_kmeans_lloyd_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd iteration of k-means (K = {_KM_K}) as a fully declarative,
+    INTEGER-exact distributed step - the primitive under every IVF/PQ
+    coarse quantizer (sim_ivf_topk's centroid build runs this loop
+    driver-side over a bounded K x dim sample; this operator is the
+    cluster-scale spelling that handles any N).  Components are
+    micro-quantized once; distances are exact integer sums over
+    zip_with(q, c, (x,y) -> (x-y)^2) - no float accumulation, so
+    assignment decisions and SSE are bit-identical on both engines at any
+    partitioning.  Deterministic argmin: the (dist, k) pair is packed
+    into ONE integer key (dist * K + k, k < K) whose min is the
+    lexicographic minimum - ties break toward the lower centroid id
+    identically everywhere, and the agg needs no struct ordering.
+    Init = the K lowest vec_ids (the deterministic stand-in for k-means++
+    seeding, which is irreducibly random).  Plan: the K-row centroid
+    table BROADCASTS against the vector scan (the only sane join at
+    100 TB - N x K distance rows never shuffle, they fold map-side into
+    the per-vector min), one hash agg keyed vec_id, the update agg keyed
+    k.  Updated centroid components (first 4 shown) are integer
+    floor-means - the next iteration's exact input."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * 10000.0 + 0.5).cast("long"),
+        ).alias("qa"),
+    )
+    init = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("k"), F.col("qa").alias("ca")
+    )
+    dist = F.aggregate(
+        F.zip_with("qa", "ca", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = q.crossJoin(F.broadcast(init)).select(
+        "vec_id", (dist * _KM_K + F.col("k")).alias("key")
+    )
+    a = d.groupBy("vec_id").agg(F.min("key").alias("key"))
+    asg = a.join(q, "vec_id").select(
+        (F.col("key") % _KM_K).alias("k"),
+        F.expr(f"key div {_KM_K}").alias("dist"),
+        "qa",
+    )
+    return asg.groupBy("k").agg(
+        F.count("*").alias("n_assigned"),
+        F.sum("dist").alias("sse"),
+        *[
+            F.expr(f"CAST(sum(qa[{i}]) div count(*) AS BIGINT)").alias(f"c{i}")
+            for i in range(4)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_theil_sen_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(((b.n - a.n) * 1000000) // (b.day_id - a.day_id)
+                  AS BIGINT) AS slope_micro
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND b.day_id > a.day_id)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(quantile_cont(slope_micro, 0.5) * 100.0 + 0.5) / 100.0
+             AS ts_slope_micro,
+           CAST(sum(CASE WHEN slope_micro > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_up,
+           CAST(sum(CASE WHEN slope_micro < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_down
+    FROM pairs GROUP BY event_type
+    """,
+)
+def agg_theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type: the MEDIAN of all
+    pairwise slopes between daily counts - up to ~29% contamination
+    cannot move it, where agg_regression_trend's OLS slope chases every
+    outlier day (the two are the robust/classical pair, like
+    agg_mad_robust vs agg_stats).  Pairwise slopes are integer
+    micro-slopes (floor div of exact count/day diffs), generated by a
+    self-equi-join ON event_type over the AGGREGATED daily frame - the
+    O(days^2) blowup is per type and calendar-bounded (~150 days ->
+    ~11k pairs per type), never data-bounded, which is what makes
+    Theil-Sen viable at 100 TB when it is hopeless on raw points.  The
+    median interpolation (percentile = quantile_cont) runs per type over
+    those bounded pair frames; sign counts (Mann-Kendall's S statistic
+    components) ride along for a distribution-free direction signal.
+    One data-volume shuffle (daily agg) + the tiny pair join."""
+    ev = load(spark, sf, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 86_400_000_000.0).cast("long").alias("day_id"),
+    ).agg(F.count("*").alias("n"))
+    a = d.select("event_type", F.col("day_id").alias("d1"), F.col("n").alias("n1"))
+    b = d.select("event_type", F.col("day_id").alias("d2"), F.col("n").alias("n2"))
+    pairs = a.join(b, "event_type").filter(F.col("d2") > F.col("d1")).select(
+        "event_type",
+        F.expr("CAST(((n2 - n1) * 1000000) div (d2 - d1) AS BIGINT)").alias(
+            "slope_micro"
+        ),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        pround(F.percentile("slope_micro", F.lit(0.5)), 2).alias("ts_slope_micro"),
+        F.sum(F.when(F.col("slope_micro") > 0, 1).otherwise(0)).alias("n_up"),
+        F.sum(F.when(F.col("slope_micro") < 0, 1).otherwise(0)).alias("n_down"),
+    )

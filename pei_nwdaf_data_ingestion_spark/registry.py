@@ -127,6 +127,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "events_growth_accounting": 6,
     "win_cusum_drift": 6,
     "stream_ohlc_bars": 6,
+    "sim_kmeans_lloyd_step": 6,
+    "agg_theil_sen_trend": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -577,3 +577,76 @@ class TestGrowthAndDriftOps:
             assert (
                 g.is_drift == (g.cusum_micro.abs() > 3 * mean_micro)
             ).all(), et
+
+
+class TestKmeansAndTheilSen:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_kmeans_step_partitions_all_vectors(self, spark):
+        """Every vector lands in exactly one cluster; the seed vector of
+        each non-empty cluster is assigned to itself (distance 0 to its
+        own centroid beats every other centroid unless a duplicate seed
+        exists, in which case the lower id wins - either way SSE
+        contribution of seeds is 0)."""
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        df = self._run(spark, "sim_kmeans_lloyd_step").toPandas()
+        n_vecs = load(spark, self.SF, "embeddings").count()
+        assert int(df.n_assigned.sum()) == n_vecs
+        assert set(df.k) <= set(range(8))
+        assert (df.sse >= 0).all()
+        # centroids moved into the quantized component range
+        for c in ["c0", "c1", "c2", "c3"]:
+            assert df[c].abs().max() <= 10000 * 2  # |v| <= ~2.0 in fixture
+
+    def test_kmeans_step_improves_or_holds_sse_vs_random_assign(self, spark):
+        """Lloyd assignment is the argmin: its total SSE must be <= the
+        SSE of assigning every vector to centroid 0 (any fixed
+        assignment)."""
+        from pyspark.sql import functions as F
+
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        registry.load_all()
+        df = self._run(spark, "sim_kmeans_lloyd_step").toPandas()
+        emb = load(spark, self.SF, "embeddings")
+        q = emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * 10000.0 + 0.5).cast("long"),
+            ).alias("qa"),
+        )
+        c0 = q.filter(F.col("vec_id") == 0).select(F.col("qa").alias("ca"))
+        fixed = (
+            q.crossJoin(c0)
+            .select(
+                F.aggregate(
+                    F.zip_with("qa", "ca", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d")
+            )
+            .agg(F.sum("d"))
+            .collect()[0][0]
+        )
+        assert int(df.sse.sum()) <= fixed
+
+    def test_theil_sen_pair_counts_and_median_bounds(self, spark):
+        df = self._run(spark, "agg_theil_sen_trend").toPandas()
+        assert len(df) > 0
+        # n_pairs = days*(days-1)/2 per type; sign counts partition pairs
+        assert (df.n_up + df.n_down <= df.n_pairs).all()
+        # the median slope lies within the observed sign mix: if >half the
+        # pairs go up the median cannot be negative, and vice versa
+        up_major = df.n_up * 2 > df.n_pairs
+        dn_major = df.n_down * 2 > df.n_pairs
+        assert (df.loc[up_major, "ts_slope_micro"] >= 0).all()
+        assert (df.loc[dn_major, "ts_slope_micro"] <= 0).all()
