@@ -129,6 +129,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "stream_ohlc_bars": 6,
     "sim_kmeans_lloyd_step": 6,
     "agg_theil_sen_trend": 6,
+    "join_bloom_prefilter": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -650,3 +650,36 @@ class TestKmeansAndTheilSen:
         dn_major = df.n_down * 2 > df.n_pairs
         assert (df.loc[up_major, "ts_slope_micro"] >= 0).all()
         assert (df.loc[dn_major, "ts_slope_micro"] <= 0).all()
+
+
+class TestBloomPrefilter:
+    def test_no_false_negatives_and_low_fp_rate(self, spark):
+        """Bloom guarantees: every true match passes (n_bloom_pass >=
+        n_true_match per flag, and the TOTAL true matches equal the exact
+        semi-join count); the false-positive mass stays within ~5x the
+        analytic (1 - e^-kn/m)^k expectation."""
+        from pyspark.sql import functions as F
+
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        df = registry.QUERIES["join_bloom_prefilter"](spark, sf).toPandas()
+        assert (df.n_bloom_pass >= df.n_true_match).all()
+        assert (df.n_bloom_pass <= df.n_probe).all()
+        li = load(spark, sf, "lineitem")
+        ords = load(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        exact = li.join(
+            ords, li.l_orderkey == ords.o_orderkey, "left_semi"
+        ).count()
+        assert int(df.n_true_match.sum()) == exact > 0
+        import math
+
+        n_keys = ords.select("o_orderkey").distinct().count()
+        fp_expect = (1.0 - math.exp(-3.0 * n_keys / 8192.0)) ** 3
+        fp_mass = int((df.n_bloom_pass - df.n_true_match).sum())
+        non_match = int(df.n_probe.sum()) - exact
+        assert fp_mass <= max(20, 5 * fp_expect * non_match)
