@@ -1161,3 +1161,156 @@ def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     return per_flag_probe.join(F.broadcast(per_flag_pass), "l_returnflag").select(
         "l_returnflag", "n_probe", "n_bloom_pass", "n_true_match"
     )
+
+
+# ---------------------------------------------------------------------------
+# length bucketing (inference batching / padding-waste report)
+# ---------------------------------------------------------------------------
+
+_LB_BUCKET = 16  # tokens per length bucket
+
+
+@query(
+    "pipeline_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents),
+    g AS (SELECT CAST(max(nt) AS BIGINT) AS global_max FROM t),
+    b AS (
+      SELECT nt // {_LB_BUCKET} AS bucket, nt FROM t)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * {_LB_BUCKET} AS BIGINT) AS len_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS real_tokens,
+           CAST(max(nt) * count(*) AS BIGINT) AS padded_tokens,
+           CAST(((max(nt) * count(*) - sum(nt)) * 1000000)
+                // (max(nt) * count(*)) AS BIGINT) AS waste_micro,
+           CAST(((g.global_max * count(*) - sum(nt)) * 1000000)
+                // (g.global_max * count(*)) AS BIGINT)
+             AS waste_unbucketed_micro
+    FROM b CROSS JOIN g
+    GROUP BY bucket, g.global_max
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Length bucketing for batched inference/training: documents grouped
+    into {_LB_BUCKET}-token length buckets, with the padding-waste
+    ledger - real vs padded token mass when each batch pads to its
+    bucket max, against the waste of padding everything to the GLOBAL
+    max (the no-bucketing baseline every serving stack starts from).
+    This report is how you pick the bucket width that trades kernel
+    occupancy against batch fragmentation; the same bucket key then
+    becomes the repartition/sort key the actual batcher uses (the
+    pipeline_seq_pack complement: packing concatenates, bucketing
+    pads).  One map-side projection + one hash agg; the global max is a
+    1-row broadcast.  All integers - the waste ratios are exact micro
+    floor-divisions on both engines."""
+    d = load(spark, sf, "documents")
+    t = d.select(F.size(F.split("text", " ")).cast("long").alias("nt"))
+    g = t.agg(F.max("nt").alias("global_max"))
+    b = t.select(F.expr(f"nt div {_LB_BUCKET}").alias("bucket"), "nt").crossJoin(
+        F.broadcast(g)
+    )
+    return b.groupBy("bucket", "global_max").agg(
+        F.expr(f"CAST(bucket * {_LB_BUCKET} AS BIGINT)").alias("len_lo"),
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("real_tokens"),
+        (F.max("nt") * F.count("*")).alias("padded_tokens"),
+        F.expr(
+            "CAST(((max(nt) * count(*) - sum(nt)) * 1000000)"
+            " div (max(nt) * count(*)) AS BIGINT)"
+        ).alias("waste_micro"),
+        F.expr(
+            "CAST(((global_max * count(*) - sum(nt)) * 1000000)"
+            " div (global_max * count(*)) AS BIGINT)"
+        ).alias("waste_unbucketed_micro"),
+    ).drop("global_max")
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands (rolling mean +/- 2 sigma)
+# ---------------------------------------------------------------------------
+
+_BB_WIN = 14  # rolling window, days
+
+
+@query(
+    "win_bollinger_bands",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, day_id, n,
+             CAST(count(*) OVER w AS BIGINT) AS k,
+             CAST(sum(n) OVER w AS BIGINT) AS s1,
+             CAST(sum(n * n) OVER w AS BIGINT) AS s2
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_id
+                   ROWS BETWEEN {_BB_WIN - 1} PRECEDING AND CURRENT ROW))
+    SELECT event_type, day_id, n, k,
+           floor((s1 * 1.0 / k) * 10000.0 + 0.5) / 10000.0 AS mid,
+           floor((s1 * 1.0 / k
+                  - 2.0 * sqrt((s2 - s1 * 1.0 * s1 / k) / k)) * 10000.0
+                 + 0.5) / 10000.0 AS lower_band,
+           floor((s1 * 1.0 / k
+                  + 2.0 * sqrt((s2 - s1 * 1.0 * s1 / k) / k)) * 10000.0
+                 + 0.5) / 10000.0 AS upper_band,
+           n * k > s1 + CAST(floor(2.0 * sqrt((s2 - s1 * 1.0 * s1 / k) / k)
+                                   * k) AS BIGINT) AS breakout_up
+    FROM s
+    """,
+)
+def win_bollinger_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Bollinger bands over each event type's daily volume: rolling
+    {_BB_WIN}-day mean +/- 2 population sigma, plus an integer-exact
+    breakout flag.  The rolling moments come from ALGEBRAIC sufficient
+    statistics (k, sum, sum of squares) in a bounded ROWS frame - the
+    same discipline as events_anomaly_zscore but windowed, which is what
+    an alerting system actually runs (a global mean never adapts to
+    level shifts; the CUSUM chart and these bands are the
+    drift/volatility pair).  The band edges are floats (one sqrt), but
+    the BREAKOUT DECISION is spelled in integers - n*k > s1 +
+    floor(2*sigma*k) - so the flag flips identically on both engines
+    even when the band edge lands on a rounding boundary.  One
+    data-volume shuffle (daily agg); the window runs over the ~150-row
+    daily frame keyed by event_type."""
+    ev = load(spark, sf, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 86_400_000_000.0).cast("long").alias("day_id"),
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_id")
+        .rowsBetween(-(_BB_WIN - 1), Window.currentRow)
+    )
+    s = d.select(
+        "event_type",
+        "day_id",
+        "n",
+        F.count("*").over(w).alias("k"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("k")
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("k")) / F.col("k")
+    )
+    return s.select(
+        "event_type",
+        "day_id",
+        "n",
+        "k",
+        pround(mean, 4).alias("mid"),
+        pround(mean - 2.0 * sigma, 4).alias("lower_band"),
+        pround(mean + 2.0 * sigma, 4).alias("upper_band"),
+        (
+            F.col("n") * F.col("k")
+            > F.col("s1") + F.floor(2.0 * sigma * F.col("k")).cast("long")
+        ).alias("breakout_up"),
+    )

@@ -130,6 +130,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "sim_kmeans_lloyd_step": 6,
     "agg_theil_sen_trend": 6,
     "join_bloom_prefilter": 6,
+    "pipeline_length_buckets": 6,
+    "win_bollinger_bands": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -683,3 +683,37 @@ class TestBloomPrefilter:
         fp_mass = int((df.n_bloom_pass - df.n_true_match).sum())
         non_match = int(df.n_probe.sum()) - exact
         assert fp_mass <= max(20, 5 * fp_expect * non_match)
+
+
+class TestLengthBucketsAndBollinger:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_length_buckets_cover_corpus_and_reduce_waste(self, spark):
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        df = self._run(spark, "pipeline_length_buckets").toPandas()
+        n_docs = load(spark, self.SF, "documents").count()
+        assert int(df.n_docs.sum()) == n_docs
+        assert (df.real_tokens <= df.padded_tokens).all()
+        # the whole point: bucketed padding wastes strictly less than
+        # global-max padding in every bucket below the top one
+        below_top = df[df.bucket < df.bucket.max()]
+        assert (below_top.waste_micro < below_top.waste_unbucketed_micro).all()
+        assert ((df.waste_micro >= 0) & (df.waste_micro < 1_000_000)).all()
+
+    def test_bollinger_bands_bracket_the_mid(self, spark):
+        df = self._run(spark, "win_bollinger_bands").toPandas()
+        assert (df.lower_band <= df.mid).all()
+        assert (df.mid <= df.upper_band).all()
+        assert ((df.k >= 1) & (df.k <= 14)).all()
+        # breakout flag consistent with the float bands (away from
+        # boundary ties the two spellings agree; allow boundary rows)
+        close = (df.n - df.upper_band).abs() < 1.0
+        agree = (df.n > df.upper_band) == df.breakout_up
+        assert (agree | close).all()
