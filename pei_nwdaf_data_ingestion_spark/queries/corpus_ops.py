@@ -2236,3 +2236,73 @@ def pipeline_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
         ),
         pround(prior, 2).alias("prior_cents"),
     )
+
+
+@query(
+    "scan_csv_quarantine",
+    oracle="""
+    SELECT lang,
+           CAST(sum(CASE WHEN doc_id % 10 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean,
+           CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(sum(CASE WHEN doc_id % 10 <> 3 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS sum_chars_clean
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def scan_csv_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """Malformed-record QUARANTINE on the CSV ingest path: a feed where
+    every doc_id ending in 3 carries an unparsable numeric field (the
+    deterministic stand-in for the corrupt rows every real feed
+    contains) is read in PERMISSIVE mode with an explicit
+    columnNameOfCorruptRecord - bad rows land in the quarantine column
+    with their raw line preserved (replayable after a fix), clean rows
+    flow through typed.  This is the ingestion error contract the
+    reference enforces with HTTP 400s per record (receiver.py:129-139
+    validation + tests/test_receiver.py malformed-payload cases) -
+    re-expressed as the dead-letter pattern a file/Kafka batch source
+    needs, where there is no caller to 400 at.  FAILFAST would kill the
+    job on row one; DROPMALFORMED silently loses data - PERMISSIVE +
+    quarantine count is the only posture that is both complete and
+    auditable.  The per-lang report proves (a) no row is lost (clean +
+    quarantined = total, oracle-checked against the source of truth)
+    and (b) corrupt rows never poison the clean aggregate.  The dump is
+    once per application; the query is one schema-bound CSV scan + one
+    hash agg."""
+    dm = load(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 10 == 3,
+            F.concat(F.lit("corrupt<"), F.col("n_chars").cast("string")),
+        )
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("n_chars"),
+    )
+    d = _dump_dir(
+        spark, sf, "csv_bad",
+        lambda p: dm.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(p),
+    )
+    src = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _bad string"
+        )
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(d)
+    )
+    return src.groupBy("lang").agg(
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0)).alias("n_clean"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0)).alias(
+            "n_quarantined"
+        ),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("n_chars")).otherwise(0)
+        ).alias("sum_chars_clean"),
+    )

@@ -132,6 +132,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "join_bloom_prefilter": 6,
     "pipeline_length_buckets": 6,
     "win_bollinger_bands": 6,
+    "scan_csv_quarantine": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
