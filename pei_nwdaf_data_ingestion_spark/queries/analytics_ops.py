@@ -1314,3 +1314,114 @@ def win_bollinger_bands(spark: SparkSession, sf: str) -> DataFrame:
             > F.col("s1") + F.floor(2.0 * sigma * F.col("k")).cast("long")
         ).alias("breakout_up"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test (A/B comparison matrix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_abtest_welch",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s1,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s2
+      FROM events GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS n1, a.s1 AS sa1, a.s2 AS sa2,
+             b.n AS n2, b.s1 AS sb1, b.s2 AS sb2
+      FROM s a JOIN s b ON a.event_type < b.event_type),
+    f AS (
+      SELECT type_a, type_b, n1, n2,
+             sa1 * 1.0 / n1 AS m1,
+             sb1 * 1.0 / n2 AS m2,
+             ((sa2 - sa1 * 1.0 * sa1 / n1) / (n1 - 1)) / n1 AS se1,
+             ((sb2 - sb1 * 1.0 * sb1 / n2) / (n2 - 1)) / n2 AS se2
+      FROM p)
+    SELECT type_a, type_b, n1, n2,
+           floor((m1 - m2) * 100.0 + 0.5) / 100.0 AS mean_diff_cents,
+           floor(((m1 - m2) / sqrt(se1 + se2)) * 10000.0 + 0.5) / 10000.0
+             AS t_stat,
+           floor((((se1 + se2) * (se1 + se2))
+                  / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)))
+                 * 100.0 + 0.5) / 100.0 AS welch_df,
+           abs(floor(((m1 - m2) / sqrt(se1 + se2)) * 10000.0 + 0.5)
+               / 10000.0) > 1.96 AS significant_95
+    FROM f
+    """,
+)
+def events_abtest_welch(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch two-sample t-test matrix over every event-type pair - the
+    A/B-testing primitive (unequal variances, unequal sizes - the test
+    you actually run, not Student's): mean difference in cents, the
+    t statistic, the Welch-Satterthwaite degrees of freedom, and the
+    |t| > 1.96 significance flag.  Inputs are ALGEBRAIC sufficient
+    statistics (n, sum, sum-of-squares of integer cents - the
+    agg_regression_trend discipline), so the one shuffle is the per-type
+    agg with map-side combine; the pair matrix is a self-join of a
+    |types|-row broadcast frame.  The float tail (two divisions, one
+    sqrt) is spelled with identical literal order on both engines over
+    exact integer inputs, then pround; the significance flag compares
+    the ROUNDED t so the boundary decision is the same computation
+    everywhere.  At 100 TB per-variant sufficient stats stream out of
+    one pass - the test itself costs |variants|^2 arithmetic, nothing
+    data-sized."""
+    ev = load(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    a = s.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n1"),
+        F.col("s1").alias("sa1"),
+        F.col("s2").alias("sa2"),
+    )
+    b = s.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n2"),
+        F.col("s1").alias("sb1"),
+        F.col("s2").alias("sb2"),
+    )
+    p = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    m1 = F.col("sa1") * 1.0 / F.col("n1")
+    m2 = F.col("sb1") * 1.0 / F.col("n2")
+    se1 = ((F.col("sa2") - F.col("sa1") * 1.0 * F.col("sa1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )) / F.col("n1")
+    se2 = ((F.col("sb2") - F.col("sb1") * 1.0 * F.col("sb1") / F.col("n2")) / (
+        F.col("n2") - 1
+    )) / F.col("n2")
+    f = p.select(
+        "type_a", "type_b", "n1", "n2",
+        m1.alias("m1"), m2.alias("m2"), se1.alias("se1"), se2.alias("se2"),
+    )
+    t_stat = pround(
+        (F.col("m1") - F.col("m2")) / F.sqrt(F.col("se1") + F.col("se2")), 4
+    )
+    return f.select(
+        "type_a",
+        "type_b",
+        "n1",
+        "n2",
+        pround(F.col("m1") - F.col("m2"), 2).alias("mean_diff_cents"),
+        t_stat.alias("t_stat"),
+        pround(
+            ((F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2")))
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1.0)
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1.0)
+            ),
+            2,
+        ).alias("welch_df"),
+        (F.abs(t_stat) > 1.96).alias("significant_95"),
+    )

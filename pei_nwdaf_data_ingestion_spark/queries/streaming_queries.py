@@ -988,3 +988,89 @@ def stream_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
     name = "stream_ohlc_bars_out"
     _drain(agg, name, mode="complete")
     return spark.table(name)
+
+
+@query(
+    "udaf_seasonal_dow",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) % 7 AS dow,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    d AS (
+      SELECT event_type, dow,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sc
+      FROM c GROUP BY 1, 2),
+    t AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(sc) AS BIGINT) AS tc
+      FROM d GROUP BY 1)
+    SELECT d.event_type, d.dow, d.n,
+           CAST((d.sc * 1000000) // d.n AS BIGINT) AS mean_cents_micro,
+           CAST((((d.sc * 1000000) // d.n) * 1000)
+                // ((t.tc * 1000000) // t.nt) AS BIGINT) AS seasonal_milli
+    FROM d JOIN t ON d.event_type = t.event_type
+    """,
+)
+def udaf_seasonal_dow(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map applyInPandas operator - the third Python extension
+    API next to udf_scalar_parse (scalar pandas_udf) and udtf_normalize
+    (mapInPandas): each event type's FULL history arrives as one pandas
+    frame and returns its day-of-week seasonal profile (per-dow mean
+    value and the seasonal index vs the type's overall mean, the
+    classical decomposition's seasonal component).  Arithmetic inside
+    the UDF is PYTHON-INT floor division on exact cent sums - the same
+    two-step micro/milli division the oracle spells - so the Python path
+    is hash-identical to the SQL path, demonstrating that even the
+    escape hatch can hold the engine's exactness discipline.  The
+    grouped-map pattern is the right tool when per-group logic needs a
+    whole-group view (model fits, per-entity solvers) that window
+    functions can't express; its scale contract is that a GROUP must fit
+    one executor's memory - here groups are event types, and at 100 TB
+    the grouping key would be (type, month) or similar to bound them.
+    One shuffle (the groupBy), Arrow-batched both ways.  Native
+    equivalent exists (two hash aggs + broadcast join) - this query is
+    the API-surface demonstration, cross-checked by the oracle."""
+    ev = load(spark, sf, "events")
+    base = ev.select(
+        "event_type",
+        (F.floor(F.unix_micros("ts") / 86_400_000_000.0).cast("long") % 7).alias(
+            "dow"
+        ),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("dow", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("mean_cents_micro", T.LongType()),
+            T.StructField("seasonal_milli", T.LongType()),
+        ]
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        et = pdf["event_type"].iloc[0]
+        nt = int(len(pdf))
+        tc = int(pdf["cents"].sum())
+        overall_micro = (tc * 1_000_000) // nt
+        g = pdf.groupby("dow")["cents"].agg(["count", "sum"]).reset_index()
+        rows = []
+        for _, r in g.iterrows():
+            n, sc = int(r["count"]), int(r["sum"])
+            mean_micro = (sc * 1_000_000) // n
+            rows.append(
+                {
+                    "event_type": et,
+                    "dow": int(r["dow"]),
+                    "n": n,
+                    "mean_cents_micro": mean_micro,
+                    "seasonal_milli": (mean_micro * 1000) // overall_micro,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return base.groupBy("event_type").applyInPandas(profile, out_schema)

@@ -133,6 +133,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "pipeline_length_buckets": 6,
     "win_bollinger_bands": 6,
     "scan_csv_quarantine": 6,
+    "udaf_seasonal_dow": 6,
+    "events_abtest_welch": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -759,3 +759,34 @@ class TestCsvQuarantine:
         )
         sample = bad.limit(5).collect()
         assert sample and all("corrupt<" in r["_bad"] for r in sample)
+
+
+class TestSeasonalAndWelch:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_seasonal_indices_average_to_one(self, spark):
+        """Weighted by day counts, the seasonal indices must reconstruct
+        the overall mean: sum(n * mean_micro) == nt * overall (up to the
+        floor-division residue), and indices hover around 1000 milli."""
+        df = self._run(spark, "udaf_seasonal_dow").toPandas()
+        assert set(df.dow) <= set(range(7))
+        for et, g in df.groupby("event_type"):
+            assert len(g) == 7  # fixture spans every weekday
+            w = (g.n * g.seasonal_milli).sum() / g.n.sum()
+            assert 950 <= w <= 1050, (et, w)
+
+    def test_welch_matrix_shape_and_symmetric_consistency(self, spark):
+        df = self._run(spark, "events_abtest_welch").toPandas()
+        types = set(df.type_a) | set(df.type_b)
+        assert len(df) == len(types) * (len(types) - 1) // 2
+        assert (df.type_a < df.type_b).all()
+        assert (df.welch_df > 0).all()
+        assert (df.welch_df <= (df.n1 + df.n2 - 2)).all()
+        # flag consistent with the rounded t statistic
+        assert (df.significant_95 == (df.t_stat.abs() > 1.96)).all()
