@@ -132,12 +132,14 @@ def time_resample_ohlc(spark: SparkSession, sf: str) -> DataFrame:
     cents (per-row flooring before any aggregate - the agg_decimal_money
     discipline), so every bar field is order-independent and exact.
     Open/close are min_by/max_by keyed by the composite (ts, event_id) -
-    a SINGLE hash aggregate with map-side partial combine, no window sort
-    over the raw stream (the oracle's row_number spelling is the same
-    semantics; min_by is the plan you actually want at 100 TB because
-    first/last-in-bar reduces locally on every map task before any
-    shuffle).  One shuffle total, keyed by the bar key; skewed bars
-    degrade to AQE's runtime splitting because the agg is algebraic."""
+    a SINGLE aggregate with map-side partial combine (struct-keyed
+    min_by plans as SortAggregate: the sort is partition-LOCAL on the
+    bar key, and the one exchange carries 8 partial accumulator fields
+    per bar, never raw events - pinned in test_plan_quality).  The
+    oracle's row_number spelling is the same semantics; min_by is the
+    plan you want at 100 TB because first/last-in-bar reduces locally on
+    every map task before any shuffle.  Skewed bars degrade to AQE's
+    runtime splitting because every accumulator is algebraic."""
     ev = load(spark, sf, "events")
     cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
     key = F.struct("ts", "event_id")

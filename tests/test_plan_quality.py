@@ -508,3 +508,51 @@ class TestRound6cPlans:
         plan = plan_of(spark, "agg_decimal_money")
         assert "sum(" in plan and "decimal(" in plan.lower()
         assert dict(df.dtypes)["total_price"] == "string"
+
+
+class TestSession2Plans:
+    def test_bloom_prefilter_bits_broadcast_probe_never_shuffles_for_join(self, spark):
+        """The entire point of the bloom prefilter: the probe stream joins
+        the bit table via BroadcastHashJoin x3 - no SortMergeJoin, no
+        shuffle of the probe for any of the membership joins."""
+        p = plan_of(spark, "join_bloom_prefilter")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+
+    def test_kmeans_centroids_broadcast(self, spark):
+        """N x K distance evaluation must ride a broadcast nested loop /
+        hash of the K-row centroid table - a shuffled or sort-merge
+        cross join would be a scale-killer at any N."""
+        p = plan_of(spark, "sim_kmeans_lloyd_step")
+        assert "Broadcast" in p
+        assert "SortMergeJoin" not in p
+
+    def test_ohlc_is_single_shuffle_agg_no_window(self, spark):
+        """min_by/max_by spelling: ONE exchange - and it carries PARTIAL
+        aggregates (8 accumulator fields per bar), never raw events; no
+        Window operator anywhere.  (Struct-keyed min_by plans as
+        SortAggregate - the map-side sort is partition-local on the bar
+        key, which is fine; a Window would mean a full shuffle of the
+        raw stream.)"""
+        p = plan_of(spark, "time_resample_ohlc")
+        assert p.count("Exchange") <= 2  # partial->final agg pair
+        assert "Window" not in p
+        assert "partial_min_by" in p  # exchange input is combined partials
+
+    def test_gopher_rules_zero_joins(self, spark):
+        p = plan_of(spark, "text_gopher_rules")
+        assert "Join" not in p
+
+    def test_length_buckets_single_data_shuffle(self, spark):
+        """One data-volume agg + a broadcast 1-row global max."""
+        p = plan_of(spark, "pipeline_length_buckets")
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+    def test_random_projection_no_joins_two_aggs(self, spark):
+        """Pure explode -> hash agg -> render agg pipeline: any join in
+        this plan means the sign matrix got materialized somewhere."""
+        p = plan_of(spark, "sim_random_projection")
+        assert "Join" not in p
+        assert "HashAggregate" in p
