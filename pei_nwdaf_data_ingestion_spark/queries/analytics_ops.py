@@ -1427,3 +1427,87 @@ def events_abtest_welch(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("welch_df"),
         (F.abs(t_stat) > 1.96).alias("significant_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_MB_MIN_SUPPORT = 3  # orders; prunes the pair tail before any ratio math
+
+
+@query(
+    "agg_market_basket_lift",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    nt AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+    item AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY p),
+    pair AS (
+      SELECT a.p AS p1, c.p AS p2, CAST(count(*) AS BIGINT) AS support
+      FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+      GROUP BY 1, 2
+      HAVING count(*) >= {_MB_MIN_SUPPORT})
+    SELECT pr.p1, pr.p2, pr.support,
+           CAST((pr.support * 1000000) // i1.cnt AS BIGINT)
+             AS confidence_micro,
+           CAST((pr.support * nt.n_orders * 1000000) // (i1.cnt * i2.cnt)
+                AS BIGINT) AS lift_micro
+    FROM pair pr
+    JOIN item i1 ON i1.p = pr.p1
+    JOIN item i2 ON i2.p = pr.p2
+    CROSS JOIN nt
+    ORDER BY lift_micro DESC, pr.p1, pr.p2
+    LIMIT 20
+    """,
+)
+def agg_market_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association mining (the Apriori/FP-growth output
+    surface): top-20 part pairs by LIFT across order baskets, with
+    support and confidence - the co-purchase rule miner behind every
+    'frequently bought together'.  The pair candidate stage is the
+    basket self-join on order key - pairs materialize only inside a
+    basket (bounded by basket-size^2 per order, never catalog^2), and
+    the {_MB_MIN_SUPPORT}-order minimum support prunes the accidental-
+    pair tail BEFORE any ratio math, which is the Apriori insight that
+    makes the search tractable at any scale.  Item counts and the
+    basket total are broadcast-sized dims joined back; all three
+    metrics are exact integer micro-ratios (lift's cross-term
+    support * n_orders stays well inside int64 at any realistic
+    cardinality because support <= n_orders).  Top-20 ties break on
+    (p1, p2).  Shuffles: basket distinct, pair agg, item agg - all
+    hash-keyed; a hot basket (one order with thousands of items) is the
+    skew case, handled by capping basket size upstream the same way
+    graph_common_neighbors caps part degree."""
+    li = load(spark, sf, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    nt = b.agg(F.count_distinct("o").alias("n_orders"))
+    item = b.groupBy("p").agg(F.count("*").alias("cnt"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("c.p").alias("p2"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _MB_MIN_SUPPORT)
+    )
+    i1 = F.broadcast(item.select(F.col("p").alias("p1"), F.col("cnt").alias("cnt1")))
+    i2 = F.broadcast(item.select(F.col("p").alias("p2"), F.col("cnt").alias("cnt2")))
+    return (
+        pair.join(i1, "p1")
+        .join(i2, "p2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.expr("CAST((support * 1000000) div cnt1 AS BIGINT)").alias(
+                "confidence_micro"
+            ),
+            F.expr(
+                "CAST((support * n_orders * 1000000) div (cnt1 * cnt2) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), F.asc("p1"), F.asc("p2"))
+        .limit(20)
+    )

@@ -2306,3 +2306,63 @@ def scan_csv_quarantine(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.col("_bad").isNull(), F.col("n_chars")).otherwise(0)
         ).alias("sum_chars_clean"),
     )
+
+
+@query(
+    "scan_binary_source",
+    oracle="""
+    SELECT source,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(sum(len(text)) + count(*) AS BIGINT) AS n_bytes,
+           sha256(string_agg(text || chr(10), '' ORDER BY doc_id))
+             AS content_sha
+    FROM documents
+    GROUP BY source
+    """,
+)
+def scan_binary_source(spark: SparkSession, sf: str) -> DataFrame:
+    """binaryFile source connector - the ingestion surface for the
+    multimodal path (images/audio/video arrive as FILES; this reader is
+    how they become a binary column with typed metadata, the posture
+    pipeline/multimodal.py's decode plumbing consumes).  The corpus is
+    laid out once per application as one newline-delimited text file per
+    source directory (repartition(source) + partitionBy + in-partition
+    sort = exactly one deterministic file per source, written by
+    executors - no driver-side collect), then read back with
+    format('binaryFile'): (path, length, content) columns, the partition
+    value recovered from the path.  The per-source report proves
+    BYTE-exact round-trip fidelity: file length equals text bytes +
+    newlines, and sha256(content) equals the oracle's sha256 over the
+    same concatenation computed straight from the table - an
+    end-to-end checksum across write, filesystem, and the binary
+    reader.  At 100 TB binaryFile scans parallelize per file with
+    pushed path filters; the length column comes from the file status,
+    so audits that only need sizes never read payload bytes."""
+    dm = load(spark, sf, "documents").select("doc_id", "source", "text")
+    d = _dump_dir(
+        spark, sf, "binsrc",
+        lambda p: dm.repartition("source")
+        .sortWithinPartitions("source", "doc_id")
+        .select("source", "text")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .text(p),
+    )
+    src = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "false")
+        .load(d)
+    )
+    return (
+        src.select(
+            F.regexp_extract(F.col("path"), "source=([^/]+)", 1).alias("source"),
+            "length",
+            F.lower(F.sha2("content", 256)).alias("sha"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("length").alias("n_bytes"),
+            F.min("sha").alias("content_sha"),
+        )
+    )

@@ -135,6 +135,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "scan_csv_quarantine": 6,
     "udaf_seasonal_dow": 6,
     "events_abtest_welch": 6,
+    "agg_market_basket_lift": 6,
+    "scan_binary_source": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -790,3 +790,45 @@ class TestSeasonalAndWelch:
         assert (df.welch_df <= (df.n1 + df.n2 - 2)).all()
         # flag consistent with the rounded t statistic
         assert (df.significant_95 == (df.t_stat.abs() > 1.96)).all()
+
+
+class TestBasketAndBinarySource:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_basket_metrics_bounds(self, spark):
+        df = self._run(spark, "agg_market_basket_lift").toPandas()
+        assert len(df) > 0
+        assert (df.support >= 3).all()
+        assert (df.p1 < df.p2).all()
+        assert ((df.confidence_micro > 0) & (df.confidence_micro <= 1_000_000)).all()
+        # lift of the reported (top) pairs must exceed independence
+        assert (df.lift_micro > 1_000_000).all()
+
+    def test_binary_source_roundtrip_is_byte_exact(self, spark):
+        """Recompute one source's file bytes independently: length must be
+        text bytes + newlines and the sha must equal hashing the
+        concatenation directly (the oracle does this in SQL; this test
+        does it in Python against the parquet source of truth)."""
+        import hashlib
+
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        df = self._run(spark, "scan_binary_source").toPandas()
+        docs = load(spark, self.SF, "documents")
+        one = df.sort_values("source").iloc[0]
+        rows = (
+            docs.filter(docs.source == one.source)
+            .orderBy("doc_id")
+            .select("text")
+            .collect()
+        )
+        blob = "".join(r["text"] + "\n" for r in rows).encode()
+        assert one.n_files == 1
+        assert one.n_bytes == len(blob)
+        assert one.content_sha == hashlib.sha256(blob).hexdigest()
