@@ -1074,3 +1074,67 @@ def udaf_seasonal_dow(spark: SparkSession, sf: str) -> DataFrame:
         return pd.DataFrame(rows)
 
     return base.groupBy("event_type").applyInPandas(profile, out_schema)
+
+
+@query("stream_countmin_merge")
+def stream_countmin_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch built INCREMENTALLY over the event stream: each
+    micro-batch's (hash_row, bucket) counts merge into the running
+    sketch by plain addition - the mergeability that makes CM the
+    sketch you ship at 100 TB (agg_countmin_topk's docstring), here
+    demonstrated end-to-end in Structured Streaming: the streaming
+    aggregation state IS the sketch (<= 4 x 128 counters regardless of
+    stream volume), and because counter addition is associative and
+    commutative, the drained sketch equals the batch-built one
+    EXACTLY - asserted as batch-dual equality of the final top-10
+    estimates in tests/test_streaming.py.  Complete-mode drain + the
+    same broadcast probe stage as the batch operator (two-stage
+    spelling, as stream_windowed_topk)."""
+    from .analytics_ops import _CM_DEPTH, _CM_WIDTH
+
+    ev = _events_stream(spark, sf)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r"), F.col("user_id"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CM_WIDTH
+    )
+    quad = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))).alias("r")
+    )
+    agg = quad.select("r", bucket.alias("bucket")).groupBy("r", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    name = "stream_countmin_out"
+    _drain(agg, name, mode="complete")
+    sketch = spark.table(name)
+    # probe stage (batch): exact top-10 users vs their sketch estimates
+    ev_b = load(spark, sf, "events")
+    exact = (
+        ev_b.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+    )
+    probes = F.broadcast(
+        exact.select(
+            "user_id",
+            "exact_n",
+            F.explode(F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))).alias("r"),
+        ).select("user_id", "exact_n", "r", bucket.alias("bucket"))
+    )
+    return (
+        probes.join(sketch, ["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )

@@ -137,6 +137,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "events_abtest_welch": 6,
     "agg_market_basket_lift": 6,
     "scan_binary_source": 6,
+    "stream_countmin_merge": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

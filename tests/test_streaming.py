@@ -599,3 +599,31 @@ def test_stream_ohlc_bars_equal_batch_resample(spark):
     )
     assert len(s) > 0
     pd.testing.assert_frame_equal(s, b.astype(s.dtypes.to_dict()))
+
+
+def test_stream_countmin_equals_batch_sketch(spark):
+    """Counter addition is associative+commutative, so the sketch built
+    across micro-batches must equal the batch-built sketch EXACTLY -
+    same top-10 estimates, same overcounts."""
+    import pandas as pd
+
+    from pei_nwdaf_data_ingestion_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    cols = ["user_id", "exact_n", "est_n", "overcount"]
+    s = (
+        registry.QUERIES["stream_countmin_merge"](spark, sf)
+        .toPandas()[cols]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        registry.QUERIES["agg_countmin_topk"](spark, sf)
+        .toPandas()[cols]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(s) == 10
+    pd.testing.assert_frame_equal(s, b.astype(s.dtypes.to_dict()))
+    assert (s.overcount >= 0).all()
