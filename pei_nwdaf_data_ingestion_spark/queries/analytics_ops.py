@@ -1511,3 +1511,187 @@ def agg_market_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("lift_micro"), F.asc("p1"), F.asc("p2"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling cross-series correlation
+# ---------------------------------------------------------------------------
+
+_RC_WIN = 14  # rolling window, days
+_RC_A, _RC_B = "click", "purchase"
+
+
+@query(
+    "win_rolling_corr",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_id,
+             CAST(sum(CASE WHEN event_type = '{_RC_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = '{_RC_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT day_id, x, y,
+             CAST(count(*) OVER w AS BIGINT) AS k,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+      FROM d
+      WINDOW w AS (PARTITION BY day_id // 1000000 ORDER BY day_id
+                   ROWS BETWEEN {_RC_WIN - 1} PRECEDING AND CURRENT ROW))
+    SELECT day_id, x, y, k,
+           floor(((k * sxy - sx * sy)
+                  / sqrt(nullif((k * sxx - sx * sx) * 1.0
+                                * (k * syy - sy * sy), 0.0)))
+                 * 10000.0 + 0.5) / 10000.0 AS corr
+    FROM s
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling {_RC_WIN}-day Pearson correlation between two event
+    series ({_RC_A} vs {_RC_B} daily volumes) - the co-movement
+    diagnostic behind 'does engagement still convert', windowed so
+    regime changes show up instead of averaging out.  Both series come
+    from ONE conditional aggregation pass (no join of two filtered
+    subqueries - the daily frame pivots the two types into columns in
+    the same agg), and all five sufficient statistics (sums, squares,
+    cross-product) are exact integer window sums over the bounded ROWS
+    frame; the only float math is the final normalized ratio, spelled
+    identically on both engines and nullif-guarded for zero-variance
+    windows.  The windowed frame is the ~30-row daily series; its
+    partition key is constant (day_id // 1e6 == 0 for any realistic
+    epoch) - spelled that way in BOTH engines so the plans match while
+    keeping the Window partitioned for Spark (TestNoGlobalWindow; at
+    100 TB you'd window per (metric-pair, year) anyway).  One
+    data-volume shuffle (the daily agg)."""
+    ev = load(spark, sf, "events")
+    d = ev.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000.0).cast("long").alias("day_id")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == _RC_A, 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == _RC_B, 1).otherwise(0)).alias("y"),
+    )
+    w = (
+        Window.partitionBy(F.expr("day_id div 1000000"))
+        .orderBy("day_id")
+        .rowsBetween(-(_RC_WIN - 1), Window.currentRow)
+    )
+    s = d.select(
+        "day_id",
+        "x",
+        "y",
+        F.count("*").over(w).alias("k"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.nullif(
+            (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * 1.0
+            * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")),
+            F.lit(0.0),
+        )
+    )
+    return s.select(
+        "day_id", "x", "y", "k", pround(num / den, 4).alias("corr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH su AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(min(ts)) / 86400000000.0) AS BIGINT)
+               AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    rev AS (
+      SELECT su.cohort_day,
+             CAST(floor(epoch_us(e.ts) / 86400000000.0) AS BIGINT)
+               - su.cohort_day AS age,
+             CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM su JOIN events e
+        ON e.user_id = su.user_id AND e.event_type = 'purchase'
+      WHERE floor(epoch_us(e.ts) / 86400000000.0) >= su.cohort_day
+      GROUP BY 1, 2),
+    size_ AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+      FROM su GROUP BY cohort_day),
+    c AS (
+      SELECT r.cohort_day, r.age, r.cents, s.n_users,
+             CAST(sum(r.cents) OVER (PARTITION BY r.cohort_day ORDER BY r.age
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM rev r JOIN size_ s ON r.cohort_day = s.cohort_day)
+    SELECT cohort_day, age, n_users, cents, cum_cents,
+           CAST(cum_cents // n_users AS BIGINT) AS ltv_cents_per_user
+    FROM c
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV curve - the revenue twin of agg_retention_cohort's
+    count triangle: per signup-day cohort, cumulative purchase revenue
+    by account age, normalized per cohort member (the
+    'LTV at day N' curve that decides payback on acquisition spend).
+    Revenue is exact integer cents floored per event; the cumulative
+    sum runs over each cohort's OWN age axis (window keyed by cohort -
+    frames bounded by the calendar, the daily-frame discipline); cohort
+    sizes join back broadcast.  The per-user LTV is integer floor
+    division - exact on both engines.  One data-volume shuffle for the
+    per-user signup min, one for the (cohort, age) revenue agg - the
+    user-keyed join between them co-partitions under AQE."""
+    ev = load(spark, sf, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.floor(F.unix_micros(F.min("ts")) / 86_400_000_000.0)
+            .cast("long")
+            .alias("cohort_day")
+        )
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.floor(F.unix_micros("ts") / 86_400_000_000.0).cast("long").alias("p_day"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    rev = (
+        su.join(
+            pu,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_day") >= F.col("cohort_day")),
+        )
+        .groupBy("cohort_day", (F.col("p_day") - F.col("cohort_day")).alias("age"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    size = su.groupBy("cohort_day").agg(F.count("*").alias("n_users"))
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = rev.join(F.broadcast(size), "cohort_day").withColumn(
+        "cum_cents", F.sum("cents").over(w).cast("long")
+    )
+    return c.select(
+        "cohort_day",
+        "age",
+        "n_users",
+        "cents",
+        "cum_cents",
+        F.expr("CAST(cum_cents div n_users AS BIGINT)").alias(
+            "ltv_cents_per_user"
+        ),
+    )

@@ -138,6 +138,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "agg_market_basket_lift": 6,
     "scan_binary_source": 6,
     "stream_countmin_merge": 6,
+    "win_rolling_corr": 6,
+    "events_cohort_ltv": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -832,3 +832,31 @@ class TestBasketAndBinarySource:
         assert one.n_files == 1
         assert one.n_bytes == len(blob)
         assert one.content_sha == hashlib.sha256(blob).hexdigest()
+
+
+class TestRollingCorrAndLtv:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_rolling_corr_in_unit_interval(self, spark):
+        df = self._run(spark, "win_rolling_corr").toPandas()
+        ok = df["corr"].dropna()
+        assert len(ok) > 0
+        assert ((ok >= -1.0) & (ok <= 1.0)).all()
+        assert ((df.k >= 1) & (df.k <= 14)).all()
+
+    def test_ltv_curve_is_monotone_and_consistent(self, spark):
+        """cum_cents is nondecreasing along each cohort's age axis and
+        equals the running sum of the per-age increments."""
+        df = self._run(spark, "events_cohort_ltv").toPandas()
+        assert len(df) > 0
+        for cd, g in df.groupby("cohort_day"):
+            g = g.sort_values("age").reset_index(drop=True)
+            assert (g.cum_cents.diff().dropna() >= 0).all()
+            assert (g.cum_cents == g.cents.cumsum()).all()
+            assert (g.ltv_cents_per_user == g.cum_cents // g.n_users).all()
