@@ -1695,3 +1695,177 @@ def events_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
             "ltv_cents_per_user"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# data-contract audit (Deequ-style constraint suite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_contract_audit",
+    oracle="""
+    WITH cust AS (SELECT DISTINCT c_custkey FROM customer),
+    ev AS (
+      SELECT e.*, (c.c_custkey IS NOT NULL) AS fk_ok
+      FROM events e LEFT JOIN cust c ON e.user_id = c.c_custkey),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_nonneg,
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_notnull,
+             CAST(sum(CASE WHEN event_type NOT IN
+                    ('click','view','signup','purchase','error')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+             CAST(sum(CASE WHEN NOT fk_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_fk,
+             CAST(sum(CASE WHEN epoch_us(ts) < 1704067200000000
+                        OR epoch_us(ts) >= 1767225600000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_tsrange
+      FROM ev),
+    u AS (
+      SELECT CAST(count(*) AS BIGINT) - CAST(count(DISTINCT event_id)
+                                             AS BIGINT) AS v_unique
+      FROM events)
+    SELECT 'value_nonnegative' AS rule, n_rows, v_nonneg AS n_violations,
+           v_nonneg = 0 AS passed FROM a
+    UNION ALL
+    SELECT 'user_id_not_null', n_rows, v_notnull, v_notnull = 0 FROM a
+    UNION ALL
+    SELECT 'event_type_in_domain', n_rows, v_domain, v_domain = 0 FROM a
+    UNION ALL
+    SELECT 'user_fk_in_customer', n_rows, v_fk, v_fk = 0 FROM a
+    UNION ALL
+    SELECT 'ts_in_2024_2025', n_rows, v_tsrange, v_tsrange = 0 FROM a
+    UNION ALL
+    SELECT 'event_id_unique', (SELECT n_rows FROM a), v_unique,
+           v_unique = 0 FROM u
+    """,
+)
+def pipeline_contract_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-contract audit suite (the Deequ/Great-Expectations shape):
+    six production constraints over the event stream - non-negativity,
+    NOT NULL, categorical domain, referential integrity against the
+    customer dim, timestamp range, and key uniqueness - evaluated in
+    ONE pass plus one broadcast FK probe, reported as a machine-readable
+    (rule, violations, passed) ledger.  This is the gate a 100 TB ingest
+    runs BEFORE publishing a partition: every constraint is a
+    conditional count inside the same aggregate (no per-rule scans),
+    the FK check rides a broadcast left join against the distinct dim
+    keys, and uniqueness is count - count(distinct) on the key.  The
+    single wide aggregate fans into 6 report rows broadcast-sized.
+    Violation counts are exact integers; 'passed' is derived from them
+    identically on both engines."""
+    ev = load(spark, sf, "events")
+    cust = load(spark, sf, "customer").select("c_custkey").distinct()
+    e = ev.join(
+        F.broadcast(cust.withColumn("fk_ok", F.lit(True))),
+        ev.user_id == cust.c_custkey,
+        "left",
+    )
+    a = e.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("v_nonneg"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("v_notnull"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "view", "signup", "purchase", "error"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("v_domain"),
+        F.sum(F.when(F.col("fk_ok").isNull(), 1).otherwise(0)).alias("v_fk"),
+        F.sum(
+            F.when(
+                (F.unix_micros("ts") < 1_704_067_200_000_000)
+                | (F.unix_micros("ts") >= 1_767_225_600_000_000),
+                1,
+            ).otherwise(0)
+        ).alias("v_tsrange"),
+        (F.count("*") - F.count_distinct("event_id")).alias("v_unique"),
+    )
+    rows = [
+        ("value_nonnegative", "v_nonneg"),
+        ("user_id_not_null", "v_notnull"),
+        ("event_type_in_domain", "v_domain"),
+        ("user_fk_in_customer", "v_fk"),
+        ("ts_in_2024_2025", "v_tsrange"),
+        ("event_id_unique", "v_unique"),
+    ]
+    out = None
+    for rule, col in rows:
+        part = a.select(
+            F.lit(rule).alias("rule"),
+            "n_rows",
+            F.col(col).cast("long").alias("n_violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sweep-line open-interval counting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "time_sweepline_open_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000.0) AS BIGINT)
+               AS d0,
+             CAST(floor(epoch_us(o_orderdate) / 86400000000.0) AS BIGINT)
+               + (o_orderkey % 30 + 1) AS d1
+      FROM orders),
+    delta AS (
+      SELECT d0 AS day_id, CAST(1 AS BIGINT) AS dv FROM iv
+      UNION ALL
+      SELECT d1, CAST(-1 AS BIGINT) FROM iv),
+    g AS (
+      SELECT day_id, CAST(sum(dv) AS BIGINT) AS net
+      FROM delta GROUP BY day_id),
+    s AS (
+      SELECT day_id, net,
+             CAST(sum(net) OVER (PARTITION BY day_id // 100000
+                     ORDER BY day_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS n_open
+      FROM g)
+    SELECT day_id, net, n_open FROM s
+    """,
+)
+def time_sweepline_open_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Concurrent-interval counting by SWEEP LINE: how many orders are
+    open on each day, where an order spans [orderdate, orderdate +
+    (key % 30 + 1) days).  Each interval contributes exactly TWO delta
+    rows (+1 at open, -1 at close) and the answer is the running sum of
+    per-day net deltas - O(intervals) work total, versus the per-day
+    fan-out spelling (events_active_users_rolling's explode of every
+    covered day) which is O(intervals x duration).  That contrast is
+    the point: fan-out wins when you need per-day DISTINCT semantics,
+    sweep-line wins for pure concurrency counts, and at 100 TB with
+    month-long intervals the difference is 30x shuffle volume.  The
+    delta agg is the one data-volume shuffle; the running sum runs over
+    the ~bounded day grid (window partition key day_id // 100000 is
+    constant for any realistic epoch - the win_rolling_corr spelling,
+    keeping the Window partitioned per TestNoGlobalWindow; shard by
+    year when the grid itself grows).  All integers, exact."""
+    o = load(spark, sf, "orders")
+    d0 = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000.0).cast("long")
+    iv = o.select(
+        d0.alias("d0"), (d0 + (F.col("o_orderkey") % 30 + 1)).alias("d1")
+    )
+    delta = iv.select(F.col("d0").alias("day_id"), F.lit(1).cast("long").alias("dv")).unionAll(
+        iv.select(F.col("d1").alias("day_id"), F.lit(-1).cast("long").alias("dv"))
+    )
+    g = delta.groupBy("day_id").agg(F.sum("dv").alias("net"))
+    w = (
+        Window.partitionBy(F.expr("day_id div 100000"))
+        .orderBy("day_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "day_id", "net", F.sum("net").over(w).cast("long").alias("n_open")
+    )

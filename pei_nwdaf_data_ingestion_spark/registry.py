@@ -140,6 +140,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "stream_countmin_merge": 6,
     "win_rolling_corr": 6,
     "events_cohort_ltv": 6,
+    "pipeline_contract_audit": 6,
+    "time_sweepline_open_intervals": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
