@@ -1869,3 +1869,206 @@ def time_sweepline_open_intervals(spark: SparkSession, sf: str) -> DataFrame:
     return g.select(
         "day_id", "net", F.sum("net").over(w).cast("long").alias("n_open")
     )
+
+
+# ---------------------------------------------------------------------------
+# survival analysis: Nelson-Aalen cumulative hazard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_survival_hazard",
+    oracle="""
+    WITH su AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(min(ts)) / 86400000000.0) AS BIGINT) AS s0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    horizon AS (
+      SELECT CAST(floor(epoch_us(max(ts)) / 86400000000.0) AS BIGINT) AS hmax
+      FROM events),
+    fp AS (
+      SELECT su.user_id,
+             CAST(min(floor(epoch_us(e.ts) / 86400000000.0)) AS BIGINT)
+               - su.s0 AS t_event
+      FROM su JOIN events e
+        ON e.user_id = su.user_id AND e.event_type = 'purchase'
+           AND floor(epoch_us(e.ts) / 86400000000.0) >= su.s0
+      GROUP BY su.user_id, su.s0),
+    obs AS (
+      SELECT su.user_id,
+             coalesce(fp.t_event, h.hmax - su.s0) AS t_exit,
+             (fp.t_event IS NOT NULL) AS is_event
+      FROM su LEFT JOIN fp ON su.user_id = fp.user_id
+      CROSS JOIN horizon h),
+    d AS (
+      SELECT t_exit AS t,
+             CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+               AS d_events,
+             CAST(count(*) AS BIGINT) AS n_exits
+      FROM obs GROUP BY t_exit),
+    nrisk AS (
+      SELECT t, d_events, n_exits,
+             CAST((SELECT count(*) FROM obs) AS BIGINT)
+               - CAST(coalesce(sum(n_exits) OVER (PARTITION BY t // 100000
+                        ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+      FROM d),
+    hz AS (
+      SELECT t, n_at_risk, d_events,
+             CAST((d_events * 1000000) // n_at_risk AS BIGINT)
+               AS hazard_micro
+      FROM nrisk)
+    SELECT t, n_at_risk, d_events, hazard_micro,
+           CAST(sum(hazard_micro) OVER (PARTITION BY t // 100000 ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_hazard_micro
+    FROM hz
+    """,
+)
+def events_survival_hazard(spark: SparkSession, sf: str) -> DataFrame:
+    """Survival analysis of time-to-first-purchase with right censoring:
+    the Nelson-Aalen cumulative hazard H(t) = sum_{t_i <= t} d_i / n_i,
+    where users who never purchase are CENSORED at the observation
+    horizon (they leave the risk set without an event - ignoring them
+    would bias conversion optimistically, the classic survival mistake).
+    Nelson-Aalen instead of Kaplan-Meier is deliberate: the hazard is a
+    SUM of per-day ratios - each floored to exact integer micro-units
+    before the cumulative sum - where KM's product of survival factors
+    would need ln/exp whose last-ulp behavior differs across engines.
+    (KM recovers as exp(-H) downstream.)  Risk-set sizes come from the
+    exit-day frame: n_at_risk(t) = total - exits before t, a running sum
+    over the bounded day-offset grid, not a per-user window.  Plan: two
+    user-keyed aggs (signup min, first purchase) joined on the same key,
+    a 1-row horizon broadcast, then day-grid windows (constant partition
+    key, the win_rolling_corr spelling).  All integers end to end."""
+    ev = load(spark, sf, "events")
+    day = lambda c: F.floor(F.unix_micros(c) / 86_400_000_000.0).cast("long")  # noqa: E731
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(day(F.min("ts")).alias("s0"))
+    )
+    horizon = ev.agg(day(F.max("ts")).alias("hmax"))
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), day(F.col("ts")).alias("p_day")
+    )
+    fp = (
+        su.join(
+            pu,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_day") >= F.col("s0")),
+        )
+        .groupBy("user_id", "s0")
+        .agg((F.min("p_day") - F.col("s0")).alias("t_event"))
+        .select("user_id", "t_event")
+    )
+    obs = (
+        su.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.coalesce(F.col("t_event"), F.col("hmax") - F.col("s0")).alias(
+                "t_exit"
+            ),
+            F.col("t_event").isNotNull().alias("is_event"),
+        )
+    )
+    total = obs.agg(F.count("*").alias("n_total"))
+    d = obs.groupBy(F.col("t_exit").alias("t")).agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d_events"),
+        F.count("*").alias("n_exits"),
+    )
+    wprev = (
+        Window.partitionBy(F.expr("t div 100000"))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy(F.expr("t div 100000"))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nrisk = d.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d_events",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_exits").over(wprev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    hz = nrisk.select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        F.expr("CAST((d_events * 1000000) div n_at_risk AS BIGINT)").alias(
+            "hazard_micro"
+        ),
+    )
+    return hz.select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        "hazard_micro",
+        F.sum("hazard_micro").over(wrun).cast("long").alias("cum_hazard_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_benford_audit",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM events WHERE floor(value * 100.0 + 0.5) >= 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM v),
+    c AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY d)
+    SELECT c.d AS digit, c.cnt,
+           CAST((c.cnt * 1000000) // n.total AS BIGINT) AS observed_micro,
+           CAST(floor(log10(1.0 + 1.0 / c.d) * 1000000.0 + 0.5) AS BIGINT)
+             AS benford_micro,
+           abs(CAST((c.cnt * 1000000) // n.total AS BIGINT)
+               - CAST(floor(log10(1.0 + 1.0 / c.d) * 1000000.0 + 0.5)
+                      AS BIGINT)) AS abs_dev_micro
+    FROM c CROSS JOIN n
+    """,
+)
+def agg_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-digit audit over transaction amounts - the
+    fraud/quality screen auditors run on any money column: observed
+    leading-digit frequencies vs the Benford expectation log10(1+1/d),
+    with per-digit absolute deviation.  (The fixture's uniform-ish
+    values will NOT follow Benford - which is the point: the report
+    shows deviation magnitudes, and the test asserts the ledger's
+    internal consistency, not conformance.)  The leading digit comes
+    from the INTEGER cents rendering (first char of the int string -
+    no float log in the digit extraction path), counts are one hash
+    agg over <= 9 groups with map-side combine, the total is a 1-row
+    broadcast, and the only float is the Benford constant itself -
+    log10 of a literal, computed once per digit identically on both
+    engines and floored to micro.  Zero-cent rows are excluded (no
+    leading digit).  One scan, one tiny shuffle at any scale."""
+    ev = load(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    v = ev.select(cents.alias("c")).filter(F.col("c") >= 1).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("d")
+    )
+    n = v.agg(F.count("*").alias("total"))
+    c = v.groupBy("d").agg(F.count("*").alias("cnt"))
+    benford = F.floor(
+        F.log10(1.0 + 1.0 / F.col("d")) * 1000000.0 + 0.5
+    ).cast("long")
+    observed = F.expr("CAST((cnt * 1000000) div total AS BIGINT)")
+    return c.crossJoin(F.broadcast(n)).select(
+        F.col("d").alias("digit"),
+        "cnt",
+        observed.alias("observed_micro"),
+        benford.alias("benford_micro"),
+        F.abs(observed - benford).alias("abs_dev_micro"),
+    )

@@ -142,6 +142,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "events_cohort_ltv": 6,
     "pipeline_contract_audit": 6,
     "time_sweepline_open_intervals": 6,
+    "events_survival_hazard": 6,
+    "agg_benford_audit": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -903,3 +903,53 @@ class TestContractAndSweepline:
         n_orders = load(spark, self.SF, "orders").count()
         assert df.n_open.max() <= n_orders
         assert (df.n_open == df.net.cumsum()).all()
+
+
+class TestSurvivalAndBenford:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_hazard_risk_set_shrinks_and_cumulates(self, spark):
+        """Risk set is nonincreasing in t and starts at the signup-user
+        count; cumulative hazard is the exact prefix sum of per-day
+        hazards; censored users (no purchase) keep events <= exits."""
+        from pyspark.sql import functions as F
+
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        df = (
+            self._run(spark, "events_survival_hazard")
+            .toPandas()
+            .sort_values("t")
+            .reset_index(drop=True)
+        )
+        ev = load(spark, self.SF, "events")
+        n_signup = (
+            ev.filter(F.col("event_type") == "signup")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert df.n_at_risk.iloc[0] == n_signup
+        assert (df.n_at_risk.diff().dropna() <= 0).all()
+        assert (df.d_events <= df.n_at_risk).all()
+        assert (df.cum_hazard_micro == df.hazard_micro.cumsum()).all()
+        assert int(df.d_events.sum()) <= n_signup
+
+    def test_benford_ledger_consistency(self, spark):
+        df = self._run(spark, "agg_benford_audit").toPandas()
+        assert set(df.digit) <= set(range(1, 10))
+        # observed shares sum to ~1e6 (floor residue < 9)
+        assert 1_000_000 - 9 <= df.observed_micro.sum() <= 1_000_000
+        # benford expectations are the exact constants
+        import math
+
+        for _, r in df.iterrows():
+            expect = math.floor(math.log10(1 + 1 / r.digit) * 1e6 + 0.5)
+            assert r.benford_micro == expect
+            assert r.abs_dev_micro == abs(r.observed_micro - r.benford_micro)
