@@ -53,26 +53,72 @@ _IVF_CENTROIDS: dict[tuple[str, str], list] = {}
 _PPJOIN_BROADCAST_BYTES = 256 << 20
 
 
-def minhash_band_cols(n_hashes: int = 12, n_bands: int = 4) -> list:
+# Universal-hash family over ONE md5 base hash per token: h(t) = first 60
+# bits of md5(t) mod P, g_i(t) = (A_i * h + B_i) mod P.  One cryptographic
+# hash per token however many minhash functions ride on it (the standard
+# production trick), and - unlike xxhash64 - bit-identical on any engine
+# that has md5, which is what lets dedup_minhash_lsh / dedup_simhash carry
+# full DuckDB oracles.  P fits 30 bits so A_i * h stays far inside int64
+# on both engines (no overflow-promotion divergence).
+_MH_P = 999_999_937
+_MH_K = 12
+_MH_A = [((i + 1) * 1_103_515_245) % _MH_P for i in range(_MH_K)]
+_MH_B = [i * 12_345 + 7 for i in range(_MH_K)]
+
+
+def _base_hash(t):
+    """First 60 bits of md5 as a long, reduced mod P (column expr)."""
+    return (
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % _MH_P
+    )
+
+
+def _base_hash_sql(t: str) -> str:
+    return f"(CAST(('0x' || substr(md5({t}), 1, 15)) AS BIGINT) % {_MH_P})"
+
+
+def minhash_band_cols(n_hashes: int = _MH_K, n_bands: int = 4) -> list:
     """MinHash band-signature columns band0..band{n_bands-1} over a
-    `tokens` array column - xxhash64 with per-function salts as the hash
-    family, array_min as the min-aggregate, one hash() per band over its
-    rows_per_band minhashes.  Pure column expressions (codegen, no UDF);
-    shared by the batch LSH join (dedup_minhash_lsh) and the ingest-time
-    streaming dedup (stream_minhash_dedup), so both paths bucket
-    identically - the property a lambda-architecture corpus pipeline
-    depends on."""
+    `tokens` array column - the md5-based universal hash family above,
+    array_min as the min-aggregate, bands rendered as joined strings
+    (equality-only keys; engine-portable where Spark's hash() is not).
+    Pure column expressions (codegen, no UDF); shared by the batch LSH
+    join (dedup_minhash_lsh) and the ingest-time streaming dedup
+    (stream_minhash_dedup), so both paths bucket identically - the
+    property a lambda-architecture corpus pipeline depends on."""
+    def _g(i: int):
+        # NOTE: must close over i with a ONE-arg lambda - F.transform
+        # feeds the element index into any two-arg lambda, so the
+        # `lambda t, i=i:` idiom silently receives a Column as i
+        return lambda t: (_MH_A[i] * _base_hash(t) + _MH_B[i]) % _MH_P
+
     mh = [
-        F.array_min(
-            F.transform(F.col("tokens"), lambda t, i=i: F.xxhash64(t, F.lit(i)))
-        )
+        F.array_min(F.transform(F.col("tokens"), _g(i)))
         for i in range(n_hashes)
     ]
     rpb = n_hashes // n_bands
     return [
-        F.hash(*mh[b * rpb : (b + 1) * rpb]).alias(f"band{b}")
+        F.concat_ws(",", *[m.cast("string") for m in mh[b * rpb : (b + 1) * rpb]]).alias(
+            f"band{b}"
+        )
         for b in range(n_bands)
     ]
+
+
+def _minhash_band_sql(n_hashes: int = _MH_K, n_bands: int = 4) -> str:
+    """DuckDB select-list fragment computing band0..band{n_bands-1} from a
+    `tokens` list column - the exact dual of minhash_band_cols."""
+    mins = [
+        f"list_min(list_transform(tokens, t -> ({_MH_A[i]} * "
+        f"{_base_hash_sql('t')} + {_MH_B[i]}) % {_MH_P}))"
+        for i in range(n_hashes)
+    ]
+    rpb = n_hashes // n_bands
+    return ", ".join(
+        " || ',' || ".join(f"CAST({m} AS VARCHAR)" for m in mins[b * rpb : (b + 1) * rpb])
+        + f" AS band{b}"
+        for b in range(n_bands)
+    )
 
 
 def _spread(df: DataFrame, *keys: str) -> DataFrame:
@@ -314,12 +360,44 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # rows-only: hash-family choice is engine-specific
+def _minhash_lsh_oracle() -> str:
+    cand_unions = "\n      UNION\n      ".join(
+        f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x "
+        f"JOIN banded y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id"
+        for b in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
+      FROM documents),
+    banded AS (
+      SELECT doc_id, {_minhash_band_sql()}
+      FROM toks),
+    cand AS (
+      {cand_unions}),
+    j AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.tokens, b.tokens))) AS jac
+      FROM cand c
+      JOIN toks a ON a.doc_id = c.doc_a
+      JOIN toks b ON b.doc_id = c.doc_b)
+    SELECT doc_a, doc_b,
+           floor(jac * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM j WHERE jac >= 0.8
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash banding - the 100TB near-dup path: shingle -> K minhashes ->
     band signatures -> group by band bucket -> candidate pairs only within
-    buckets (no quadratic blowup).  Pure column expressions: xxhash64 with
-    per-function salts as the hash family, min-aggregate over token arrays.
+    buckets (no quadratic blowup).  Pure column expressions over the
+    md5-based universal hash family (one md5 per token however many hash
+    functions - see minhash_band_cols), which is ENGINE-PORTABLE: since
+    round 6 this query carries a full DuckDB oracle that recomputes the
+    identical signatures, bands, candidate set and verified pairs - the
+    LSH pipeline itself is hash-checked, not just row-counted.
     """
     d = load(spark, sf, "documents")
     toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tokens"))
@@ -1070,29 +1148,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: hash family is engine-specific
+def _simhash_oracle() -> str:
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x // {1 << j})"
+        f" % 2 = 0 THEN -1 ELSE 1 END)) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
+      FROM documents),
+    hashed AS (
+      SELECT doc_id, tokens,
+             list_transform(tokens, t -> {_base_hash_sql('t')}) AS hs
+      FROM toks),
+    sigs AS (
+      SELECT doc_id, tokens, CAST({votes} AS BIGINT) AS simhash
+      FROM hashed)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash,
+           floor((CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.tokens, b.tokens))))
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM sigs a JOIN sigs b
+      ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup: per-token 16-bit hashes vote per bit position; docs
     with IDENTICAL simhash are candidates, verified with true Jaccard.
-    Pure column expressions (xxhash64 + bit arithmetic), grouping on the
-    16-bit signature - no pairwise stage at all, so this is the cheapest
-    scale path of the dedup family."""
+    Pure column expressions, grouping on the 16-bit signature - no
+    pairwise stage at all, so this is the cheapest scale path of the
+    dedup family.  The bit source is the md5-based base hash shared with
+    minhash_band_cols (one md5 per token, bits 0-15 reused for all 16
+    votes) - engine-portable, so since round 6 the full signature
+    computation and candidate set are DuckDB-oracled, not just
+    row-counted."""
     d = load(spark, sf, "documents")
     toks = F.array_distinct(F.split("text", " "))
     base = d.select("doc_id", toks.alias("tokens"))
+    hashed = base.withColumn(
+        "hs", F.transform(F.col("tokens"), lambda t: _base_hash(t))
+    )
     n_bits = 16
     bit_cols = []
     for j in range(n_bits):
 
         def vote(j):
-            return lambda acc, t: acc + F.when(
-                F.pmod(F.shiftright(F.xxhash64(t), j), 2) == 0, -1
+            # h >= 0, so shiftright == integer division by 2^j
+            return lambda acc, x: acc + F.when(
+                F.pmod(F.shiftright(x, j), 2) == 0, -1
             ).otherwise(1)
 
-        v = F.aggregate(F.col("tokens"), F.lit(0), vote(j))
+        v = F.aggregate(F.col("hs"), F.lit(0), vote(j))
         bit_cols.append(F.when(v >= 0, F.lit(2**j)).otherwise(F.lit(0)))
     simhash = sum(bit_cols[1:], start=bit_cols[0])
-    sigs = base.select("doc_id", "tokens", simhash.alias("simhash"))
+    sigs = hashed.select("doc_id", "tokens", simhash.cast("long").alias("simhash"))
     a, b = _spread(sigs, "doc_id").alias("a"), sigs.alias("b")
     jac = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).cast(
         "double"
