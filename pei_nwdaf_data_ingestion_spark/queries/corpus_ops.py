@@ -2366,3 +2366,54 @@ def scan_binary_source(spark: SparkSession, sf: str) -> DataFrame:
             F.min("sha").alias("content_sha"),
         )
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_legacy,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 ELSE 0 END)
+                AS BIGINT) AS quality_sum
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution scan (mergeSchema): the corpus lands in two
+    generations of parquet - a legacy batch written BEFORE the `quality`
+    column existed (even doc_ids: doc_id, lang, n_chars) and a current
+    batch carrying the added column (odd doc_ids: + quality = n_chars %
+    100) - and one mergeSchema read reconciles them: the unified schema
+    is the union, legacy rows surface NULL quality, and no rewrite of
+    old files ever happens.  That contract is how a 100 TB lakehouse
+    adds columns (rewriting history is off the table); the report
+    proves it - legacy-row counts come from `quality IS NULL`, the
+    quality sum only from evolved rows, both matching the oracle's
+    derivation from the source of truth.  mergeSchema costs a footer
+    read per file at planning (not a data scan); once table formats pin
+    the schema in metadata even that goes away - the read path here is
+    the raw-parquet worst case.  Dump once per application; the query
+    itself is one merged scan + a hash agg."""
+    dm = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+
+    def build(p: str) -> None:
+        legacy = dm.filter(F.col("doc_id") % 2 == 0)
+        evolved = (
+            dm.filter(F.col("doc_id") % 2 == 1)
+            .withColumn("quality", (F.col("n_chars") % 100).cast("long"))
+        )
+        legacy.coalesce(1).write.mode("overwrite").parquet(f"{p}/batch=legacy")
+        evolved.coalesce(1).write.mode("overwrite").parquet(f"{p}/batch=evolved")
+
+    d = _dump_dir(spark, sf, "schema_evo", build)
+    src = spark.read.option("mergeSchema", True).option(
+        "recursiveFileLookup", True
+    ).parquet(d)
+    return src.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("quality").isNull(), 1).otherwise(0)).alias("n_legacy"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(0))).alias("quality_sum"),
+    )

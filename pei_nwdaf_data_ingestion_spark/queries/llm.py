@@ -2571,3 +2571,101 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         out, "rank int, vec_id long, label int, relevance double, mmr_score double"
     )
+
+
+def _two_stage_oracle() -> str:
+    cand_unions = "\n      UNION\n      ".join(
+        f"SELECT x.rep AS doc_a, y.rep AS doc_b, x.n_copies AS na,"
+        f" y.n_copies AS nb FROM banded x "
+        f"JOIN banded y ON x.band{b} = y.band{b} AND x.rep < y.rep"
+        for b in range(4)
+    )
+    return f"""
+    WITH g AS (
+      SELECT md5(text) AS h, min(doc_id) AS rep,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             min(text) AS text
+      FROM documents GROUP BY md5(text)),
+    toks AS (
+      SELECT rep, n_copies,
+             list_distinct(string_split(text, ' ')) AS tokens
+      FROM g),
+    banded AS (
+      SELECT rep, n_copies, tokens, {_minhash_band_sql()}
+      FROM toks),
+    cand AS (
+      {cand_unions}),
+    j AS (
+      SELECT c.doc_a, c.doc_b, c.na, c.nb,
+             CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.tokens, b.tokens))) AS jac
+      FROM cand c
+      JOIN toks a ON a.rep = c.doc_a
+      JOIN toks b ON b.rep = c.doc_b)
+    SELECT doc_a, doc_b, na AS copies_a, nb AS copies_b,
+           floor(jac * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM j WHERE jac >= 0.8
+    """
+
+
+@query("dedup_two_stage", oracle=_two_stage_oracle())
+def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION dedup composition: exact dedup FIRST (hash-group to
+    one representative per distinct text, carrying its copy count), THEN
+    minhash LSH over the unique texts only - the stage order
+    C4/RefinedWeb and every serious corpus pipeline use, because an
+    exact-dup cluster of n docs otherwise inflates the pairwise stage by
+    n^2 identical pairs while collapsing to ONE node here, with
+    n_copies preserved so downstream weighting still sees the mass.
+    Honest fixture note: THIS corpus's duplicate clusters are near-dups
+    with distinct byte content (500/500 unique texts at sf0.01, 8 exact
+    collapses at sf0.1), so the big n^2 saving does not manifest at
+    small SF - the operator's value here is the copy-count-weighted
+    near-dup ledger and the composition contract itself, both oracled.
+    Same md5 universal hash family and band spelling as
+    dedup_minhash_lsh (one shared implementation path); shuffles: the
+    exact-group, the band buckets, the verify join - all hash-keyed."""
+    d = load(spark, sf, "documents")
+    g = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("rep"),
+        F.count("*").alias("n_copies"),
+        F.min("text").alias("text"),
+    )
+    toks = g.select(
+        "rep",
+        "n_copies",
+        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    )
+    banded = toks.select("rep", "n_copies", "tokens", *minhash_band_cols())
+    pairs = None
+    for bnd in range(4):
+        x, y = banded.alias("x"), banded.alias("y")
+        p = x.join(
+            y,
+            (F.col(f"x.band{bnd}") == F.col(f"y.band{bnd}"))
+            & (F.col("x.rep") < F.col("y.rep")),
+        ).select(
+            F.col("x.rep").alias("doc_a"),
+            F.col("y.rep").alias("doc_b"),
+            F.col("x.n_copies").alias("copies_a"),
+            F.col("y.n_copies").alias("copies_b"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    cand = pairs.distinct()
+    ta = toks.select(F.col("rep").alias("doc_a"), F.col("tokens").alias("ta"))
+    tb = toks.select(F.col("rep").alias("doc_b"), F.col("tokens").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(jac >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            "copies_a",
+            "copies_b",
+            pround(jac, 4).alias("jaccard"),
+        )
+    )

@@ -144,6 +144,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "time_sweepline_open_intervals": 6,
     "events_survival_hazard": 6,
     "agg_benford_audit": 6,
+    "dedup_two_stage": 6,
+    "scan_schema_evolution": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

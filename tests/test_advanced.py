@@ -953,3 +953,46 @@ class TestSurvivalAndBenford:
             expect = math.floor(math.log10(1 + 1 / r.digit) * 1e6 + 0.5)
             assert r.benford_micro == expect
             assert r.abs_dev_micro == abs(r.observed_micro - r.benford_micro)
+
+
+class TestTwoStageAndSchemaEvolution:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_two_stage_pairs_subset_with_copy_counts(self, spark):
+        """Every two-stage pair is a representative pair (smallest doc_id
+        per distinct text), copy counts are >= 1, and since this fixture
+        has all-distinct texts at this SF, the pair SET must equal
+        dedup_minhash_lsh's (reps == doc_ids)."""
+        two = self._run(spark, "dedup_two_stage").toPandas()
+        one = self._run(spark, "dedup_minhash_lsh").toPandas()
+        assert ((two.copies_a >= 1) & (two.copies_b >= 1)).all()
+        assert set(zip(two.doc_a, two.doc_b)) == set(zip(one.doc_a, one.doc_b))
+
+    def test_schema_evolution_legacy_rows_surface_nulls(self, spark):
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+        from pyspark.sql import functions as F
+
+        df = self._run(spark, "scan_schema_evolution").toPandas()
+        docs = load(spark, self.SF, "documents")
+        per_lang = {
+            r["lang"]: (r["n"], r["n_even"])
+            for r in docs.groupBy("lang")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias(
+                    "n_even"
+                ),
+            )
+            .collect()
+        }
+        for _, r in df.iterrows():
+            n, n_even = per_lang[r.lang]
+            assert r.n_rows == n  # merged scan loses no generation
+            assert r.n_legacy == n_even  # legacy rows = null quality
+            assert r.quality_sum >= 0
