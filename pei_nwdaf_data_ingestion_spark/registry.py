@@ -146,6 +146,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "agg_benford_audit": 6,
     "dedup_two_stage": 6,
     "scan_schema_evolution": 6,
+    "pipeline_observe_metrics": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
