@@ -2135,3 +2135,196 @@ def pipeline_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
         ],
         "n_rows long, cents_sum long, n_negative long, cents_max long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample drift test (integer-exact)
+# ---------------------------------------------------------------------------
+
+_KS_A, _KS_B = "click", "view"
+
+
+@query(
+    "agg_ks_drift",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
+    n AS (
+      SELECT CAST(sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM v),
+    g AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d2
+      FROM v GROUP BY cents),
+    c AS (
+      SELECT cents,
+             CAST(sum(d1) OVER w AS BIGINT) AS c1,
+             CAST(sum(d2) OVER w AS BIGINT) AS c2
+      FROM g
+      WINDOW w AS (PARTITION BY cents // 100000000 ORDER BY cents
+                   ROWS UNBOUNDED PRECEDING)),
+    d AS (
+      SELECT CAST(max(abs(c1 * n.n2 - c2 * n.n1)) AS BIGINT) AS d_scaled,
+             n.n1, n.n2
+      FROM c CROSS JOIN n GROUP BY n.n1, n.n2)
+    SELECT n1, n2, d_scaled,
+           floor((d_scaled * 1.0 / (n1 * n2)) * 1000000.0 + 0.5) / 1000000.0
+             AS ks_d,
+           floor((d_scaled * 1.0 / (n1 * n2))
+                 / sqrt((n1 + n2) * 1.0 / (n1 * n2)) * 10000.0 + 0.5)
+             / 10000.0 AS ks_stat_norm
+    FROM d
+    """,
+)
+def agg_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the value
+    distributions of two event types - the distribution-shift monitor an
+    ML-serving pipeline runs on its features (Welch compares MEANS;
+    KS catches shape changes a mean test integrates away).  The KS
+    statistic D = max |F1(x) - F2(x)| is computed EXACTLY in integers:
+    both ECDFs become running counts over one merged sort of integer
+    cents, and |c1/n1 - c2/n2| is maximized as |c1*n2 - c2*n1| (same
+    argmax, no division) - so D's numerator is bit-identical on both
+    engines and only the final two display ratios are (identically
+    spelled, pround-ed) floats.  The ECDFs step only at DISTINCT value
+    boundaries (per-cents counts aggregated BEFORE the running sum), so
+    tied values never produce mid-tie prefixes that would overstate D,
+    and the window runs over |distinct values| rows, not samples
+    (partition key cents // 1e8 is constant
+    for the fixture range - the win_rolling_corr spelling; at 100 TB
+    you shard the ECDF by value-range buckets and take the max of
+    per-bucket maxima, which this partitioning already is); one 1-row
+    stats broadcast.  ks_stat_norm divides D by sqrt((n1+n2)/(n1*n2)) -
+    the scale against which the 1.36 (alpha=0.05) critical value
+    applies."""
+    ev = load(spark, sf, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    )
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    n = v.agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias("n2"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias("d2"),
+    )
+    w = (
+        Window.partitionBy(F.expr("cents div 100000000"))
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "cents",
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            )
+            .cast("long")
+            .alias("d_scaled")
+        )
+    )
+    ks_d = F.col("d_scaled") * 1.0 / (F.col("n1") * F.col("n2"))
+    return d.select(
+        "n1",
+        "n2",
+        "d_scaled",
+        pround(ks_d, 6).alias("ks_d"),
+        pround(
+            ks_d
+            / F.sqrt((F.col("n1") + F.col("n2")) * 1.0 / (F.col("n1") * F.col("n2"))),
+            4,
+        ).alias("ks_stat_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_chi2_independence",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_n FROM o GROUP BY 1),
+    c AS (
+      SELECT dow, CAST(sum(obs) AS BIGINT) AS col_n FROM o GROUP BY 1),
+    t AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM o),
+    x AS (
+      SELECT o.event_type, o.dow, o.obs,
+             (m.row_n * c.col_n * 1.0 / t.total) AS expected
+      FROM o JOIN m ON o.event_type = m.event_type
+      JOIN c ON o.dow = c.dow CROSS JOIN t)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(obs) AS BIGINT) AS n_obs,
+           floor(sum((obs - expected) * (obs - expected) / expected)
+                 * 10000.0 + 0.5) / 10000.0 AS chi2_part
+    FROM x GROUP BY event_type
+    """,
+)
+def agg_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence test of the event_type x day-of-week
+    contingency table - 'is traffic mix stable across the week', the
+    categorical drift monitor next to agg_ks_drift's continuous one.
+    Observed counts and all marginals are exact integers from ONE hash
+    agg over the contingency cells (never the raw stream twice); the
+    expected values and the chi-square terms are floats computed with
+    one identical spelling on both engines from those exact inputs,
+    reported per event type (chi2_part sums to the full statistic; df =
+    (types-1)*(dows-1) is a constant the caller knows).  The summation
+    ORDER of the float chi-square terms is fixed by the per-type group
+    (7 cells summed in groupBy - both engines sum 7 near-equal positive
+    terms; pround at 1e-4 absorbs the associativity ulp).  Cell count
+    rides along so a sparse table (missing cells = structural zeros)
+    is visible rather than silently biasing the statistic."""
+    ev = load(spark, sf, "events")
+    o = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros("ts") / 86_400_000_000.0).cast("long") % 7).alias(
+            "dow"
+        ),
+    ).agg(F.count("*").alias("obs"))
+    m = o.groupBy("event_type").agg(F.sum("obs").alias("row_n"))
+    c = o.groupBy("dow").agg(F.sum("obs").alias("col_n"))
+    t = o.agg(F.sum("obs").alias("total"))
+    x = (
+        o.join(F.broadcast(m), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(t))
+        .withColumn(
+            "expected", F.col("row_n") * F.col("col_n") * 1.0 / F.col("total")
+        )
+    )
+    term = (F.col("obs") - F.col("expected")) * (
+        F.col("obs") - F.col("expected")
+    ) / F.col("expected")
+    return x.groupBy("event_type").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("obs").alias("n_obs"),
+        pround(F.sum(term), 4).alias("chi2_part"),
+    )

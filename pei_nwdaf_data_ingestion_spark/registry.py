@@ -147,6 +147,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "dedup_two_stage": 6,
     "scan_schema_evolution": 6,
     "pipeline_observe_metrics": 6,
+    "agg_ks_drift": 6,
+    "agg_chi2_independence": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -996,3 +996,49 @@ class TestTwoStageAndSchemaEvolution:
             assert r.n_rows == n  # merged scan loses no generation
             assert r.n_legacy == n_even  # legacy rows = null quality
             assert r.quality_sum >= 0
+
+
+class TestKsAndChi2:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_ks_matches_scipy_style_recompute(self, spark):
+        """Recompute D independently in pandas (numpy ECDF over the same
+        integer cents) - the scaled numerator must match exactly."""
+        from pyspark.sql import functions as F
+
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        row = self._run(spark, "agg_ks_drift").collect()[0]
+        ev = load(spark, self.SF, "events")
+        pdf = (
+            ev.filter(F.col("event_type").isin("click", "view"))
+            .select(
+                "event_type",
+                F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("c"),
+            )
+            .toPandas()
+        )
+        a = sorted(pdf[pdf.event_type == "click"].c.tolist())
+        b = sorted(pdf[pdf.event_type == "view"].c.tolist())
+        import bisect
+
+        n1, n2 = len(a), len(b)
+        assert (row["n1"], row["n2"]) == (n1, n2)
+        d = max(
+            abs(bisect.bisect_right(a, x) * n2 - bisect.bisect_right(b, x) * n1)
+            for x in set(a) | set(b)
+        )
+        assert row["d_scaled"] == d
+        assert 0.0 <= row["ks_d"] <= 1.0
+
+    def test_chi2_parts_nonnegative_and_cells_bounded(self, spark):
+        df = self._run(spark, "agg_chi2_independence").toPandas()
+        assert (df.chi2_part >= 0).all()
+        assert (df.n_cells <= 7).all()
+        assert len(df) == df.event_type.nunique()
