@@ -1786,24 +1786,26 @@ def pipeline_contract_audit(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("v_tsrange"),
         (F.count("*") - F.count_distinct("event_id")).alias("v_unique"),
     )
-    rows = [
-        ("value_nonnegative", "v_nonneg"),
-        ("user_id_not_null", "v_notnull"),
-        ("event_type_in_domain", "v_domain"),
-        ("user_fk_in_customer", "v_fk"),
-        ("ts_in_2024_2025", "v_tsrange"),
-        ("event_id_unique", "v_unique"),
-    ]
-    out = None
-    for rule, col in rows:
-        part = a.select(
-            F.lit(rule).alias("rule"),
-            "n_rows",
-            F.col(col).cast("long").alias("n_violations"),
-            (F.col(col) == 0).alias("passed"),
-        )
-        out = part if out is None else out.unionAll(part)
-    return out
+    # fan the ONE aggregate row into the 6-row ledger with stack() - a
+    # union of per-rule selects would duplicate the whole agg subtree
+    # (and its scans) once per rule, which the plan test rejects
+    return a.select(
+        "n_rows",
+        F.expr(
+            "stack(6,"
+            " 'value_nonnegative', v_nonneg,"
+            " 'user_id_not_null', v_notnull,"
+            " 'event_type_in_domain', v_domain,"
+            " 'user_fk_in_customer', v_fk,"
+            " 'ts_in_2024_2025', v_tsrange,"
+            " 'event_id_unique', v_unique) AS (rule, n_violations)"
+        ),
+    ).select(
+        "rule",
+        "n_rows",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
 
 
 # ---------------------------------------------------------------------------

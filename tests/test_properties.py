@@ -216,3 +216,26 @@ class TestGlobalOrderHelpers:
                 )
                 assert shares, (a, b, ham)
         assert checked > 0  # the guarantee was actually exercised
+
+
+class TestMinhashRecallProperty:
+    def test_identical_token_sets_always_collide(self, spark):
+        """LSH recall at Jaccard 1.0 is exactly 1: duplicate token sets
+        produce identical minhash signatures in EVERY band, so the pair
+        is always a candidate - the pigeonhole end of the S-curve.
+        Built synthetically so the property holds regardless of fixture
+        content."""
+        from pyspark.sql import functions as F
+
+        from pei_nwdaf_data_ingestion_spark.queries.llm import minhash_band_cols
+
+        rows = [
+            (1, ["alpha", "beta", "gamma", "delta"]),
+            (2, ["delta", "alpha", "gamma", "beta"]),  # same set, any order
+            (3, ["alpha", "beta", "gamma", "epsilon"]),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+        banded = df.select("doc_id", *minhash_band_cols()).collect()
+        by_id = {r["doc_id"]: [r[f"band{b}"] for b in range(4)] for r in banded}
+        assert by_id[1] == by_id[2], "equal sets must share every band"
+        assert by_id[1] != by_id[3], "distinct sets should split somewhere"
