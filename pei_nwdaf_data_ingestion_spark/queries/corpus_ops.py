@@ -805,28 +805,19 @@ def pipeline_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(p1 & p2, 1).otherwise(0)).alias("n2"),
         F.sum(F.when(p1 & p2 & p3, 1).otherwise(0)).alias("n3"),
     )
-    s1 = a.select(
-        F.lit(1).alias("stage"),
-        F.lit("min_length").alias("rule"),
-        F.col("n0").alias("n_in"),
-        (F.col("n0") - F.col("n1")).alias("n_dropped"),
-        F.col("n1").alias("n_out"),
+    # ONE aggregate row fanned into the 3 report rows with stack() - the
+    # previous union-of-selects spelling re-planned the whole
+    # explode+join+agg subtree once per stage (3x the scans; caught by
+    # the same plan audit that fixed pipeline_contract_audit)
+    return a.select(
+        F.expr(
+            "stack(3,"
+            " 1, 'min_length', n0, n0 - n1, n1,"
+            " 2, 'lexical_diversity', n1, n1 - n2, n2,"
+            " 3, 'repetition_cap', n2, n2 - n3, n3)"
+            " AS (stage, rule, n_in, n_dropped, n_out)"
+        )
     )
-    s2 = a.select(
-        F.lit(2).alias("stage"),
-        F.lit("lexical_diversity").alias("rule"),
-        F.col("n1").alias("n_in"),
-        (F.col("n1") - F.col("n2")).alias("n_dropped"),
-        F.col("n2").alias("n_out"),
-    )
-    s3 = a.select(
-        F.lit(3).alias("stage"),
-        F.lit("repetition_cap").alias("rule"),
-        F.col("n2").alias("n_in"),
-        (F.col("n2") - F.col("n3")).alias("n_dropped"),
-        F.col("n3").alias("n_out"),
-    )
-    return s1.unionAll(s2).unionAll(s3)
 
 
 @query(
