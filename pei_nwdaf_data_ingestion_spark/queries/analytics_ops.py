@@ -2330,3 +2330,99 @@ def agg_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("obs").alias("n_obs"),
         pround(F.sum(term), 4).alias("chi2_part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence per source (dataset-mixture drift)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    c AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2),
+    st AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS s_t FROM c GROUP BY source),
+    g AS (
+      SELECT token, CAST(sum(c) AS BIGINT) AS g_t FROM c GROUP BY token),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM c),
+    grid AS (
+      SELECT st.source, st.s_t, g.token, g.g_t, t.tt,
+             coalesce(c.c, 0) AS c
+      FROM st CROSS JOIN g CROSS JOIN t
+      LEFT JOIN c ON c.source = st.source AND c.token = g.token),
+    terms AS (
+      SELECT source, s_t, tt,
+             CASE WHEN c > 0 THEN
+               c * CAST(floor(ln((2.0 * c * tt)
+                     / CAST(c * tt + g_t * s_t AS DOUBLE)) * 1000000.0 + 0.5)
+                   AS BIGINT) ELSE 0 END AS p_term,
+             g_t * CAST(floor(ln((2.0 * g_t * s_t)
+                     / CAST(c * tt + g_t * s_t AS DOUBLE)) * 1000000.0 + 0.5)
+                   AS BIGINT) AS q_term
+      FROM grid)
+    SELECT source,
+           CAST(max(s_t) AS BIGINT) AS n_tokens,
+           CAST(sum(p_term) // max(s_t) AS BIGINT) AS kl_p_micro,
+           CAST(sum(q_term) // max(tt) AS BIGINT) AS kl_q_micro,
+           CAST((sum(p_term) // max(s_t) + sum(q_term) // max(tt)) // 2
+                AS BIGINT) AS js_micro
+    FROM terms GROUP BY source
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution
+    against the whole corpus - the dataset-mixture drift monitor
+    (symmetric, bounded by ln 2, defined even where KL blows up on
+    unseen tokens - exactly why JS, not KL, is the mixture diagnostic).
+    Every log term's ARGUMENT is a ratio of exact integer products
+    (2*c*T / (c*T + g*s)), the ln is floored to integral micro-nats per
+    term BEFORE any sum (the text_perplexity_proxy discipline - sums
+    stay order-independent integers, bit-identical across engines), and
+    the final normalizations are integer floor divisions.  Plan: one
+    token-count shuffle; source totals, the vocabulary frame and the
+    1-row corpus total are all broadcast-small, and the dense
+    source x vocab grid is vocabulary-bounded (never data-bounded) -
+    the LEFT join pulls each source's own counts onto it.  At larger T
+    the integer products approach int64 - rescale counts to per-million
+    before the ratio (same floor discipline) when T exceeds ~1e9."""
+    d = load(spark, sf, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    c = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    st = c.groupBy("source").agg(F.sum("c").alias("s_t"))
+    g = c.groupBy("token").agg(F.sum("c").alias("g_t"))
+    t = c.agg(F.sum("c").alias("tt"))
+    grid = (
+        st.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(t))
+        .join(c, ["source", "token"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    denom = (F.col("c") * F.col("tt") + F.col("g_t") * F.col("s_t")).cast("double")
+    p_ln = F.floor(
+        F.log((2.0 * F.col("c") * F.col("tt")) / denom) * 1000000.0 + 0.5
+    ).cast("long")
+    q_ln = F.floor(
+        F.log((2.0 * F.col("g_t") * F.col("s_t")) / denom) * 1000000.0 + 0.5
+    ).cast("long")
+    terms = grid.select(
+        "source",
+        "s_t",
+        "tt",
+        F.when(F.col("c") > 0, F.col("c") * p_ln).otherwise(0).alias("p_term"),
+        (F.col("g_t") * q_ln).alias("q_term"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("s_t").alias("n_tokens"),
+        F.expr("CAST(sum(p_term) div max(s_t) AS BIGINT)").alias("kl_p_micro"),
+        F.expr("CAST(sum(q_term) div max(tt) AS BIGINT)").alias("kl_q_micro"),
+        F.expr(
+            "CAST((sum(p_term) div max(s_t) + sum(q_term) div max(tt)) div 2"
+            " AS BIGINT)"
+        ).alias("js_micro"),
+    )

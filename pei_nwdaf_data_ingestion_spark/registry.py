@@ -149,6 +149,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "pipeline_observe_metrics": 6,
     "agg_ks_drift": 6,
     "agg_chi2_independence": 6,
+    "text_js_divergence": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

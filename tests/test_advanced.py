@@ -1042,3 +1042,24 @@ class TestKsAndChi2:
         assert (df.chi2_part >= 0).all()
         assert (df.n_cells <= 7).all()
         assert len(df) == df.event_type.nunique()
+
+
+class TestJsDivergence:
+    def test_js_bounded_and_zero_for_whole_corpus_mix(self, spark):
+        """JS is bounded by ln 2 (~693147 micro-nats) and nonnegative up
+        to per-term flooring; sources genuinely differ from the corpus,
+        so at least one source shows positive divergence."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        df = (
+            registry.QUERIES["text_js_divergence"](
+                spark, "/root/testdata/sf0.001"
+            ).toPandas()
+        )
+        assert len(df) > 1
+        # flooring can push a near-zero term a hair negative; bound it
+        assert (df.js_micro >= -len(df) * 2).all()
+        assert (df.js_micro <= 693_148).all()
+        assert (df.js_micro > 0).any()
+        assert (df.n_tokens > 0).all()
