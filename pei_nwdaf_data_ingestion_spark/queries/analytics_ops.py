@@ -2426,3 +2426,166 @@ def text_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("js_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized mean (robust location)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    b AS (
+      SELECT event_type,
+             CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+             CAST(floor(quantile_cont(cents, 0.95) + 0.5) AS BIGINT) AS hi
+      FROM v GROUP BY event_type),
+    w AS (
+      SELECT v.event_type,
+             CASE WHEN v.cents < b.lo THEN b.lo
+                  WHEN v.cents > b.hi THEN b.hi
+                  ELSE v.cents END AS wc,
+             CASE WHEN v.cents < b.lo OR v.cents > b.hi THEN 1 ELSE 0 END
+               AS clipped
+      FROM v JOIN b ON v.event_type = b.event_type)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(clipped) AS BIGINT) AS n_clipped,
+           CAST(sum(wc) // count(*) AS BIGINT) AS winsor_mean_cents,
+           CAST(sum(wc) AS BIGINT) AS winsor_sum_cents
+    FROM w GROUP BY event_type
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized mean per event type - the robust-location complement to
+    agg_mad_robust's dispersion: values beyond the 5th/95th percentile
+    are CLIPPED to the boundary (not dropped - winsorizing keeps the
+    sample size, which matters when the tail carries real mass), then
+    averaged.  The clip boundaries are the exact interpolated
+    percentiles FLOORED to integer cents with one shared spelling, so
+    the clip decision, the clipped sum and the final floor-divided mean
+    are pure integer arithmetic on both engines - no float accumulation
+    anywhere after the two boundary constants.  Plan: one per-type
+    percentile agg (broadcast |types| rows of boundaries) + one clipped
+    integer agg over the same scan keyed identically; clipped-row
+    counts ride along so the report shows how much tail was touched."""
+    ev = load(spark, sf, "events")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    b = v.groupBy("event_type").agg(
+        F.floor(F.percentile("cents", F.lit(0.05))).cast("long").alias("lo"),
+        F.floor(F.percentile("cents", F.lit(0.95)) + 0.5).cast("long").alias("hi"),
+    )
+    w = v.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+        .when(F.col("cents") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("cents"))
+        .alias("wc"),
+        F.when(
+            (F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("clipped"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("clipped").alias("n_clipped"),
+        F.expr("CAST(sum(wc) div count(*) AS BIGINT)").alias(
+            "winsor_mean_cents"
+        ),
+        F.sum("wc").alias("winsor_sum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+_HEAPS_STEPS = 10
+
+
+@query(
+    "text_heaps_law",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    firstseen AS (
+      SELECT token, CAST(min(doc_id) AS BIGINT) AS first_doc,
+             CAST(count(*) AS BIGINT) AS n_occ
+      FROM tok GROUP BY token),
+    docstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM tok GROUP BY doc_id),
+    bounds AS (SELECT CAST(max(doc_id) AS BIGINT) AS dmax FROM docstats),
+    cps AS (
+      SELECT CAST(((b.dmax + 1) * s.step) // {_HEAPS_STEPS} AS BIGINT)
+               AS cutoff,
+             CAST(s.step AS BIGINT) AS step
+      FROM bounds b,
+           (SELECT unnest(range(1, {_HEAPS_STEPS + 1})) AS step) s)
+    SELECT c.step, c.cutoff,
+           CAST((SELECT count(*) FROM docstats d WHERE d.doc_id < c.cutoff)
+                AS BIGINT) AS n_docs,
+           CAST((SELECT coalesce(sum(d.nt), 0) FROM docstats d
+                 WHERE d.doc_id < c.cutoff) AS BIGINT) AS n_tokens,
+           CAST((SELECT count(*) FROM firstseen f
+                 WHERE f.first_doc < c.cutoff) AS BIGINT) AS vocab
+    FROM cps c
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-vocabulary size as the
+    corpus grows through {_HEAPS_STEPS} doc-id checkpoints - the
+    corpus-health companion to text_zipf_slope (Zipf reads the frequency
+    axis, Heaps the growth axis; a vocabulary that stops growing
+    sublinearly signals template/duplicate contamination).  The whole
+    curve costs ONE pass: each token's FIRST-SEEN doc id (a min-agg) is
+    computed once, and vocab at any checkpoint is just 'first_doc <
+    cutoff' - a broadcast-joined conditional count over the
+    vocabulary-bounded first-seen frame, never a re-scan per checkpoint
+    (the naive spelling runs {_HEAPS_STEPS} distinct-counts over
+    {_HEAPS_STEPS} growing prefixes).  Token totals per checkpoint come
+    from the same trick on the per-doc count frame.  All integers."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    firstseen = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    docstats = tok.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    bounds = docstats.agg(F.max("doc_id").alias("dmax"))
+    cps = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_HEAPS_STEPS))).alias("step"),
+        "dmax",
+    ).select(
+        F.col("step").cast("long").alias("step"),
+        F.expr(f"CAST(((dmax + 1) * step) div {_HEAPS_STEPS} AS BIGINT)").alias(
+            "cutoff"
+        ),
+    )
+    vocab = (
+        cps.join(F.broadcast(firstseen), F.col("first_doc") < F.col("cutoff"))
+        .groupBy("step", "cutoff")
+        .agg(F.count("*").alias("vocab"))
+    )
+    docs = (
+        cps.join(docstats, F.col("doc_id") < F.col("cutoff"))
+        .groupBy("step", "cutoff")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    return (
+        cps.join(docs, ["step", "cutoff"], "left")
+        .join(vocab, ["step", "cutoff"], "left")
+        .select(
+            "step",
+            "cutoff",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("vocab", F.lit(0)).alias("vocab"),
+        )
+    )

@@ -150,6 +150,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "agg_ks_drift": 6,
     "agg_chi2_independence": 6,
     "text_js_divergence": 6,
+    "agg_winsorized_mean": 6,
+    "text_heaps_law": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

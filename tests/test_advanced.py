@@ -1063,3 +1063,62 @@ class TestJsDivergence:
         assert (df.js_micro <= 693_148).all()
         assert (df.js_micro > 0).any()
         assert (df.n_tokens > 0).all()
+
+
+class TestWinsorAndHeaps:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_winsorized_mean_is_robust_and_bounded(self, spark):
+        """Winsorizing clips ~10% of rows and the winsorized mean lies
+        inside the clip boundaries by construction."""
+        from pyspark.sql import functions as F
+
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        df = self._run(spark, "agg_winsorized_mean").toPandas()
+        ev = load(spark, self.SF, "events")
+        n_per = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+        }
+        for _, r in df.iterrows():
+            assert r.n == n_per[r.event_type]  # winsorize never drops rows
+            assert 0 < r.n_clipped <= 0.12 * r.n  # ~5% each tail
+            assert r.winsor_mean_cents * r.n <= r.winsor_sum_cents < (
+                r.winsor_mean_cents + 1
+            ) * r.n
+
+    def test_heaps_curve_monotone_and_concave_ish(self, spark):
+        """Vocabulary and token counts grow monotonically with the
+        checkpoint; the final checkpoint covers the whole corpus."""
+        from pyspark.sql import functions as F
+
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        df = (
+            self._run(spark, "text_heaps_law")
+            .toPandas()
+            .sort_values("step")
+            .reset_index(drop=True)
+        )
+        assert (df.vocab.diff().dropna() >= 0).all()
+        assert (df.n_tokens.diff().dropna() >= 0).all()
+        docs = load(spark, self.SF, "documents")
+        total_vocab = (
+            docs.select(F.explode(F.split("text", " ")).alias("t"))
+            .select("t")
+            .distinct()
+            .count()
+        )
+        assert df.vocab.iloc[-1] == total_vocab
+        assert df.n_docs.iloc[-1] == docs.count()
+        # vocabulary grows sublinearly vs tokens on a finite fixture vocab:
+        # the last half adds fewer new types than the first half
+        mid = df.vocab.iloc[len(df) // 2 - 1]
+        assert df.vocab.iloc[-1] - mid <= mid
