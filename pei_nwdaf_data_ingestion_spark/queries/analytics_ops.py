@@ -2589,3 +2589,109 @@ def text_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("vocab", F.lit(0)).alias("vocab"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences
+# ---------------------------------------------------------------------------
+
+_DID_T, _DID_C = "purchase", "click"  # treated / control series
+
+
+@query(
+    "events_did_analysis",
+    oracle=f"""
+    WITH cut AS (
+      SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT)
+               AS mid
+      FROM events),
+    v AS (
+      SELECT CASE WHEN event_type = '{_DID_T}' THEN 'treated'
+                  ELSE 'control' END AS grp,
+             CASE WHEN epoch_us(ts) >= cut.mid THEN 'post' ELSE 'pre' END
+               AS period,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events CROSS JOIN cut
+      WHERE event_type IN ('{_DID_T}', '{_DID_C}')),
+    s AS (
+      SELECT grp, period,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sc
+      FROM v GROUP BY grp, period),
+    m AS (
+      SELECT
+        max(CASE WHEN grp='treated' AND period='pre' THEN sc * 1.0 / n END)
+          AS tp0,
+        max(CASE WHEN grp='treated' AND period='post' THEN sc * 1.0 / n END)
+          AS tp1,
+        max(CASE WHEN grp='control' AND period='pre' THEN sc * 1.0 / n END)
+          AS cp0,
+        max(CASE WHEN grp='control' AND period='post' THEN sc * 1.0 / n END)
+          AS cp1,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM s)
+    SELECT n_total,
+           floor((tp1 - tp0) * 100.0 + 0.5) / 100.0 AS treated_delta,
+           floor((cp1 - cp0) * 100.0 + 0.5) / 100.0 AS control_delta,
+           floor(((tp1 - tp0) - (cp1 - cp0)) * 100.0 + 0.5) / 100.0
+             AS did_cents
+    FROM m
+    """,
+)
+def events_did_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences - the workhorse quasi-experimental
+    estimator when randomization isn't available: the treated series'
+    pre-to-post mean change minus the control series' change over the
+    SAME split (the stream's own temporal midpoint, so the query is
+    replayable), which nets out any shared time trend under the
+    parallel-trends assumption.  All four cell means come from ONE
+    conditional aggregate over integer cents (4 groups x 2 sums - no
+    per-cell scans), pivoted via conditional max on the 4-row frame;
+    the three deltas are single float subtractions of exact-int ratios
+    with one shared spelling, pround-ed.  The 1-row midpoint agg
+    broadcasts.  At 100 TB this shape is one pass whatever the group
+    count - the estimator is O(cells), the scan is O(data)."""
+    ev = load(spark, sf, "events").filter(
+        F.col("event_type").isin(_DID_T, _DID_C)
+    )
+    cut = load(spark, sf, "events").agg(
+        F.expr(
+            "CAST((min(unix_micros(ts)) + max(unix_micros(ts))) div 2 AS BIGINT)"
+        ).alias("mid")
+    )
+    v = ev.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("event_type") == _DID_T, "treated")
+        .otherwise("control")
+        .alias("grp"),
+        F.when(F.unix_micros("ts") >= F.col("mid"), "post")
+        .otherwise("pre")
+        .alias("period"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    s = v.groupBy("grp", "period").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sc")
+    )
+
+    def cell(g, p):
+        return F.max(
+            F.when(
+                (F.col("grp") == g) & (F.col("period") == p),
+                F.col("sc") * 1.0 / F.col("n"),
+            )
+        )
+
+    m = s.agg(
+        cell("treated", "pre").alias("tp0"),
+        cell("treated", "post").alias("tp1"),
+        cell("control", "pre").alias("cp0"),
+        cell("control", "post").alias("cp1"),
+        F.sum("n").alias("n_total"),
+    )
+    return m.select(
+        "n_total",
+        pround(F.col("tp1") - F.col("tp0"), 2).alias("treated_delta"),
+        pround(F.col("cp1") - F.col("cp0"), 2).alias("control_delta"),
+        pround(
+            (F.col("tp1") - F.col("tp0")) - (F.col("cp1") - F.col("cp0")), 2
+        ).alias("did_cents"),
+    )

@@ -2669,3 +2669,80 @@ def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
             pround(jac, 4).alias("jaccard"),
         )
     )
+
+
+def _lsh_recall_oracle() -> str:
+    cand_unions = "\n      UNION\n      ".join(
+        f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x "
+        f"JOIN banded y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id"
+        for b in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS tokens
+      FROM documents),
+    banded AS (
+      SELECT doc_id, {_minhash_band_sql()}
+      FROM toks),
+    cand AS (
+      {cand_unions}),
+    lsh AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN toks a ON a.doc_id = c.doc_a
+      JOIN toks b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.8),
+    exact AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM toks a JOIN toks b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.8)
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_blocked,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST((SELECT count(*) FROM exact e
+                 JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+                AS BIGINT) AS n_common,
+           CAST(((SELECT count(*) FROM exact e
+                  JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+                 * 1000000)
+                // (SELECT count(*) FROM exact) AS BIGINT) AS recall_micro
+    """
+
+
+@query("dedup_lsh_recall_audit", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-quality audit for the LSH dedup path: measured RECALL of
+    dedup_minhash_lsh's verified pairs against the blocked exact
+    pairwise reference (dedup_near_jaccard's (lang, source) blocks, the
+    set a pipeline can afford to compute exactly) - the number you
+    check BEFORE trusting banding parameters at 100 TB, where the
+    S-curve math (1-(1-s^r)^b) is a model and this is the measurement.
+    LSH legitimately finds cross-block pairs too (n_lsh > n_exact is
+    expected, not false positives - every reported pair is
+    Jaccard-verified); recall counts only the blocked reference the two
+    spellings share.  Implementation literally CALLS the two registered
+    builders and joins their outputs - the audit can never drift from
+    what the audited queries actually do; since both are md5-portable,
+    the whole audit is DuckDB-oracled end to end."""
+    exact = dedup_near_jaccard(spark, sf).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count("*").alias("n_exact_blocked"))
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    n_common = exact.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_common")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            "n_exact_blocked",
+            "n_lsh",
+            "n_common",
+            F.expr(
+                "CAST((n_common * 1000000) div n_exact_blocked AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+    )

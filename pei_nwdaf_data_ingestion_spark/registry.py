@@ -152,6 +152,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_js_divergence": 6,
     "agg_winsorized_mean": 6,
     "text_heaps_law": 6,
+    "events_did_analysis": 6,
+    "dedup_lsh_recall_audit": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -1122,3 +1122,28 @@ class TestWinsorAndHeaps:
         # the last half adds fewer new types than the first half
         mid = df.vocab.iloc[len(df) // 2 - 1]
         assert df.vocab.iloc[-1] - mid <= mid
+
+
+class TestDidAndRecallAudit:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_did_identity(self, spark):
+        """DiD must equal treated_delta - control_delta (up to the two
+        independent 1e-2 roundings)."""
+        r = self._run(spark, "events_did_analysis").collect()[0]
+        assert abs(r["did_cents"] - (r["treated_delta"] - r["control_delta"])) <= 0.02
+        assert r["n_total"] > 0
+
+    def test_lsh_recall_high_and_counts_consistent(self, spark):
+        """Banding recall against the blocked exact reference should be
+        high (4 bands x 3 rows at jac >= 0.8 sits far up the S-curve);
+        common pairs can never exceed either side."""
+        r = self._run(spark, "dedup_lsh_recall_audit").collect()[0]
+        assert 0 < r["n_common"] <= min(r["n_exact_blocked"], r["n_lsh"])
+        assert r["recall_micro"] >= 900_000, r  # >= 90% measured recall
