@@ -154,6 +154,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_heaps_law": 6,
     "events_did_analysis": 6,
     "dedup_lsh_recall_audit": 6,
+    "events_cuped_adjustment": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

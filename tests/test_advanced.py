@@ -1147,3 +1147,21 @@ class TestDidAndRecallAudit:
         r = self._run(spark, "dedup_lsh_recall_audit").collect()[0]
         assert 0 < r["n_common"] <= min(r["n_exact_blocked"], r["n_lsh"])
         assert r["recall_micro"] >= 900_000, r  # >= 90% measured recall
+
+
+class TestCuped:
+    def test_cuped_never_increases_variance_and_matches_identity(self, spark):
+        """var_adj = var_y * (1 - corr^2) by construction, so the adjusted
+        variance can never exceed the raw one, and the reported
+        reduction_micro must reconcile with the two variances."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        r = registry.QUERIES["events_cuped_adjustment"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert r["var_adj"] <= r["var_y"]
+        assert 0 <= r["reduction_micro"] <= 1_000_000
+        if r["var_y"] > 0:
+            implied = (r["var_y"] - r["var_adj"]) / r["var_y"]
+            assert abs(implied - r["reduction_micro"] / 1e6) < 0.01
