@@ -2797,3 +2797,82 @@ def events_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("reduction_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# source-concentration diagnostics (Gini + HHI)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_source_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS mass
+      FROM documents GROUP BY source),
+    r AS (
+      SELECT source, mass,
+             row_number() OVER (PARTITION BY mass // 1000000000000
+                                ORDER BY mass, source) AS rk
+      FROM s),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(mass) AS BIGINT) AS total,
+             CAST(sum(rk * mass) AS BIGINT) AS wsum,
+             CAST(sum(mass * mass) AS BIGINT) AS sq
+      FROM r)
+    SELECT n, total,
+           CAST(((2 * wsum - (n + 1) * total) * 1000000) // (n * total)
+                AS BIGINT) AS gini_micro,
+           CAST((sq * 1000000) // (total * total) AS BIGINT) AS hhi_micro,
+           CAST((((sq * 1000000) // (total * total)) * n - 1000000)
+                // (n - 1) AS BIGINT) AS hhi_normalized_micro
+    FROM t
+    """,
+)
+def text_source_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-concentration diagnostics for the corpus mix: the Gini
+    coefficient and the Herfindahl-Hirschman index of token mass across
+    sources - the one-number balance gauges next to
+    text_source_entropy's information view (HHI is what antitrust and
+    data-governance reviews quote; Gini is what the mix dashboard
+    plots).  Gini uses the exact sorted-shares identity
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) on integer token
+    masses, with the rank over the SOURCE frame (|sources| rows - the
+    window partition key mass // 1e12 is constant, the bounded-frame
+    spelling; ties break on source id identically in both engines).
+    HHI is sum(share^2) as one exact integer ratio.  All floor-division
+    micro-units - no float anywhere.  One data shuffle (the per-source
+    token-mass agg)."""
+    d = load(spark, sf, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("mass")
+    )
+    w = Window.partitionBy(F.expr("mass div 1000000000000")).orderBy(
+        "mass", "source"
+    )
+    r = s.withColumn("rk", F.row_number().over(w).cast("long"))
+    t = r.agg(
+        F.count("*").alias("n"),
+        F.sum("mass").alias("total"),
+        F.sum(F.col("rk") * F.col("mass")).alias("wsum"),
+        F.sum(F.col("mass") * F.col("mass")).alias("sq"),
+    )
+    return t.select(
+        "n",
+        "total",
+        F.expr(
+            "CAST(((2 * wsum - (n + 1) * total) * 1000000) div (n * total)"
+            " AS BIGINT)"
+        ).alias("gini_micro"),
+        F.expr("CAST((sq * 1000000) div (total * total) AS BIGINT)").alias(
+            "hhi_micro"
+        ),
+        # normalized HHI (HHI - 1/n)/(1 - 1/n) = (HHI*n - 1)/(n - 1):
+        # 0 = perfectly even mix, 1e6 = single-source monopoly
+        F.expr(
+            "CAST((((sq * 1000000) div (total * total)) * n - 1000000)"
+            " div (n - 1) AS BIGINT)"
+        ).alias("hhi_normalized_micro"),
+    )

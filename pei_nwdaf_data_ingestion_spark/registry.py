@@ -155,6 +155,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "events_did_analysis": 6,
     "dedup_lsh_recall_audit": 6,
     "events_cuped_adjustment": 6,
+    "text_source_concentration": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

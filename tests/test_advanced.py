@@ -1165,3 +1165,33 @@ class TestCuped:
         if r["var_y"] > 0:
             implied = (r["var_y"] - r["var_adj"]) / r["var_y"]
             assert abs(implied - r["reduction_micro"] / 1e6) < 0.01
+
+
+class TestSourceConcentration:
+    def test_gini_hhi_bounds_and_python_recompute(self, spark):
+        from pyspark.sql import functions as F
+
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        r = registry.QUERIES["text_source_concentration"](spark, sf).collect()[0]
+        masses = sorted(
+            x["m"]
+            for x in load(spark, sf, "documents")
+            .groupBy("source")
+            .agg(F.sum(F.size(F.split("text", " "))).alias("m"))
+            .collect()
+        )
+        n, total = len(masses), sum(masses)
+        gini = ((2 * sum((i + 1) * m for i, m in enumerate(masses))
+                 - (n + 1) * total) * 1_000_000) // (n * total)
+        hhi = (sum(m * m for m in masses) * 1_000_000) // (total * total)
+        assert r["n"] == n and r["total"] == total
+        assert r["gini_micro"] == gini
+        assert r["hhi_micro"] == hhi
+        assert 0 <= r["gini_micro"] < 1_000_000
+        # even-ish fixture mix: HHI near 1/n, normalized near 0
+        assert hhi >= 1_000_000 // n
+        assert 0 <= r["hhi_normalized_micro"] < 500_000
