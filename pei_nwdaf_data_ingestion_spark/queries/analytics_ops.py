@@ -2876,3 +2876,69 @@ def text_source_concentration(spark: SparkSession, sf: str) -> DataFrame:
             " div (n - 1) AS BIGINT)"
         ).alias("hhi_normalized_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-derived stopword discovery
+# ---------------------------------------------------------------------------
+
+_SW_DF_MIN = 0.4  # document-frequency share above which a token is a stopword
+
+
+@query(
+    "text_stopword_discovery",
+    oracle=f"""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY token)
+    SELECT df.token, df.df,
+           CAST((df.df * 1000000) // n.n_docs AS BIGINT) AS df_micro,
+           CAST(floor(ln(n.n_docs * 1.0 / df.df) * 1000000.0 + 0.5)
+                AS BIGINT) AS idf_micro
+    FROM df CROSS JOIN n
+    WHERE df.df * 10 >= {int(_SW_DF_MIN * 10)} * n.n_docs
+    ORDER BY df.df DESC, df.token
+    """,
+)
+def text_stopword_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-derived stopword discovery: tokens whose DOCUMENT frequency
+    exceeds {_SW_DF_MIN:.0%} of the corpus - the data-driven stopword
+    list a language-agnostic pipeline builds instead of shipping
+    hand-curated lists per language (the reference point: this is how
+    Lucene/ES 'common terms' and the C4 filters derive their function
+    words).  df counts come from the distinct (doc, token) projection
+    (one explode + distinct + hash agg - the text_tfidf front half);
+    the threshold comparison is pure integer cross-multiplication
+    (df * 10 >= 4 * n_docs - no float ratio ever compared), and the
+    idf ride-along is the floored micro-nat ln.  The output IS the
+    broadcast-able stopword dim every downstream text operator consumes.
+    Ordering: df desc, token - deterministic."""
+    d = load(spark, sf, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    df = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    thr_num = int(_SW_DF_MIN * 10)
+    return (
+        df.crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 10 >= thr_num * F.col("n_docs"))
+        .select(
+            "token",
+            "df",
+            F.expr("CAST((df * 1000000) div n_docs AS BIGINT)").alias(
+                "df_micro"
+            ),
+            F.floor(
+                F.log(F.col("n_docs") * 1.0 / F.col("df")) * 1000000.0 + 0.5
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+    )

@@ -96,3 +96,52 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(frame).alias("frame_md5"),
         F.length(frame).cast("long").alias("frame_len"),
     )
+
+
+@query(
+    "multimodal_dedup_bytes",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+               AS media_type,
+             sha256(text) AS h,
+             CAST(len(text) AS BIGINT) AS nbytes
+      FROM documents),
+    g AS (
+      SELECT media_type, h, nbytes, CAST(count(*) AS BIGINT) AS cnt
+      FROM a GROUP BY media_type, h, nbytes)
+    SELECT media_type,
+           CAST(sum(cnt) AS BIGINT) AS n_assets,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(cnt * nbytes) AS BIGINT) AS bytes_total,
+           CAST(sum((cnt - 1) * nbytes) AS BIGINT) AS bytes_reclaimable
+    FROM g GROUP BY media_type
+    """,
+)
+def multimodal_dedup_bytes(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-exact media dedup report: assets grouped by sha256 of their
+    BINARY content per media type - the content-addressable-storage
+    planning number (bytes_reclaimable is what a CAS layout or a
+    dedup-on-write object store saves), and the media twin of
+    dedup_exact's text path.  The hash is computed JVM-side on the
+    binary column (sha2(content, 256)); only the 32-byte digest ever
+    shuffles - at 100 TB of media that is the entire game, because the
+    blobs themselves never move (the asset synthesis note: fixture
+    blobs are utf-8 text bytes, so the DuckDB oracle hashes the same
+    bytes).  Two hash aggs: (media, digest) then the per-media rollup.
+    Fixture note: this corpus's duplicate clusters are near-dups with
+    distinct bytes, so reclaimable is 0 at sf<=0.01 and >0 at sf0.1 -
+    the report is the deliverable either way."""
+    assets = synthesize_assets(load(spark, sf, "documents"))
+    g = assets.select(
+        "media_type",
+        F.lower(F.sha2("content", 256)).alias("h"),
+        F.length("content").cast("long").alias("nbytes"),
+    ).groupBy("media_type", "h", "nbytes").agg(F.count("*").alias("cnt"))
+    return g.groupBy("media_type").agg(
+        F.sum("cnt").alias("n_assets"),
+        F.count("*").alias("n_unique"),
+        F.sum(F.col("cnt") * F.col("nbytes")).alias("bytes_total"),
+        F.sum((F.col("cnt") - 1) * F.col("nbytes")).alias("bytes_reclaimable"),
+    )

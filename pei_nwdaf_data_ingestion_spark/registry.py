@@ -156,6 +156,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "dedup_lsh_recall_audit": 6,
     "events_cuped_adjustment": 6,
     "text_source_concentration": 6,
+    "multimodal_dedup_bytes": 6,
+    "text_stopword_discovery": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

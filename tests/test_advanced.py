@@ -1195,3 +1195,35 @@ class TestSourceConcentration:
         # even-ish fixture mix: HHI near 1/n, normalized near 0
         assert hhi >= 1_000_000 // n
         assert 0 <= r["hhi_normalized_micro"] < 500_000
+
+
+class TestBytesDedupAndStopwords:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_bytes_dedup_accounting(self, spark):
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        df = self._run(spark, "multimodal_dedup_bytes").toPandas()
+        assert set(df.media_type) == {"image", "audio", "video"}
+        assert int(df.n_assets.sum()) == load(
+            spark, self.SF, "documents"
+        ).count()
+        assert (df.n_unique <= df.n_assets).all()
+        assert (df.bytes_reclaimable <= df.bytes_total).all()
+        assert (df.bytes_reclaimable >= 0).all()
+
+    def test_stopwords_include_function_words(self, spark):
+        """'the' and 'a' saturate the fixture vocabulary - they must be
+        discovered; every discovered token clears the 40% df bar."""
+        df = self._run(spark, "text_stopword_discovery").toPandas()
+        assert {"the", "a"} <= set(df.token)
+        assert (df.df_micro >= 400_000 - 1).all()
+        assert (df.idf_micro >= 0).all()
+        # list is sorted by df desc
+        assert (df.df.diff().dropna() <= 0).all()
