@@ -2942,3 +2942,132 @@ def text_stopword_discovery(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.desc("df"), F.asc("token"))
     )
+
+
+# ---------------------------------------------------------------------------
+# maximum drawdown of the cumulative revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_max_drawdown",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_id,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  - 50 * count(*) AS BIGINT) AS net_cents
+      FROM events GROUP BY 1, 2),
+    cs AS (
+      SELECT event_type, day_id,
+             CAST(sum(net_cents) OVER (PARTITION BY event_type
+                     ORDER BY day_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM d),
+    c AS (
+      SELECT event_type, day_id, cum,
+             CAST(max(cum) OVER (PARTITION BY event_type ORDER BY day_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+      FROM cs)
+    SELECT event_type,
+           CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM c GROUP BY event_type
+    """,
+)
+def win_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum drawdown of each type's cumulative NET series (daily cents
+    minus a 50-cent-per-event cost, so the curve actually dips - a
+    monotone cumsum has drawdown 0 and the metric is vacuous): the
+    largest peak-to-trough drop, THE risk statistic for any cumulative
+    P&L / budget-burn curve, and the one-number summary a revenue
+    anomaly pager thresholds on.  Spelled as two stacked windows over
+    the daily frame - running sum, then running max OF that running sum
+    (both engines support windowed-aggregate nesting; same frame, same
+    single sort per type) - and one final max of (peak - cum).  All
+    integer cents end to end; the daily agg is the only data-volume
+    shuffle, the windows run over calendar-bounded frames keyed by
+    type."""
+    ev = load(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 86_400_000_000.0).cast("long").alias("day_id"),
+    ).agg((F.sum(cents) - 50 * F.count("*")).cast("long").alias("net_cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("net_cents").over(w).cast("long")).withColumn(
+        "peak", F.max("cum").over(w).cast("long")
+    )
+    return c.groupBy("event_type").agg(
+        F.max(F.col("peak") - F.col("cum")).alias("max_drawdown_cents"),
+        F.max("peak").alias("peak_cents"),
+        F.count("*").alias("n_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis (required sample size)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_power_analysis",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s1,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s2
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           floor((s1 * 1.0 / n) * 100.0 + 0.5) / 100.0 AS mean_cents,
+           floor(((s2 - s1 * 1.0 * s1 / n) / (n - 1)) * 100.0 + 0.5) / 100.0
+             AS var_cents,
+           CAST(ceil((2.0 * 7.849
+                      * ((s2 - s1 * 1.0 * s1 / n) / (n - 1)))
+                     / ((0.05 * (s1 * 1.0 / n)) * (0.05 * (s1 * 1.0 / n))))
+                AS BIGINT) AS n_per_arm_5pct
+    FROM s
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B sample-size calculator per metric stream: the users-per-arm
+    needed to detect a 5% lift of the mean at alpha = 0.05 / power = 0.8
+    (two-sided): n = 2 * (z_{{a/2}} + z_b)^2 * var / delta^2 with
+    (1.96 + 0.8416)^2 = 7.849 - the experiment-planning complement to
+    events_abtest_welch (that one reads a finished test; this one says
+    whether the test is even worth starting at your traffic).  Variance
+    and mean come from the same exact integer-cents sufficient
+    statistics as every other stats operator here; the formula tail is
+    one identically-spelled float expression with the z-constant inline
+    (both engines parse the same literal), ceil'd to whole users.  One
+    hash agg, |types| rows out."""
+    ev = load(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("n")
+    var = (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    delta = 0.05 * mean
+    return s.select(
+        "event_type",
+        "n",
+        pround(mean, 2).alias("mean_cents"),
+        pround(var, 2).alias("var_cents"),
+        F.ceil((2.0 * 7.849 * var) / (delta * delta))
+        .cast("long")
+        .alias("n_per_arm_5pct"),
+    )

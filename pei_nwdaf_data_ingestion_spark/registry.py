@@ -158,6 +158,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_source_concentration": 6,
     "multimodal_dedup_bytes": 6,
     "text_stopword_discovery": 6,
+    "win_max_drawdown": 6,
+    "events_power_analysis": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

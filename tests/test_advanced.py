@@ -1227,3 +1227,31 @@ class TestBytesDedupAndStopwords:
         assert (df.idf_micro >= 0).all()
         # list is sorted by df desc
         assert (df.df.diff().dropna() <= 0).all()
+
+
+class TestDrawdownAndPower:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_drawdown_nonnegative_and_nonvacuous(self, spark):
+        df = self._run(spark, "win_max_drawdown").toPandas()
+        assert (df.max_drawdown_cents >= 0).all()
+        # the 50c/event cost makes at least one series actually dip
+        assert (df.max_drawdown_cents > 0).any()
+        assert (df.n_days > 1).all()
+
+    def test_power_matches_textbook_formula(self, spark):
+        import math
+
+        df = self._run(spark, "events_power_analysis").toPandas()
+        for _, r in df.iterrows():
+            delta = 0.05 * r.mean_cents
+            expect = math.ceil(2.0 * 7.849 * r.var_cents / (delta * delta))
+            # rounded mean/var in the report vs exact in the query: allow 2%
+            assert abs(r.n_per_arm_5pct - expect) <= max(2, 0.02 * expect)
+            assert r.n_per_arm_5pct > 0
