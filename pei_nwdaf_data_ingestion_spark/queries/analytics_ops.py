@@ -2952,12 +2952,20 @@ def text_stopword_discovery(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "win_max_drawdown",
     oracle="""
-    WITH d AS (
+    WITH r AS (
       SELECT event_type,
              CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_id,
-             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
-                  - 50 * count(*) AS BIGINT) AS net_cents
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
       FROM events GROUP BY 1, 2),
+    rr AS (
+      SELECT event_type,
+             CAST(sum(cents) // count(*) AS BIGINT) AS runrate
+      FROM r GROUP BY event_type),
+    d AS (
+      SELECT r.event_type, r.day_id,
+             CAST(r.cents - rr.runrate AS BIGINT) AS net_cents
+      FROM r JOIN rr ON r.event_type = rr.event_type),
     cs AS (
       SELECT event_type, day_id,
              CAST(sum(net_cents) OVER (PARTITION BY event_type
@@ -2977,10 +2985,13 @@ def text_stopword_discovery(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def win_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
-    """Maximum drawdown of each type's cumulative NET series (daily cents
-    minus a 50-cent-per-event cost, so the curve actually dips - a
-    monotone cumsum has drawdown 0 and the metric is vacuous): the
-    largest peak-to-trough drop, THE risk statistic for any cumulative
+    """Maximum drawdown of each type's cumulative DEVIATION-FROM-RUN-RATE
+    series (daily cents minus the type's own integer average daily
+    cents - the series oscillates around zero by construction, so the
+    metric is never vacuous; the raw cumulative revenue of a healthy
+    stream is monotone and its drawdown trivially 0): the largest
+    peak-to-trough drop, i.e. the worst sustained stretch of
+    under-run-rate performance - THE risk statistic for any cumulative
     P&L / budget-burn curve, and the one-number summary a revenue
     anomaly pager thresholds on.  Spelled as two stacked windows over
     the daily frame - running sum, then running max OF that running sum
@@ -2991,10 +3002,18 @@ def win_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
     type."""
     ev = load(spark, sf, "events")
     cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
-    d = ev.groupBy(
+    r = ev.groupBy(
         "event_type",
         F.floor(F.unix_micros("ts") / 86_400_000_000.0).cast("long").alias("day_id"),
-    ).agg((F.sum(cents) - 50 * F.count("*")).cast("long").alias("net_cents"))
+    ).agg(F.sum(cents).alias("cents"))
+    rr = r.groupBy("event_type").agg(
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("runrate")
+    )
+    d = r.join(F.broadcast(rr), "event_type").select(
+        "event_type",
+        "day_id",
+        (F.col("cents") - F.col("runrate")).cast("long").alias("net_cents"),
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("day_id")
