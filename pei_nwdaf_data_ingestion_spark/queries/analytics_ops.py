@@ -3090,3 +3090,85 @@ def events_power_analysis(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap DURATION aggregation
+# ---------------------------------------------------------------------------
+
+_IOA_WEEK_US = 7 * 86_400_000_000
+
+
+@query(
+    "join_interval_overlap_agg",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS s0,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS s1
+      FROM events GROUP BY user_id),
+    b AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS t0 FROM events),
+    camp AS (
+      SELECT CAST(w.w AS BIGINT) AS campaign_id,
+             b.t0 + w.w * {_IOA_WEEK_US} AS c0,
+             b.t0 + w.w * {_IOA_WEEK_US} + {_IOA_WEEK_US // 2} AS c1
+      FROM b, (SELECT unnest(range(0, 4)) AS w) w),
+    o AS (
+      SELECT c.campaign_id,
+             greatest(s.s0, c.c0) AS o0, least(s.s1, c.c1) AS o1
+      FROM s JOIN camp c ON s.s0 < c.c1 AND c.c0 < s.s1)
+    SELECT campaign_id,
+           CAST(count(*) AS BIGINT) AS n_users_overlapping,
+           CAST(sum(o1 - o0) // 60000000 AS BIGINT) AS overlap_minutes,
+           CAST(max(o1 - o0) // 60000000 AS BIGINT) AS max_overlap_minutes
+    FROM o GROUP BY campaign_id
+    """,
+)
+def join_interval_overlap_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap DURATION aggregation - the temporal-algebra step
+    beyond join_interval_overlap's boolean match: each user's activity
+    span [first event, last event] intersected with four half-week
+    campaign windows (anchored to the stream's own start - replayable),
+    aggregating the intersection LENGTH greatest(starts)..least(ends) -
+    the billing/attribution primitive ('how much exposure did each
+    campaign actually get'), and what ad-measurement and SLA-credit
+    queries actually compute.  The overlap predicate rides IN the join
+    condition (s0 < c1 AND c0 < s1 - only true intersections
+    materialize); the campaign side is a 4-row broadcast so the fact
+    side never shuffles for the join (at many-campaign scale this
+    becomes functions.band_join's bucket rewrite).  All integer
+    microseconds; minutes are floor divisions."""
+    ev = load(spark, sf, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("s0"),
+        F.max(F.unix_micros("ts")).alias("s1"),
+    )
+    b = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    camp = b.select(
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("campaign_id"), "t0"
+    ).select(
+        F.col("campaign_id").cast("long").alias("campaign_id"),
+        (F.col("t0") + F.col("campaign_id") * _IOA_WEEK_US).alias("c0"),
+        (
+            F.col("t0")
+            + F.col("campaign_id") * _IOA_WEEK_US
+            + _IOA_WEEK_US // 2
+        ).alias("c1"),
+    )
+    o = s.join(
+        F.broadcast(camp),
+        (F.col("s0") < F.col("c1")) & (F.col("c0") < F.col("s1")),
+    ).select(
+        "campaign_id",
+        F.greatest("s0", "c0").alias("o0"),
+        F.least("s1", "c1").alias("o1"),
+    )
+    return o.groupBy("campaign_id").agg(
+        F.count("*").alias("n_users_overlapping"),
+        F.expr("CAST(sum(o1 - o0) div 60000000 AS BIGINT)").alias(
+            "overlap_minutes"
+        ),
+        F.expr("CAST(max(o1 - o0) div 60000000 AS BIGINT)").alias(
+            "max_overlap_minutes"
+        ),
+    )

@@ -160,6 +160,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_stopword_discovery": 6,
     "win_max_drawdown": 6,
     "events_power_analysis": 6,
+    "join_interval_overlap_agg": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

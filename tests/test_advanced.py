@@ -1255,3 +1255,21 @@ class TestDrawdownAndPower:
             # rounded mean/var in the report vs exact in the query: allow 2%
             assert abs(r.n_per_arm_5pct - expect) <= max(2, 0.02 * expect)
             assert r.n_per_arm_5pct > 0
+
+
+class TestIntervalOverlapAgg:
+    def test_overlap_durations_bounded_by_window_length(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        df = registry.QUERIES["join_interval_overlap_agg"](
+            spark, "/root/testdata/sf0.001"
+        ).toPandas()
+        assert len(df) > 0
+        half_week_min = 7 * 24 * 60 // 2
+        assert (df.max_overlap_minutes <= half_week_min).all()
+        assert (df.max_overlap_minutes >= 0).all()
+        assert (
+            df.overlap_minutes <= df.n_users_overlapping * half_week_min
+        ).all()
+        assert (df.n_users_overlapping > 0).all()
