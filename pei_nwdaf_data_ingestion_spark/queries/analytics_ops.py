@@ -3172,3 +3172,164 @@ def join_interval_overlap_agg(spark: SparkSession, sf: str) -> DataFrame:
             "max_overlap_minutes"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal stratified allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 100  # total sample size to allocate
+
+
+@query(
+    "pipeline_sample_neyman",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n_h,
+             CAST(floor(n_h * sqrt((s2 - s1 * 1.0 * s1 / n_h) / (n_h - 1))
+                        + 0.5) AS BIGINT) AS weight
+      FROM s),
+    t AS (SELECT CAST(sum(weight) AS BIGINT) AS wt FROM w),
+    alloc AS (
+      SELECT w.lang, w.n_h, w.weight,
+             CAST((w.weight * {_NEYMAN_BUDGET}) // t.wt AS BIGINT) AS base,
+             CAST((w.weight * {_NEYMAN_BUDGET}) % t.wt AS BIGINT) AS rem
+      FROM w CROSS JOIN t),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY rem // 1000000000000
+                                   ORDER BY rem DESC, lang) AS rk,
+             CAST({_NEYMAN_BUDGET} - (SELECT sum(base) FROM alloc) AS BIGINT)
+               AS leftover
+      FROM alloc)
+    SELECT lang, n_h, weight,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS n_alloc
+    FROM ranked
+    """,
+)
+def pipeline_sample_neyman(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman optimal stratified-sampling allocation: a {_NEYMAN_BUDGET}-doc
+    labeling/eval budget split across language strata proportional to
+    N_h * S_h (stratum size x stratum std-dev of doc length) - the
+    design that minimizes estimator variance for a fixed budget, versus
+    pipeline_mix_sample's proportional rates (the textbook pair).
+    Stratum variances come from exact integer sufficient statistics;
+    the single sqrt per stratum is rounded to an INTEGER weight before
+    any allocation arithmetic, and the allocation itself is
+    largest-remainder apportionment in pure integers (floor shares +
+    the top-remainder strata absorb the leftover, ties on lang) - so
+    allocations sum to the budget EXACTLY and identically on both
+    engines.  Everything runs on the |strata|-row frame after one
+    data-volume agg; the remainder rank uses the constant-partition
+    window spelling."""
+    d = load(spark, sf, "documents")
+    s = d.groupBy("lang").agg(
+        F.count("*").alias("n_h"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    weight = F.floor(
+        F.col("n_h")
+        * F.sqrt(
+            (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n_h"))
+            / (F.col("n_h") - 1)
+        )
+        + 0.5
+    ).cast("long")
+    w = s.select("lang", "n_h", weight.alias("weight"))
+    t = w.agg(F.sum("weight").alias("wt"))
+    alloc = w.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_h",
+        "weight",
+        F.expr(f"CAST((weight * {_NEYMAN_BUDGET}) div wt AS BIGINT)").alias("base"),
+        ((F.col("weight") * _NEYMAN_BUDGET) % F.col("wt")).alias("rem"),
+    )
+    leftover = alloc.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base")).cast("long").alias("leftover")
+    )
+    wr = Window.partitionBy(F.expr("rem div 1000000000000")).orderBy(
+        F.desc("rem"), F.asc("lang")
+    )
+    return (
+        alloc.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "lang",
+            "n_h",
+            "weight",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_alloc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-hop reachability (friends-of-friends pool)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_two_hop_reach",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    pdeg AS (SELECT p, count(*) AS deg FROM e0 GROUP BY p),
+    e AS (
+      SELECT e0.s, e0.p FROM e0 JOIN pdeg ON e0.p = pdeg.p
+      WHERE pdeg.deg <= 64),
+    hop2 AS (
+      SELECT DISTINCT a.s AS s, b.s AS s2
+      FROM e a JOIN e b ON a.p = b.p AND a.s <> b.s)
+    SELECT s,
+           CAST(count(*) AS BIGINT) AS n_two_hop,
+           CAST(min(s2) AS BIGINT) AS min_peer,
+           CAST(max(s2) AS BIGINT) AS max_peer
+    FROM hop2 GROUP BY s
+    ORDER BY n_two_hop DESC, s
+    LIMIT 20
+    """,
+)
+def graph_two_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-hop reachability (the friends-of-friends pool): for each
+    supplier, the number of DISTINCT other suppliers reachable through a
+    shared part - the candidate-pool sizing number behind every
+    collaborative-filtering / link-prediction recommender (a pool too
+    small starves recall; too large blows the ranking budget -
+    graph_common_neighbors then scores within this pool).  Same
+    inverted-index expansion and super-node part cap (degree <= 64) as
+    the similarity query, but aggregated to DISTINCT reach per node (the
+    distinct is the second shuffle; the cap bounds the per-part fan-out
+    at deg^2).  Top-20 by pool size, ties on supplier id.  All
+    integers."""
+    li = load(spark, sf, "lineitem")
+    e0 = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    pdeg = e0.groupBy("p").agg(F.count("*").alias("pd"))
+    e = e0.join(pdeg.filter(F.col("pd") <= 64), "p").select("s", "p")
+    a = e.select(F.col("s").alias("s"), "p")
+    b = e.select(F.col("s").alias("s2"), F.col("p").alias("pb"))
+    hop2 = (
+        a.join(b, (F.col("p") == F.col("pb")) & (F.col("s") != F.col("s2")))
+        .select("s", "s2")
+        .distinct()
+    )
+    return (
+        hop2.groupBy("s")
+        .agg(
+            F.count("*").alias("n_two_hop"),
+            F.min("s2").alias("min_peer"),
+            F.max("s2").alias("max_peer"),
+        )
+        .orderBy(F.desc("n_two_hop"), F.asc("s"))
+        .limit(20)
+    )

@@ -161,6 +161,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "win_max_drawdown": 6,
     "events_power_analysis": 6,
     "join_interval_overlap_agg": 6,
+    "pipeline_sample_neyman": 6,
+    "graph_two_hop_reach": 6,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead

@@ -1273,3 +1273,33 @@ class TestIntervalOverlapAgg:
             df.overlap_minutes <= df.n_users_overlapping * half_week_min
         ).all()
         assert (df.n_users_overlapping > 0).all()
+
+
+class TestNeymanAndTwoHop:
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, spark, name):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        return registry.QUERIES[name](spark, self.SF)
+
+    def test_neyman_allocations_sum_to_budget_exactly(self, spark):
+        df = self._run(spark, "pipeline_sample_neyman").toPandas()
+        assert int(df.n_alloc.sum()) == 100
+        assert (df.n_alloc >= 0).all()
+        # allocation ordering follows the weights (largest-remainder can
+        # flip at most adjacent units, never the gross order by > 1)
+        top_w = df.sort_values("weight", ascending=False).iloc[0]
+        assert top_w.n_alloc == df.n_alloc.max()
+
+    def test_two_hop_pool_bounds(self, spark):
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        df = self._run(spark, "graph_two_hop_reach").toPandas()
+        n_sup = (
+            load(spark, self.SF, "lineitem").select("l_suppkey").distinct().count()
+        )
+        assert (df.n_two_hop <= n_sup - 1).all()
+        assert (df.n_two_hop > 0).all()
+        assert (df.min_peer <= df.max_peer).all()
