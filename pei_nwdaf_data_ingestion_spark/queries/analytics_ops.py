@@ -3243,23 +3243,32 @@ def pipeline_sample_neyman(spark: SparkSession, sf: str) -> DataFrame:
         + 0.5
     ).cast("long")
     w = s.select("lang", "n_h", weight.alias("weight"))
-    t = w.agg(F.sum("weight").alias("wt"))
-    alloc = w.crossJoin(F.broadcast(t)).select(
+    # every later step is a WINDOW over the |strata|-row frame (constant
+    # partition key), so the plan has ONE strata subtree / one base scan -
+    # the agg+crossJoin spelling re-planned it per derived branch (caught
+    # by test_plan_quality's scan count)
+    wall = Window.partitionBy(F.expr("weight div 1000000000000000"))
+    alloc = w.withColumn("wt", F.sum("weight").over(wall).cast("long")).select(
         "lang",
         "n_h",
         "weight",
         F.expr(f"CAST((weight * {_NEYMAN_BUDGET}) div wt AS BIGINT)").alias("base"),
         ((F.col("weight") * _NEYMAN_BUDGET) % F.col("wt")).alias("rem"),
     )
-    leftover = alloc.agg(
-        (F.lit(_NEYMAN_BUDGET) - F.sum("base")).cast("long").alias("leftover")
-    )
     wr = Window.partitionBy(F.expr("rem div 1000000000000")).orderBy(
         F.desc("rem"), F.asc("lang")
     )
     return (
         alloc.withColumn("rk", F.row_number().over(wr).cast("long"))
-        .crossJoin(F.broadcast(leftover))
+        .withColumn(
+            "leftover",
+            (
+                F.lit(_NEYMAN_BUDGET)
+                - F.sum("base").over(
+                    Window.partitionBy(F.expr("base div 1000000000000"))
+                )
+            ).cast("long"),
+        )
         .select(
             "lang",
             "n_h",

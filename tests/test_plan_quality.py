@@ -590,3 +590,26 @@ class TestSession2bPlans:
         p = plan_of(spark, "time_sweepline_open_intervals")
         assert "Join" not in p
         assert "Window" in p
+
+
+class TestSession2cPlans:
+    def test_overlap_agg_campaign_dim_broadcasts(self, spark):
+        p = plan_of(spark, "join_interval_overlap_agg")
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+
+    def test_two_hop_expansion_stays_equi_join(self, spark):
+        """The s-s' expansion must ride the part-key equi join (inverted
+        index), never a cartesian - the cap guarantees bounded fan-out,
+        the plan must show the hash-keyed join."""
+        p = plan_of(spark, "graph_two_hop_reach")
+        assert "CartesianProduct" not in p
+        assert "Join" in p
+
+    def test_neyman_runs_on_strata_frame_only(self, spark):
+        """One data-volume aggregate; every later step (weights, totals,
+        remainders, rank) lives on the |strata|-row frame - so exactly
+        one scan of documents in the plan."""
+        p = plan_of(spark, "pipeline_sample_neyman")
+        assert p.count("Scan parquet") <= 2  # base agg (+ reused ref)
