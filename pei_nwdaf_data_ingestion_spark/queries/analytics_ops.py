@@ -387,8 +387,14 @@ def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
         F.size(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(0, size(split(text, ' ')) - 2),"
+                    # guard: sequence(0, -1) is DESCENDING under Spark
+                    # semantics and [i+1] would index past the array under
+                    # ANSI mode, so 1-token docs must short-circuit to an
+                    # empty bigram set exactly like the oracle's range(1,1)
+                    "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                    " transform(sequence(0, size(split(text, ' ')) - 2),"
                     " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1]))"
+                    " ELSE array() END"
                 )
             )
         )
@@ -484,8 +490,16 @@ def dedup_span_repeats(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(split(text, ' ')) - {_SPAN_W - 1}),"
+                # guard: for docs under _SPAN_W tokens sequence(1, size-7)
+                # turns DESCENDING (e.g. [1,0,-1]) and slice(..., 0, 8)
+                # throws INVALID_PARAMETER_VALUE.START; the oracle's
+                # range(1, len-6) yields zero spans there, so short docs
+                # must contribute an empty span list (explode drops them,
+                # matching the oracle's LATERAL producing no rows)
+                f"CASE WHEN size(split(text, ' ')) >= {_SPAN_W} THEN"
+                f" transform(sequence(1, size(split(text, ' ')) - {_SPAN_W - 1}),"
                 f" i -> md5(array_join(slice(split(text, ' '), i, {_SPAN_W}), ' ')))"
+                f" ELSE array() END"
             )
         ).alias("h"),
     )

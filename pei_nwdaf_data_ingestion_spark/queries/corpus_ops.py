@@ -2304,7 +2304,9 @@ def scan_csv_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT source,
            CAST(1 AS BIGINT) AS n_files,
-           CAST(sum(len(text)) + count(*) AS BIGINT) AS n_bytes,
+           -- strlen = BYTE length (ADVICE r6: len() is characters; file
+           -- sizes are bytes, parity must not ride on ASCII-only fixtures)
+           CAST(sum(strlen(text)) + count(*) AS BIGINT) AS n_bytes,
            sha256(string_agg(text || chr(10), '' ORDER BY doc_id))
              AS content_sha
     FROM documents

@@ -106,7 +106,10 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
              ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
                AS media_type,
              sha256(text) AS h,
-             CAST(len(text) AS BIGINT) AS nbytes
+             -- strlen = BYTE length (ADVICE r6: len() counts CHARACTERS,
+             -- which only matched Spark's length(binary) because the
+             -- fixture text is pure ASCII)
+             CAST(strlen(text) AS BIGINT) AS nbytes
       FROM documents),
     g AS (
       SELECT media_type, h, nbytes, CAST(count(*) AS BIGINT) AS cnt

@@ -5,6 +5,7 @@ same module are covered by test_parity.py automatically."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pei_nwdaf_data_ingestion_spark import registry
@@ -1303,3 +1304,69 @@ class TestNeymanAndTwoHop:
         assert (df.n_two_hop <= n_sup - 1).all()
         assert (df.n_two_hop > 0).all()
         assert (df.min_peer <= df.max_peer).all()
+
+
+class TestShortDocGuards:
+    """ADVICE r6: dedup_span_repeats crashed on docs under 8 tokens
+    (descending sequence -> slice START error) and text_gopher_rules on
+    1-token docs (bigram [i+1] past the array under ANSI mode), while the
+    DuckDB oracles yield zero spans / zero bigrams for the same rows.  The
+    shipped fixtures have no doc under 10 tokens, so parity alone never
+    exercises the guard - this builds a corpus of exactly the degenerate
+    shapes and asserts full oracle parity on it."""
+
+    DOCS = [
+        (0, "one", "en", "srcA"),  # 1 token: no bigrams, no spans
+        (1, "two tokens", "en", "srcA"),  # bigram exists, still no span
+        (2, "a b c d e f g", "en", "srcB"),  # 7 tokens: one short of a span
+        (3, "a b c d e f g h", "en", "srcB"),  # exactly one span
+        (4, "the quick brown fox jumps over the lazy dog again", "fr", "srcB"),
+        (5, "the quick brown fox jumps over the lazy dog again", "fr", "srcB"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def short_sf_dir(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("shortdocs")
+        ids, texts, langs, sources = zip(*self.DOCS)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    @pytest.mark.parametrize("name", ["dedup_span_repeats", "text_gopher_rules"])
+    def test_short_docs_match_oracle(self, spark, short_sf_dir, name):
+        import duckdb
+
+        from tests.conftest import assert_frames_match
+
+        spark_pdf = registry.QUERIES[name](spark, short_sf_dir).toPandas()
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{short_sf_dir}/documents.parquet')"
+            )
+            oracle_pdf = con.execute(registry.ORACLES[name]).fetchdf()
+        finally:
+            con.close()
+        assert_frames_match(spark_pdf, oracle_pdf, name)
+        if name == "dedup_span_repeats":
+            # docs 4/5 share a 10-token text -> repeats exist; docs 0-2
+            # contribute zero spans and srcA disappears entirely
+            assert set(spark_pdf.source) == {"srcB"}
+            assert int(spark_pdf.n_rep_positions.sum()) > 0
+        else:
+            # every (lang, rule) row survives including the 1-token doc's
+            assert len(spark_pdf) == spark_pdf.lang.nunique() * 4
