@@ -270,21 +270,15 @@ def agg_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
 # duplicate clustering: near-dup pairs -> connected components
 # ---------------------------------------------------------------------------
 
-_COMPONENTS_ORACLE = """
-WITH RECURSIVE toks AS (
-  SELECT doc_id, lang, source,
-         list_distinct(string_split(text, ' ')) AS tokens
-  FROM documents),
-pairs AS (
-  SELECT a.doc_id AS pa, b.doc_id AS pb
-  FROM toks a JOIN toks b
-    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.8),
+def _components_oracle() -> str:
+    from .llm import minhash_verified_pairs_ctes
+
+    return f"""
+WITH RECURSIVE {minhash_verified_pairs_ctes()},
 edges AS (
-  SELECT pa AS src, pb AS dst FROM pairs
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
   UNION ALL
-  SELECT pb AS src, pa AS dst FROM pairs),
+  SELECT doc_b AS src, doc_a AS dst FROM vpairs),
 reach(node, lbl) AS (
   SELECT src AS node, src AS lbl FROM (SELECT DISTINCT src FROM edges) s
   UNION
@@ -296,42 +290,33 @@ GROUP BY node
 """
 
 
-@query("dedup_cluster_components", oracle=_COMPONENTS_ORACLE)
+@query("dedup_cluster_components", oracle=_components_oracle())
 def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
-    """Transitive duplicate clusters: near-dup pairs (token-set Jaccard >=
-    0.8, blocked as in dedup_near_jaccard) are treated as edges and each
-    doc is labeled with the smallest doc_id in its connected component
-    (graph.connected_components - large-star/small-star, O(log n) rounds
-    regardless of cluster-chain diameter).  Dedup at scale NEEDS this
-    step: pairwise output alone double-counts docs in clusters of size
-    > 2, and canonical-doc selection is per-component.  The DuckDB oracle
-    computes the same fixpoint as a recursive CTE."""
-    t = 0.8
-    d = load(spark, sf, "documents")
-    toks = d.select(
-        "doc_id", "lang", "source",
-        F.array_distinct(F.split("text", " ")).alias("tokens"),
-    ).withColumn("n_tok", F.size("tokens"))
-    a, b = _spread(toks, "doc_id").alias("a"), toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).cast("double")
-    union = F.col("a.n_tok") + F.col("b.n_tok") - inter
-    # size-ratio prune INSIDE the join condition (lossless: jac <=
-    # min(n)/max(n)) and ahead of the intersect in the AND chain, so pairs
-    # that cannot reach t never pay the array scan - same spelling as
-    # dedup_near_jaccard; without it this stage alone cost 3.8 s at sf0.1
-    ratio_ok = (F.col("a.n_tok") >= t * F.col("b.n_tok")) & (
-        F.col("b.n_tok") >= t * F.col("a.n_tok")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & ratio_ok
-            & (inter / union >= t),
-        )
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    """Transitive duplicate clusters over the LSH-VERIFIED edge set: the
+    near-dup edges come from dedup_minhash_lsh's banded candidate +
+    exact-Jaccard-verify pipeline (threshold 0.8, corpus-global - no
+    (lang, source) blocking), and each doc is labeled with the smallest
+    doc_id in its connected component (graph.connected_components -
+    large-star/small-star, O(log n) rounds regardless of cluster-chain
+    diameter).  Dedup at scale NEEDS this step: pairwise output alone
+    double-counts docs in clusters of size > 2, and canonical-doc
+    selection is per-component.
+
+    Until round 6 the edge set came from blocked all-pairs Jaccard -
+    lossless but QUADRATIC within each (lang, source) block, the one
+    scale-unsafe stage the round-6 audit flagged (VERDICT r6 item 4): at
+    100 TB a hot block is billions of docs and the pairwise join never
+    finishes, while the LSH candidate path costs O(corpus) hashes plus
+    bucket-local verification.  The swap changes the clustering from
+    block-local to corpus-global (cross-block near-dups now merge, as
+    they should) at a measured >= 90% pair recall (dedup_lsh_recall_audit
+    quantifies exactly what the banding loses).  The DuckDB oracle
+    recomputes the IDENTICAL signatures, bands, candidates and verified
+    edges (shared CTE text with dedup_minhash_lsh's oracle), then the
+    same fixpoint as a recursive CTE - so the hash check covers edge
+    generation AND label propagation."""
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     labels, _ = connected_components(pairs)
     return labels.select(
@@ -532,21 +517,15 @@ def text_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_CANONICAL_ORACLE = """
-WITH RECURSIVE toks AS (
-  SELECT doc_id, lang, source,
-         list_distinct(string_split(text, ' ')) AS tokens
-  FROM documents),
-pairs AS (
-  SELECT a.doc_id AS pa, b.doc_id AS pb
-  FROM toks a JOIN toks b
-    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.8),
+def _canonical_oracle() -> str:
+    from .llm import minhash_verified_pairs_ctes
+
+    return f"""
+WITH RECURSIVE {minhash_verified_pairs_ctes()},
 edges AS (
-  SELECT pa AS src, pb AS dst FROM pairs
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
   UNION ALL
-  SELECT pb AS src, pa AS dst FROM pairs),
+  SELECT doc_b AS src, doc_a AS dst FROM vpairs),
 reach(node, lbl) AS (
   SELECT src AS node, src AS lbl FROM (SELECT DISTINCT src FROM edges) s
   UNION
@@ -571,7 +550,7 @@ FROM lab l JOIN rep r ON l.comp = r.comp
 """
 
 
-@query("dedup_canonical_select", oracle=_CANONICAL_ORACLE)
+@query("dedup_canonical_select", oracle=_canonical_oracle())
 def dedup_canonical_select(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup KEEP-LIST - the step that actually shrinks the corpus:
     every doc mapped to its cluster's canonical representative (longest

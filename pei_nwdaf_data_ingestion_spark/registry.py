@@ -169,24 +169,18 @@ ADDED_IN_ROUND: dict[str, int] = {
 # the driver's ~50-query sampling window regardless of staleness, but ONLY
 # until a CORRECTNESS file of that round exists (after that the derived
 # staleness ordering takes over; a permanent pin would waste window slots
-# every later round).  Round 5: the 13 queries broken by the TIMESTAMP_NTZ
-# fixture regeneration, repaired at the catalog choke point (catalog._read)
-# and re-verified locally.
-_CHANGED_ROUND = 5
+# every later round).  Round 7: the LSH-fed clustering swap (VERDICT r6
+# item 2) changed these three queries' RESULTS (corpus-global LSH edges
+# instead of blocked all-pairs; the audit gained n_edges_lost), so their
+# committed driver hashes are stale and they must be re-verified ahead of
+# the staleness order.  Budget check: 3 pins + the 46-id round-6 sampling
+# backlog = 49 <= the driver's ~50-slot window, so the pins cannot push
+# any backlog id out of CORRECTNESS_r07 (VERDICT r6 item 1).
+_CHANGED_ROUND = 7
 _CHANGED_THIS_ROUND = [
-    "win_session_gap",
-    "win_lag_lead",
-    "win_range_frame",
-    "join_asof_lastsignup",
-    "ref_ts_coalesce",
-    "ref_upsert_lastwins",
-    "ref_batch_pack",
-    "stream_ingest_pipeline",
-    "stream_dedup",
-    "stream_late_drop",
-    "stream_session_window",
-    "stream_stream_join",
-    "stream_stream_join_outer",
+    "dedup_cluster_components",
+    "dedup_canonical_select",
+    "dedup_lsh_recall_audit",
 ]
 
 

@@ -1148,6 +1148,9 @@ class TestDidAndRecallAudit:
         r = self._run(spark, "dedup_lsh_recall_audit").collect()[0]
         assert 0 < r["n_common"] <= min(r["n_exact_blocked"], r["n_lsh"])
         assert r["recall_micro"] >= 900_000, r  # >= 90% measured recall
+        # the edge-loss ledger for LSH-fed clustering (VERDICT r6 item 2)
+        assert r["n_edges_lost"] == r["n_exact_blocked"] - r["n_common"]
+        assert r["n_edges_lost"] >= 0
 
 
 class TestCuped:
