@@ -56,6 +56,46 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(d)
 
 
+def _write_time_batches(df: DataFrame, dest: str, order_col, cuts) -> None:
+    """Materialize `df` as len(cuts)+1 TIME-ORDERED parquet micro-batches
+    under `dest` (partition dirs half=b0..bN, one file each): rows are
+    split at the given quantiles of `order_col`, and file mtimes ladder
+    oldest-first so the file source (maxFilesPerTrigger=1) replays them as
+    chronological micro-batches.  `cuts` parameterizes WHERE the batch
+    boundaries fall - the ordering-invariance property tests (VERDICT r6
+    item 5) drive the same stateful query with several cut sets and assert
+    the drained result does not depend on them."""
+    col = F.col(order_col) if isinstance(order_col, str) else order_col
+    qnames = [f"q{i}" for i in range(len(cuts))]
+    qs = df.agg(
+        *[
+            F.percentile_approx(col, float(c), 10000).alias(q)
+            for c, q in zip(cuts, qnames)
+        ]
+    )
+    half = F.when(col < F.col(qnames[0]), "b0")
+    for i, q in enumerate(qnames[1:], start=1):
+        half = half.when(col < F.col(q), f"b{i}")
+    half = half.otherwise(f"b{len(cuts)}")
+    (
+        df.crossJoin(F.broadcast(qs))
+        .withColumn("half", half)
+        .drop(*qnames)
+        .coalesce(1)
+        .write.partitionBy("half")
+        .parquet(dest, mode="overwrite")
+    )
+    now = time.time()
+    n = len(cuts) + 1
+    for i in range(n):
+        d = os.path.join(dest, f"half=b{i}")
+        if not os.path.isdir(d):  # a quantile cut may leave a batch empty
+            continue
+        age = 100.0 * (n - 1 - i)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now - age, now - age))
+
+
 def _drain(df: DataFrame, name: str, mode: str = "append") -> None:
     q = (
         df.writeStream.outputMode(mode)
@@ -612,7 +652,9 @@ def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query("stream_attribution_state")
-def stream_attribution_state(spark: SparkSession, sf: str) -> DataFrame:
+def stream_attribution_state(
+    spark: SparkSession, sf: str, *, cuts=(0.5,)
+) -> DataFrame:
     """Last-touch attribution as a CUSTOM STATEFUL streaming operator
     (applyInPandasWithState): per-user state = the most recent click seen
     so far; each purchase is attributed at arrival time if that click is
@@ -640,22 +682,9 @@ def stream_attribution_state(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     with tempfile.TemporaryDirectory(prefix="attrib_state_") as tmp:
-        med = ev.agg(F.percentile_approx("ts_us", 0.5, 10000).alias("m"))
-        (
-            ev.crossJoin(F.broadcast(med))
-            .withColumn("half", F.when(F.col("ts_us") < F.col("m"), "b1").otherwise("b2"))
-            .drop("m")
-            .coalesce(1)
-            .write.partitionBy("half")
-            .parquet(tmp, mode="overwrite")
-        )
-        # file source picks oldest mtime first: make b1 strictly older so
-        # the early half is micro-batch 1
-        now = time.time()
-        for half, age in (("half=b1", 100), ("half=b2", 0)):
-            d = os.path.join(tmp, half)
-            for f in os.listdir(d):
-                os.utime(os.path.join(d, f), (now - age, now - age))
+        # file source picks oldest mtime first: earlier quantile batches
+        # are strictly older, so they replay as earlier micro-batches
+        _write_time_batches(ev, tmp, "ts_us", cuts)
         stream = (
             spark.readStream.schema(
                 "event_id long, user_id long, event_type string, ts_us long"
@@ -713,7 +742,9 @@ def stream_attribution_state(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query("stream_inactivity_flush")
-def stream_inactivity_flush(spark: SparkSession, sf: str) -> DataFrame:
+def stream_inactivity_flush(
+    spark: SparkSession, sf: str, *, cuts=(0.5,)
+) -> DataFrame:
     """Event-time STATE TIMEOUT (the streaming semantics no other declared
     query exercises): per-(user, day) running totals held in GroupState
     with an EventTimeTimeout of last_event + 30 min; a group is emitted
@@ -741,23 +772,7 @@ def stream_inactivity_flush(spark: SparkSession, sf: str) -> DataFrame:
         "value",
     )
     with tempfile.TemporaryDirectory(prefix="inactivity_") as tmp:
-        med = ev.agg(F.percentile_approx(F.unix_micros("ts"), 0.5, 10000).alias("m"))
-        (
-            ev.crossJoin(F.broadcast(med))
-            .withColumn(
-                "half",
-                F.when(F.unix_micros("ts") < F.col("m"), "b1").otherwise("b2"),
-            )
-            .drop("m")
-            .coalesce(1)
-            .write.partitionBy("half")
-            .parquet(tmp, mode="overwrite")
-        )
-        now = time.time()
-        for half, age in (("half=b1", 100), ("half=b2", 0)):
-            d = os.path.join(tmp, half)
-            for f in os.listdir(d):
-                os.utime(os.path.join(d, f), (now - age, now - age))
+        _write_time_batches(ev, tmp, F.unix_micros("ts"), cuts)
         stream = (
             spark.readStream.schema(
                 "event_id long, user_id long, day string, ts timestamp, value double"
@@ -816,7 +831,7 @@ def stream_inactivity_flush(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query("stream_cdc_upsert")
-def stream_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
+def stream_cdc_upsert(spark: SparkSession, sf: str, *, cuts=(0.5,)) -> DataFrame:
     """CDC-style keyed upsert materialization: a change stream merged into
     a persistent last-write-wins state table via foreachBatch, the
     lakehouse `MERGE INTO` loop (reference posture: registry.py:76-88
@@ -848,22 +863,7 @@ def stream_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="cdc_upsert_") as tmp:
         src = os.path.join(tmp, "src")
         state_dir = os.path.join(tmp, "state")
-        med = ev.agg(F.percentile_approx("ts_us", 0.5, 10000).alias("m"))
-        (
-            ev.crossJoin(F.broadcast(med))
-            .withColumn(
-                "half", F.when(F.col("ts_us") < F.col("m"), "b1").otherwise("b2")
-            )
-            .drop("m")
-            .coalesce(1)
-            .write.partitionBy("half")
-            .parquet(src, mode="overwrite")
-        )
-        now = time.time()
-        for half, age in (("half=b1", 100), ("half=b2", 0)):
-            d = os.path.join(src, half)
-            for f in os.listdir(d):
-                os.utime(os.path.join(d, f), (now - age, now - age))
+        _write_time_batches(ev, src, "ts_us", cuts)
         stream = (
             spark.readStream.schema(
                 "event_id long, user_id long, event_type string, ts_us long"
