@@ -205,6 +205,7 @@ def main() -> None:
     llm._IVF_INDEX_CACHE.clear()
     llm._PQ_CODEBOOK.clear()
     llm._PQ_CODES_CACHE.clear()
+    llm._MH_PAIRS_CACHE.clear()
     for df in catalog._CACHE.values():
         df.unpersist(blocking=True)
     catalog._CACHE.clear()

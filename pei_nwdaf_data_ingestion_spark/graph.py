@@ -64,7 +64,12 @@ def _symmetric(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    assume_canonical: bool = False,
+    pre_contract: bool = False,
 ) -> tuple[DataFrame, int]:
     """Label every node appearing in `edges` with the minimum node id of
     its connected component.  Returns (labels, rounds): labels has columns
@@ -82,10 +87,58 @@ def connected_components(
     """
     # lazy checkpoints: the star-forest probe is the first action on each
     # round's output, so it doubles as the checkpoint materialization -
-    # one Spark job per round instead of two
-    cur = _canonical(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    ).localCheckpoint(eager=False)
+    # one Spark job per round instead of two.  assume_canonical skips the
+    # entry distinct for producers that already emit ordered, deduped,
+    # loop-free pairs (dedup_cluster_components' lowest-band LSH edges) -
+    # on a 2.9M-edge set that distinct is a full wasted shuffle.
+    cur = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not assume_canonical:
+        cur = _canonical(cur)
+    cur = cur.localCheckpoint(eager=False)
+
+    if pre_contract:
+        # min-neighbor contraction pre-pass for DENSE graphs: point every
+        # node at m(v) = min(v, neighbors) (one star step), contract every
+        # edge to (m(a), m(b)), drop self-loops, dedupe.  Contraction
+        # preserves components exactly - m(v) is a neighbor of v, and a
+        # contracted edge descends from a real edge - but a near-clique
+        # collapses to almost nothing in this ONE pass (2.9M LSH-blob
+        # edges -> 1949 residue edges at sf0.1), where the star rounds
+        # below would churn the full edge set for O(log n) rounds before
+        # shrinking.  The m-map join is left to AQE: m is one row per
+        # node, broadcast-able exactly when the runtime says so.
+        sym = _symmetric(cur)
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+            .localCheckpoint(eager=False)
+        )
+        ma = m.select(F.col("u").alias("a"), F.col("m").alias("ma"))
+        mb = m.select(F.col("u").alias("b"), F.col("m").alias("mb"))
+        residue = (
+            cur.join(ma, "a")
+            .join(mb, "b")
+            .select(
+                F.least(F.col("ma"), F.col("mb")).alias("a"),
+                F.greatest(F.col("ma"), F.col("mb")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        inner, rounds = connected_components(
+            residue, src="a", dst="b", max_iter=max_iter, assume_canonical=True
+        )
+        labels = (
+            m.join(
+                inner.withColumnRenamed("node", "m"), "m", "left"
+            )
+            .select(
+                F.col("u").alias("node"),
+                F.coalesce("component_id", F.col("m")).alias("component_id"),
+            )
+        )
+        return labels, rounds + 1
 
     def is_star_forest(e: DataFrame) -> bool:
         # canonical edges point leaf<-center as (a=center, b=leaf) with
