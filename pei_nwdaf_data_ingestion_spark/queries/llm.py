@@ -2312,19 +2312,22 @@ _PQ_M, _PQ_K, _PQ_DSUB = 8, 16, 8  # 64-dim = 8 subspaces x 8 dims, 16 cells
 
 
 def _pq_subvectors(vecs: DataFrame) -> DataFrame:
-    """(vec_id, sub, sv): each 64-dim vector split into _PQ_M contiguous
-    8-dim subvectors - ONE map-side explode, no shuffle."""
+    """(vec_id, sub, svq): each 64-dim vector split into _PQ_M contiguous
+    8-dim MICRO-UNIT INTEGER subvectors - ONE map-side explode, no
+    shuffle.  Integer subvectors (the _IVF_Q recipe) make every distance
+    and centroid update below bit-identical cross-engine, which is what
+    carries the PQ family's DuckDB oracles."""
     subs = F.array(
         *[
             F.struct(
                 F.lit(s).cast("int").alias("sub"),
-                F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB).alias("sv"),
+                F.slice("vq", s * _PQ_DSUB + 1, _PQ_DSUB).alias("svq"),
             )
             for s in range(_PQ_M)
         ]
     )
     return vecs.select("vec_id", F.explode(subs).alias("x")).select(
-        "vec_id", "x.sub", "x.sv"
+        "vec_id", "x.sub", "x.svq"
     )
 
 
@@ -2332,7 +2335,9 @@ def _pq_codebook_rows(spark: SparkSession, sf: str, vecs: DataFrame) -> list:
     """Per-subspace K centroids - ALL _PQ_M subspaces trained in the SAME
     jobs (k-means keyed by (sub, cell)), so the build costs the same 1 +
     2x2 passes as the IVF coarse quantizer, not M times as many.
-    Deterministic init: subvectors of the _PQ_K lowest vec_ids."""
+    Deterministic init: subvectors of the _PQ_K lowest vec_ids.
+    Arithmetic is the integer micro-unit k-means of _ivf_centroid_rows
+    (integer distances, floor-of-double-mean updates)."""
     cache_key = (spark.sparkContext.applicationId, sf)
     rows = _PQ_CODEBOOK.get(cache_key)
     if rows is not None:
@@ -2341,24 +2346,24 @@ def _pq_codebook_rows(spark: SparkSession, sf: str, vecs: DataFrame) -> list:
 
     def cents_df(rows):
         return spark.createDataFrame(
-            [(s, c, list(v)) for s, c, v in rows],
-            "sub int, cell int, c array<double>",
+            [(s, c, [int(x) for x in v]) for s, c, v in rows],
+            "sub int, cell int, c array<bigint>",
         )
 
     def assign(cents):
         d = F.aggregate(
-            F.zip_with(F.col("sv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
+            F.zip_with(F.col("svq"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
             lambda acc, z: acc + z,
         )
         # equi-join on `sub` (m x k broadcast), argmin per (vec_id, sub):
         # map-side partial agg keeps the shuffle at one row per subvector
         return (
             sv.join(F.broadcast(cents), "sub")
-            .select("vec_id", "sub", "sv", "cell", d.alias("d"))
+            .select("vec_id", "sub", "svq", "cell", d.alias("d"))
             .groupBy("vec_id", "sub")
             .agg(
-                F.first("sv").alias("sv"),
+                F.first("svq").alias("svq"),
                 F.min_by("cell", F.struct("d", "cell")).alias("cell"),
             )
         )
@@ -2371,16 +2376,20 @@ def _pq_codebook_rows(spark: SparkSession, sf: str, vecs: DataFrame) -> list:
                 Window.orderBy("vec_id")) - 1).cast("int")),
             "vec_id",
         )
-        .select("sub", "cell", "sv")
+        .select("sub", "cell", "svq")
         .collect()
     )
-    rows = sorted((r["sub"], r["cell"], r["sv"]) for r in init)
+    rows = sorted((r["sub"], r["cell"], r["svq"]) for r in init)
     for _ in range(2):  # Lloyd rounds, all subspaces at once
         new = (
             assign(cents_df(rows))
-            .select("sub", "cell", F.posexplode("sv").alias("pos", "val"))
+            .select("sub", "cell", F.posexplode("svq").alias("pos", "val"))
             .groupBy("sub", "cell", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.floor(F.sum("val") / F.count("*").cast("double"))
+                .cast("long")
+                .alias("m")
+            )
             .groupBy("sub", "cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("sub", "cell", F.col("pm.m").alias("c"))
@@ -2397,12 +2406,12 @@ def _pq_codes_plan(spark: SparkSession, sf: str, vecs: DataFrame) -> DataFrame:
     wrapper below replaces the subtree with an RDD scan."""
     rows = _pq_codebook_rows(spark, sf, vecs)
     cents = spark.createDataFrame(
-        [(s, c, list(v)) for s, c, v in rows],
-        "sub int, cell int, c array<double>",
+        [(s, c, [int(x) for x in v]) for s, c, v in rows],
+        "sub int, cell int, c array<bigint>",
     )
     d = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.zip_with(F.col("svq"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
         lambda acc, z: acc + z,
     )
     return (
@@ -2430,7 +2439,105 @@ def _pq_codes(spark: SparkSession, sf: str, vecs: DataFrame) -> DataFrame:
     return codes
 
 
-@query("sim_pq_encode")  # rows-only: k-means codebook is engine-tuned
+def _pq_oracle_ctes() -> str:
+    """DuckDB CTE chain replaying the PQ build bit-for-bit: micro-unit
+    integer subvectors -> deterministic init -> two unrolled Lloyd rounds
+    keyed by (sub, cell) -> final code assignment.  Same exactness recipe
+    as _ivf_oracle_ctes; `codes` carries (vec_id, sub, code)."""
+    m, k, dsub = _PQ_M, _PQ_K, _PQ_DSUB
+    rng = f"range(1, {dsub + 1})"
+
+    def sqdist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform({rng},"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    def assign(cent: str, code_alias: str = "cell") -> str:
+        return (
+            f"SELECT sv.vec_id, sv.sub,"
+            f" CAST(min({sqdist('sv.svq', 'c.c')} * {k} + c.cell)"
+            f" % {k} AS INTEGER) AS {code_alias}"
+            f" FROM sv JOIN {cent} c ON c.sub = sv.sub"
+            f" GROUP BY sv.vec_id, sv.sub"
+        )
+
+    def update(asg: str) -> str:
+        return (
+            f"SELECT a.sub, a.cell, d.i AS pos,"
+            f" CAST(floor(sum(sv.svq[d.i]) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m"
+            f" FROM {asg} a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub,"
+            f" (SELECT unnest({rng}) AS i) d"
+            f" GROUP BY a.sub, a.cell, d.i"
+        )
+
+    vq = (
+        "list_transform(embedding::DOUBLE[],"
+        f" x -> CAST(floor(x * {float(_IVF_Q)} + 0.5) AS BIGINT))"
+    )
+    return f"""v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e, {vq} AS vq
+      FROM embeddings WHERE vec_id <> 0),
+    sv AS (
+      SELECT v.vec_id, s.sub,
+             list_transform({rng}, i -> v.vq[s.sub * {dsub} + i]) AS svq
+      FROM v, (SELECT unnest(range(0, {m})) AS sub) s),
+    init AS (
+      SELECT sv.sub, CAST(r.rk - 1 AS INTEGER) AS cell, sv.svq AS c
+      FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rk
+            FROM v ORDER BY vec_id LIMIT {k}) r
+      JOIN sv ON sv.vec_id = r.vec_id),
+    a1 AS ({assign('init')}),
+    u1 AS ({update('a1')}),
+    cent1 AS (SELECT sub, cell, list(m ORDER BY pos) AS c FROM u1
+              GROUP BY sub, cell),
+    a2 AS ({assign('cent1')}),
+    u2 AS ({update('a2')}),
+    cent2 AS (SELECT sub, cell, list(m ORDER BY pos) AS c FROM u2
+              GROUP BY sub, cell),
+    codes AS ({assign('cent2', 'code')})"""
+
+
+def _pq_encode_oracle() -> str:
+    return f"""
+    WITH {_pq_oracle_ctes()}
+    SELECT vec_id,
+           array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), ',')
+             AS pq_codes
+    FROM codes GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+def _pq_topk_oracle(topk: int = 10) -> str:
+    dsub = _PQ_DSUB
+    rng = f"range(1, {dsub + 1})"
+    vq = (
+        "list_transform(embedding::DOUBLE[],"
+        f" x -> CAST(floor(x * {float(_IVF_Q)} + 0.5) AS BIGINT))"
+    )
+    return f"""
+    WITH {_pq_oracle_ctes()},
+    probe AS (
+      SELECT {vq} AS pq FROM embeddings WHERE vec_id = 0),
+    dtab AS (
+      SELECT c.sub, c.cell AS code,
+             list_sum(list_transform({rng},
+               i -> (p.pq[c.sub * {dsub} + i] - c.c[i])
+                    * (p.pq[c.sub * {dsub} + i] - c.c[i]))) AS d
+      FROM cent2 c, probe p),
+    adc AS (
+      SELECT k.vec_id, sum(t.d) AS adc
+      FROM codes k JOIN dtab t ON t.sub = k.sub AND t.code = k.code
+      GROUP BY k.vec_id)
+    SELECT a.vec_id, v.label,
+           floor(CAST(a.adc AS DOUBLE) / 1000000000000.0 * 10000.0 + 0.5)
+             / 10000.0 AS adc_dist
+    FROM adc a JOIN v USING (vec_id)
+    ORDER BY a.adc, a.vec_id LIMIT {topk}
+    """
+
+
+@query("sim_pq_encode", oracle=_pq_encode_oracle())
 def sim_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization encoding (Jegou et al., PAMI'11) - the memory
     end-game for 100 TB ANN: each 64-dim float vector becomes _PQ_M=8
@@ -2443,10 +2550,13 @@ def sim_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
 
     Output: one row per vector with the code array rendered canonically
     (codes joined ','); reconstruction error and search recall are
-    asserted in tests/test_pipeline_components.py."""
+    asserted in tests/test_pipeline_components.py.  Oracled since round 7
+    via the integer micro-unit codebook (the _IVF_Q recipe): every
+    distance, centroid and code is bit-identical cross-engine."""
     e = load(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
     vecs = e.filter(F.col("vec_id") != 0).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", _vq_col(v).alias("vq")
     )
     codes = _pq_codes(spark, sf, vecs)
     return (
@@ -2464,41 +2574,49 @@ def sim_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("sim_pq_topk")  # rows-only: ADC over the trained codebook
+@query("sim_pq_topk", oracle=_pq_topk_oracle())
 def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-K search: the probe vector is NOT
-    quantized; its squared distance to every (sub, cell) centroid is a
-    driver-side m x k = 128-float table, broadcast and equi-joined to the
-    stored codes, and each vector's approximate distance is the SUM of its
-    m looked-up entries - a groupBy(vec_id) sum, no per-vector float math
-    at all.  This is exactly how a 100 TB PQ index is scanned: the codes
-    (8 bytes/vector) stream through a hash agg against a table that fits
-    in L1 cache; overlap with the exact float top-K is asserted in
-    tests."""
+    code-quantized; its squared distance to every (sub, cell) centroid is
+    a driver-side m x k = 128-entry table, broadcast and equi-joined to
+    the stored codes, and each vector's approximate distance is the SUM
+    of its m looked-up entries - a groupBy(vec_id) sum, no per-vector
+    float math at all.  This is exactly how a 100 TB PQ index is scanned:
+    the codes (8 bytes/vector) stream through a hash agg against a table
+    that fits in L1 cache; overlap with the exact float top-K is asserted
+    in tests.  Distances live in micro-unit^2 INTEGERS end to end (probe
+    quantized like the index), so the ADC sum is order-independent and
+    the whole search carries a DuckDB oracle (round 7); the reported
+    adc_dist rescales to the float metric at the very end."""
     topk = 10
     e = load(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
     vecs = e.filter(F.col("vec_id") != 0).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", "label", _vq_col(v).alias("vq")
     )
-    codes = _pq_codes(spark, sf, vecs.select("vec_id", "v"))
-    rows = _pq_codebook_rows(spark, sf, vecs.select("vec_id", "v"))
+    codes = _pq_codes(spark, sf, vecs.select("vec_id", "vq"))
+    rows = _pq_codebook_rows(spark, sf, vecs.select("vec_id", "vq"))
+    import math
+
     p = (
         e.filter(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>").alias("p"))
         .collect()[0]["p"]
     )
-    # driver-side distance table: ||p_sub - c||^2 per (sub, cell)
+    pq = [int(math.floor(x * float(_IVF_Q) + 0.5)) for x in p]
+    # driver-side distance table: ||p_sub - c||^2 per (sub, cell), exact ints
     dtab = [
         (
             s,
             c,
             sum(
-                (p[s * _PQ_DSUB + i] - v[i]) ** 2 for i in range(_PQ_DSUB)
+                (pq[s * _PQ_DSUB + i] - int(v[i])) ** 2
+                for i in range(_PQ_DSUB)
             ),
         )
         for s, c, v in rows
     ]
-    dt = spark.createDataFrame(dtab, "sub int, code int, d double")
+    dt = spark.createDataFrame(dtab, "sub int, code int, d bigint")
     return (
         codes.join(F.broadcast(dt), ["sub", "code"])
         .groupBy("vec_id")
@@ -2506,7 +2624,13 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.asc("_adc"), F.asc("vec_id"))
         .limit(topk)
         .join(vecs.select("vec_id", "label"), "vec_id")
-        .select("vec_id", "label", pround("_adc", 4).alias("adc_dist"))
+        .select(
+            "vec_id",
+            "label",
+            pround(F.col("_adc").cast("double") / 1_000_000_000_000.0, 4).alias(
+                "adc_dist"
+            ),
+        )
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     )
 

@@ -409,8 +409,10 @@ class TestRound6Plans:
         from pyspark.sql import functions as F
 
         e = load(spark, SF_DIR, "embeddings")
+        from pei_nwdaf_data_ingestion_spark.queries.llm import _vq_col
+
         vecs = e.filter(F.col("vec_id") != 0).select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            "vec_id", _vq_col(F.col("embedding").cast("array<double>")).alias("vq")
         )
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
