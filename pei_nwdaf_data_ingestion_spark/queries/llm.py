@@ -2973,7 +2973,73 @@ def sim_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("sim_mmr_rerank")  # rows-only: greedy selection is inherently sequential
+def _mmr_oracle(k: int = 5, lam: float = 0.7, pool_n: int = 20) -> str:
+    """Unrolled greedy MMR in SQL: the pool CTE reproduces the Spark
+    relevance scan, then k chained CTEs each pick the argmax of
+    lam*rel - (1-lam)*max-sim-to-selected over the not-yet-selected pool
+    (correlated max over the union of prior picks).  Greedy is sequential
+    by definition - but k is a LITERAL, so 'sequential' unrolls into k
+    CTEs; every float op (fold dots, IEEE sqrt, the exact '1.0 - 0.7'
+    literal) mirrors the Python driver loop op-for-op, so selections and
+    scores are bit-identical."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)})"
+            f" * sqrt({_sql_dot(b, b)})))"
+        )
+
+    def pr6(x: str) -> str:
+        return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+    ctes = [
+        f"""v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id <> 0),
+    probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+    pool AS (
+      SELECT v.vec_id, v.label, v.e, {cos('v.e', 'p.p')} AS rel
+      FROM v, probe p
+      ORDER BY rel DESC, vec_id LIMIT {pool_n})"""
+    ]
+    for r in range(1, k + 1):
+        if r == 1:
+            ctes.append(
+                f"s1 AS (\n      SELECT p.vec_id, p.label, p.e, p.rel,"
+                f" {lam} * p.rel - (1.0 - {lam}) * 0.0 AS score\n"
+                f"      FROM pool p\n"
+                f"      ORDER BY score DESC, p.vec_id LIMIT 1)"
+            )
+            continue
+        sel_union = " UNION ALL ".join(
+            f"SELECT vec_id, e FROM s{i}" for i in range(1, r)
+        )
+        ctes.append(f"sel{r} AS ({sel_union})")
+        # max-sim-to-selected via a tiny cross join + GROUP BY (a
+        # correlated scalar subquery cannot carry the outer row's list
+        # column into a lambda in DuckDB's binder)
+        ctes.append(
+            f"sc{r} AS (\n      SELECT p.vec_id, p.label, p.e, p.rel,"
+            f" max({cos('p.e', 's.e')}) AS red\n"
+            f"      FROM pool p, sel{r} s\n"
+            f"      WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{r})\n"
+            f"      GROUP BY p.vec_id, p.label, p.e, p.rel)"
+        )
+        ctes.append(
+            f"s{r} AS (\n      SELECT vec_id, label, e, rel,"
+            f" {lam} * rel - (1.0 - {lam}) * red AS score\n"
+            f"      FROM sc{r}\n"
+            f"      ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+    final = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, vec_id, label,"
+        f" {pr6('rel')} AS relevance, {pr6('score')} AS mmr_score FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + final
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
 def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein,
     SIGIR'98) - the diversity pass every RAG retriever runs after ANN:
@@ -3009,10 +3075,14 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     rows = cand.collect()  # bounded: 20 candidates x 64 dims
 
+    import math
+
     def cos(a, b):
+        # left-fold sums + math.sqrt == the engines' fold + IEEE sqrt
+        # (x ** 0.5 would be pow(), which may differ from sqrt by an ulp)
         num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
         return num / (na * nb)
 
     lam, k = 0.7, 5
@@ -3029,7 +3099,15 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         selected.append(best[1] + (best[2],))
         pool = [p for p in pool if p[0] != best[1][0]]
     out = [
-        (i + 1, vid, lab, round(rel, 6), round(score, 6))
+        # pround spelling, NOT python round() (round-half-even would
+        # diverge from the oracle's floor(x*1e6+0.5) at half-boundaries)
+        (
+            i + 1,
+            vid,
+            lab,
+            math.floor(rel * 1000000.0 + 0.5) / 1000000.0,
+            math.floor(score * 1000000.0 + 0.5) / 1000000.0,
+        )
         for i, (vid, lab, _v, rel, score) in enumerate(selected)
     ]
     return spark.createDataFrame(
