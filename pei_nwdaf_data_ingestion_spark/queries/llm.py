@@ -460,6 +460,18 @@ def _minhash_verified_pairs(
     cached = _MH_PAIRS_CACHE.get(cache_key)
     if cached is not None:
         return cached
+    out = _minhash_pairs_plan(spark, sf, t, n_bands).localCheckpoint(eager=False)
+    _MH_PAIRS_CACHE[cache_key] = out
+    return out
+
+
+def _minhash_pairs_plan(
+    spark: SparkSession, sf: str, t: float = 0.8, n_bands: int = 4
+) -> DataFrame:
+    """The un-checkpointed candidate+verify plan (see
+    _minhash_verified_pairs for the full design notes); split out so plan
+    tests can assert the join regimes - the cached wrapper replaces the
+    subtree with an RDD scan."""
     d = load(spark, sf, "documents")
     toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tokens"))
     broadcast_build = (
@@ -516,8 +528,6 @@ def _minhash_verified_pairs(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    out = out.localCheckpoint(eager=False)
-    _MH_PAIRS_CACHE[cache_key] = out
     return out
 
 

@@ -1373,3 +1373,29 @@ class TestShortDocGuards:
         else:
             # every (lang, rule) row survives including the 1-token doc's
             assert len(spark_pdf) == spark_pdf.lang.nunique() * 4
+
+
+class TestContractionPrePass:
+    def test_pre_contract_labels_equal_plain_cc(self, spark):
+        """The min-neighbor contraction pre-pass is a physical
+        optimization: on a seeded random graph (plus a long chain, the
+        contraction's worst case) its labels must equal the plain
+        large-star/small-star fixpoint exactly."""
+        import random
+
+        from pei_nwdaf_data_ingestion_spark.graph import connected_components
+
+        rng = random.Random(7)
+        edges = {(rng.randrange(200), rng.randrange(200)) for _ in range(300)}
+        edges |= {(1000 + i, 1001 + i) for i in range(40)}  # chain
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        plain = {
+            (r["node"], r["component_id"])
+            for r in connected_components(df)[0].collect()
+        }
+        contracted = {
+            (r["node"], r["component_id"])
+            for r in connected_components(df, pre_contract=True)[0].collect()
+        }
+        assert contracted == plain and len(plain) > 0

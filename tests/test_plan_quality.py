@@ -615,3 +615,63 @@ class TestSession2cPlans:
         one scan of documents in the plan."""
         p = plan_of(spark, "pipeline_sample_neyman")
         assert p.count("Scan parquet") <= 2  # base agg (+ reused ref)
+
+
+class TestMinhashPairRegimes:
+    """The LSH verified-pair builder (round 7) has two size-gated physical
+    regimes; both must stay equi-joins and agree on results."""
+
+    def _fresh_pairs(self, spark):
+        # the un-checkpointed plan (the cached wrapper's final
+        # localCheckpoint replaces the whole subtree with an RDD scan)
+        from pei_nwdaf_data_ingestion_spark.queries import llm
+
+        llm._MH_PAIRS_CACHE.clear()
+        return llm._minhash_pairs_plan(spark, SF_DIR)
+
+    def test_broadcast_regime_plan(self, spark):
+        """Below the gate the banded build side broadcasts: 4 broadcast
+        hash joins on the band keys, no shuffle exchange feeding them,
+        never a cartesian."""
+        import contextlib
+        import io
+
+        df = self._fresh_pairs(spark)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_salted_regime_plan_and_equality(self, spark, monkeypatch):
+        """Beyond the gate: the probe side fans out over _MH_SALTS and the
+        join keys on (band, salt) - a shuffled equi join (no cartesian),
+        and the verified pair set is IDENTICAL to the broadcast regime's
+        (salting is physical, never semantic)."""
+        import contextlib
+        import io
+
+        from pei_nwdaf_data_ingestion_spark.queries import llm
+
+        base = {
+            (r["doc_a"], r["doc_b"]) for r in self._fresh_pairs(spark).collect()
+        }
+        llm._MH_PAIRS_CACHE.clear()
+        monkeypatch.setattr(llm, "_MH_BROADCAST_BYTES", 0)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = llm._minhash_pairs_plan(spark, SF_DIR)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+            got = {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            llm._MH_PAIRS_CACHE.clear()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert got == base and len(base) > 0
