@@ -3175,8 +3175,13 @@ def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
     small SF - the operator's value here is the copy-count-weighted
     near-dup ledger and the composition contract itself, both oracled.
     Same md5 universal hash family and band spelling as
-    dedup_minhash_lsh (one shared implementation path); shuffles: the
-    exact-group, the band buckets, the verify join - all hash-keyed."""
+    dedup_minhash_lsh, and since round 7 the same index-carrying join:
+    candidates dedupe via lowest-matching-band PREDICATES (no distinct
+    shuffle, no token re-joins), verification runs on 64-bit token
+    hashes inside the join, and the rep table broadcasts under the
+    corpus-size gate (_MH_BROADCAST_BYTES; the salted shuffle regime of
+    _minhash_verified_pairs applies beyond it via the same spelling).
+    Shuffles: the exact-group and the band probes - all hash-keyed."""
     d = load(spark, sf, "documents")
     g = d.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("rep"),
@@ -3188,39 +3193,41 @@ def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
         "n_copies",
         F.array_distinct(F.split("text", " ")).alias("tokens"),
     )
-    banded = toks.select("rep", "n_copies", "tokens", *minhash_band_cols())
-    pairs = None
+    banded = toks.select(
+        "rep",
+        "n_copies",
+        F.transform("tokens", lambda tk: F.xxhash64(tk)).alias("th"),
+        *minhash_band_cols(),
+    ).localCheckpoint(eager=False)
+    x = _spread(banded, "rep").alias("x")
+    broadcast_build = (
+        os.path.getsize(os.path.join(sf, "documents.parquet")) < _MH_BROADCAST_BYTES
+    )
+    y = F.broadcast(banded.alias("y")) if broadcast_build else banded.alias("y")
+    jac = F.size(F.array_intersect("x.th", "y.th")).cast("double") / F.size(
+        F.array_union("x.th", "y.th")
+    )
+    parts = []
     for bnd in range(4):
-        x, y = banded.alias("x"), banded.alias("y")
-        p = x.join(
-            y,
-            (F.col(f"x.band{bnd}") == F.col(f"y.band{bnd}"))
-            & (F.col("x.rep") < F.col("y.rep")),
-        ).select(
-            F.col("x.rep").alias("doc_a"),
-            F.col("y.rep").alias("doc_b"),
-            F.col("x.n_copies").alias("copies_a"),
-            F.col("y.n_copies").alias("copies_b"),
+        cond = (F.col(f"x.band{bnd}") == F.col(f"y.band{bnd}")) & (
+            F.col("x.rep") < F.col("y.rep")
         )
-        pairs = p if pairs is None else pairs.unionAll(p)
-    cand = pairs.distinct()
-    ta = toks.select(F.col("rep").alias("doc_a"), F.col("tokens").alias("ta"))
-    tb = toks.select(F.col("rep").alias("doc_b"), F.col("tokens").alias("tb"))
-    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
-        F.array_union("ta", "tb")
-    )
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .filter(jac >= 0.8)
-        .select(
-            "doc_a",
-            "doc_b",
-            "copies_a",
-            "copies_b",
-            pround(jac, 4).alias("jaccard"),
+        for prev in range(bnd):
+            cond = cond & (F.col(f"x.band{prev}") != F.col(f"y.band{prev}"))
+        cond = cond & (jac >= 0.8)
+        parts.append(
+            x.join(y, cond).select(
+                F.col("x.rep").alias("doc_a"),
+                F.col("y.rep").alias("doc_b"),
+                F.col("x.n_copies").alias("copies_a"),
+                F.col("y.n_copies").alias("copies_b"),
+                pround(jac, 4).alias("jaccard"),
+            )
         )
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def _lsh_recall_oracle() -> str:
