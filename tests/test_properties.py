@@ -239,3 +239,39 @@ class TestMinhashRecallProperty:
         by_id = {r["doc_id"]: [r[f"band{b}"] for b in range(4)] for r in banded}
         assert by_id[1] == by_id[2], "equal sets must share every band"
         assert by_id[1] != by_id[3], "distinct sets should split somewhere"
+
+
+class TestLowestBandDedupEquivalence:
+    """Round-7 invariant behind the fast LSH spelling: emitting a candidate
+    pair ONLY in its lowest matching band (inequality predicates on the
+    earlier bands) must equal union-all-bands + distinct, for ANY corpus.
+    Checked structurally on random synthetic band signatures - no Spark
+    job needed, the predicate logic is engine-free."""
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(*[st.integers(min_value=0, max_value=3)] * 4),
+            min_size=2,
+            max_size=30,
+        )
+    )
+    def test_predicate_dedup_equals_union_distinct(self, sigs):
+        n_bands = 4
+        docs = list(enumerate(sigs))  # (doc_id, (band0..band3))
+        union_distinct = {
+            (a, b)
+            for i, (a, sa) in enumerate(docs)
+            for b, sb in docs[i + 1 :]
+            if any(sa[k] == sb[k] for k in range(n_bands))
+        }
+        lowest_band = set()
+        for i, (a, sa) in enumerate(docs):
+            for b_, sb in docs[i + 1 :]:
+                for bnd in range(n_bands):
+                    if sa[bnd] == sb[bnd] and all(
+                        sa[p] != sb[p] for p in range(bnd)
+                    ):
+                        lowest_band.add((a, b_))
+                        break  # emitted exactly once
+        assert lowest_band == union_distinct
