@@ -270,23 +270,56 @@ def agg_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
 # duplicate clustering: near-dup pairs -> connected components
 # ---------------------------------------------------------------------------
 
-def _components_oracle() -> str:
+def _components_ctes() -> str:
+    """Shared oracle CTE chain: LSH-verified edges -> min-neighbor
+    contraction -> recursive min-label fixpoint on the residue -> per-doc
+    labels (CTE `comp`: doc_id, component_id).
+
+    The contraction (m(v) = min(v, neighbors); edges relabeled through m,
+    self-loops dropped) mirrors graph.connected_components' pre-pass and
+    preserves components exactly - and it is what makes the oracle RUN at
+    scale-shifted fixtures: on the sf0.1 near-clique (2.9M verified
+    edges, one 3871-node component) the naive recursive CTE accumulates
+    every (node, smaller-reachable-label) pair - ~n^2/2 reach rows joined
+    against 5.8M directed edges per iteration, tens of billions of
+    intermediate rows - while the contracted residue is 1949 edges."""
     from .llm import minhash_verified_pairs_ctes
 
-    return f"""
-WITH RECURSIVE {minhash_verified_pairs_ctes()},
+    return f"""{minhash_verified_pairs_ctes()},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM vpairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM vpairs),
+m AS (
+  SELECT src AS node, least(src, min(dst)) AS m
+  FROM edges GROUP BY src),
+redge AS (
+  SELECT DISTINCT least(ma.m, mb.m) AS src, greatest(ma.m, mb.m) AS dst
+  FROM vpairs p
+  JOIN m ma ON ma.node = p.doc_a
+  JOIN m mb ON mb.node = p.doc_b
+  WHERE ma.m <> mb.m),
+redges AS (
+  SELECT src, dst FROM redge
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM redge),
 reach(node, lbl) AS (
-  SELECT src AS node, src AS lbl FROM (SELECT DISTINCT src FROM edges) s
+  SELECT src AS node, src AS lbl FROM (SELECT DISTINCT src FROM redges) s
   UNION
   SELECT e.src AS node, r.lbl AS lbl
-  FROM edges e JOIN reach r ON e.dst = r.node)
-SELECT node AS doc_id, min(lbl) AS component_id
-FROM reach
-GROUP BY node
+  FROM redges e JOIN reach r ON e.dst = r.node),
+rcomp AS (
+  SELECT node, min(lbl) AS component_id FROM reach GROUP BY node),
+comp AS (
+  SELECT m.node AS doc_id,
+         coalesce(rc.component_id, m.m) AS component_id
+  FROM m LEFT JOIN rcomp rc ON rc.node = m.m)"""
+
+
+def _components_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_components_ctes()}
+SELECT doc_id, component_id FROM comp
 """
 
 
@@ -527,22 +560,8 @@ def text_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _canonical_oracle() -> str:
-    from .llm import minhash_verified_pairs_ctes
-
     return f"""
-WITH RECURSIVE {minhash_verified_pairs_ctes()},
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM vpairs
-  UNION ALL
-  SELECT doc_b AS src, doc_a AS dst FROM vpairs),
-reach(node, lbl) AS (
-  SELECT src AS node, src AS lbl FROM (SELECT DISTINCT src FROM edges) s
-  UNION
-  SELECT e.src AS node, r.lbl AS lbl
-  FROM edges e JOIN reach r ON e.dst = r.node),
-comp AS (
-  SELECT node AS doc_id, min(lbl) AS component_id
-  FROM reach GROUP BY node),
+WITH RECURSIVE {_components_ctes()},
 lab AS (
   SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS comp, d.n_chars
   FROM documents d LEFT JOIN comp c USING (doc_id)),

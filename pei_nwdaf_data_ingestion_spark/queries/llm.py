@@ -124,11 +124,14 @@ def minhash_band_cols(n_hashes: int = _MH_K, n_bands: int = 4) -> list:
     ]
 
 
-def _minhash_band_sql(n_hashes: int = _MH_K, n_bands: int = 4) -> str:
+def _minhash_band_sql(
+    n_hashes: int = _MH_K, n_bands: int = 4, over: str = "tokens"
+) -> str:
     """DuckDB select-list fragment computing band0..band{n_bands-1} from a
-    `tokens` list column - the exact dual of minhash_band_cols."""
+    token-STRING list column named `over` - the exact dual of
+    minhash_band_cols."""
     mins = [
-        f"list_min(list_transform(tokens, t -> ({_MH_A[i]} * "
+        f"list_min(list_transform({over}, t -> ({_MH_A[i]} * "
         f"{_base_hash_sql('t')} + {_MH_B[i]}) % {_MH_P}))"
         for i in range(n_hashes)
     ]
@@ -380,12 +383,22 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def minhash_verified_pairs_ctes(t: float = 0.8) -> str:
-    """Shared DuckDB CTE chain `toks -> banded -> cand -> vpairs`: the
-    MinHash-banded candidate pairs, Jaccard-VERIFIED at threshold `t`
+    """Shared DuckDB CTE chain `toks -> hk -> banded -> cand -> vpairs`:
+    the MinHash-banded candidate pairs, Jaccard-VERIFIED at threshold `t`
     (vpairs carries doc_a, doc_b, jac).  One text, three consumers - the
     LSH oracle itself plus the LSH-fed clustering oracles
     (dedup_cluster_components / dedup_canonical_select), so the oracles
-    provably fix the SAME edge set the Spark path generates."""
+    provably fix the SAME edge set the Spark path generates.
+
+    Band signatures stay on the md5 universal hash family over token
+    STRINGS (the engine-portable signature contract); the verify
+    intersect runs on DuckDB-hash()ed token lists - Jaccard only reads
+    SET SIZES, which hashing preserves absent a collision inside one
+    pair's union (the same negligible-probability trade the Spark side
+    makes with xxhash64; measured 154 s -> 88 s for the sf0.1 oracle).
+    vpairs is MATERIALIZED: the clustering oracles reference it three
+    times (edges / m / redge) and DuckDB would otherwise inline - i.e.
+    re-run - the whole candidate+verify pipeline per reference."""
     cand_unions = "\n      UNION\n      ".join(
         f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x "
         f"JOIN banded y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id"
@@ -394,19 +407,22 @@ def minhash_verified_pairs_ctes(t: float = 0.8) -> str:
     return f"""toks AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
       FROM documents),
+    hk AS (
+      SELECT doc_id, tokens, list_transform(tokens, tk -> hash(tk)) AS th
+      FROM toks),
     banded AS (
       SELECT doc_id, {_minhash_band_sql()}
-      FROM toks),
+      FROM hk),
     cand AS (
       {cand_unions}),
-    vpairs AS (
+    vpairs AS MATERIALIZED (
       SELECT * FROM (
         SELECT c.doc_a, c.doc_b,
-               CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.tokens, b.tokens))) AS jac
+               CAST(len(list_intersect(a.th, b.th)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.th, b.th))) AS jac
         FROM cand c
-        JOIN toks a ON a.doc_id = c.doc_a
-        JOIN toks b ON b.doc_id = c.doc_b)
+        JOIN hk a ON a.doc_id = c.doc_a
+        JOIN hk b ON b.doc_id = c.doc_b)
       WHERE jac >= {t})"""
 
 
@@ -3142,18 +3158,22 @@ def _two_stage_oracle() -> str:
       SELECT rep, n_copies,
              list_distinct(string_split(text, ' ')) AS tokens
       FROM g),
+    hk AS (
+      SELECT rep, n_copies,
+             list_transform(tokens, tk -> hash(tk)) AS th
+      FROM toks),
     banded AS (
-      SELECT rep, n_copies, tokens, {_minhash_band_sql()}
+      SELECT rep, n_copies, {_minhash_band_sql()}
       FROM toks),
     cand AS (
       {cand_unions}),
     j AS (
       SELECT c.doc_a, c.doc_b, c.na, c.nb,
-             CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.tokens, b.tokens))) AS jac
+             CAST(len(list_intersect(a.th, b.th)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.th, b.th))) AS jac
       FROM cand c
-      JOIN toks a ON a.rep = c.doc_a
-      JOIN toks b ON b.rep = c.doc_b)
+      JOIN hk a ON a.rep = c.doc_a
+      JOIN hk b ON b.rep = c.doc_b)
     SELECT doc_a, doc_b, na AS copies_a, nb AS copies_b,
            floor(jac * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM j WHERE jac >= 0.8
@@ -3239,11 +3259,13 @@ def _lsh_recall_oracle() -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id, lang, source,
-             list_distinct(string_split(text, ' ')) AS tokens
+             list_transform(list_distinct(string_split(text, ' ')),
+                            tk -> hash(tk)) AS tokens
       FROM documents),
     banded AS (
-      SELECT doc_id, {_minhash_band_sql()}
-      FROM toks),
+      SELECT doc_id, {_minhash_band_sql(over="raw")}
+      FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS raw
+            FROM documents)),
     cand AS (
       {cand_unions}),
     lsh AS (
