@@ -1497,7 +1497,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("a.bigrams"), F.col("b.bigrams"))).cast("double")
     # inclusion-exclusion: one array scan per pair instead of two
     union = F.col("a.n_big") + F.col("b.n_big") - inter
-    jac = inter / union
+    # guard: a pair of sub-bigram (1-token) docs has union 0 and 0/0
+    # throws DIVIDE_BY_ZERO under ANSI, while the oracle's NULL >= 0.4
+    # quietly excludes the pair - define jac 0 there so both engines drop it
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         a.join(
             b,
@@ -1966,9 +1969,14 @@ def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.explode("trigrams").alias("g")
     )
     hits = corpus.join(F.broadcast(eval_grams), "g", "left_semi")
+    # report EVERY corpus doc, not just docs with >= 1 trigram: a doc under
+    # 3 tokens has nothing to leak and must appear as n_shared=0 exactly
+    # like the oracle's LEFT JOIN row (basing the doc list on the exploded
+    # gram frame silently dropped such docs - latent divergence surfaced by
+    # the degenerate-corpus sweep)
     return (
-        corpus.select("doc_id")
-        .distinct()
+        g.filter(F.col("source") != "src1")
+        .select("doc_id")
         .join(
             hits.groupBy("doc_id").agg(F.count("*").alias("n_shared_trigrams")),
             "doc_id",

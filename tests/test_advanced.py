@@ -1309,22 +1309,46 @@ class TestNeymanAndTwoHop:
         assert (df.min_peer <= df.max_peer).all()
 
 
-class TestShortDocGuards:
-    """ADVICE r6: dedup_span_repeats crashed on docs under 8 tokens
-    (descending sequence -> slice START error) and text_gopher_rules on
-    1-token docs (bigram [i+1] past the array under ANSI mode), while the
-    DuckDB oracles yield zero spans / zero bigrams for the same rows.  The
-    shipped fixtures have no doc under 10 tokens, so parity alone never
-    exercises the guard - this builds a corpus of exactly the degenerate
-    shapes and asserts full oracle parity on it."""
+def _documents_only_oracled_ids():
+    """Every oracled query whose oracle reads ONLY the documents table -
+    auto-discovered, so queries added later are covered for free."""
+    import re
+
+    others = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    )
+    out = []
+    for name, sql in registry.ORACLES.items():
+        low = sql.lower()
+        if "documents" in low and not any(
+            re.search(rf"\b{t}\b", low) for t in others
+        ):
+            out.append(name)
+    return sorted(out)
+
+
+class TestDegenerateCorpusParity:
+    """Degenerate-INPUT oracle parity (the ADVICE r6 bug class): the
+    shipped fixtures have no doc under 10 tokens, so the driver's parity
+    gate can never exercise short-doc edge paths - and that is exactly
+    where two crash bugs (dedup_span_repeats' descending sequence,
+    text_gopher_rules' ANSI array index) and two latent divergences
+    (dedup_ngram_jaccard's 0/0 union, dedup_decontaminate dropping
+    zero-trigram docs) hid.  This builds a corpus of exactly the
+    degenerate shapes - 1-token, sub-bigram, sub-span, exact-dup,
+    repeated-token docs - and asserts FULL Spark-vs-DuckDB parity for
+    every documents-only oracled query (auto-discovered: 63 ids as of
+    round 7), so the whole class of bug is structurally caught."""
 
     DOCS = [
         (0, "one", "en", "srcA"),  # 1 token: no bigrams, no spans
         (1, "two tokens", "en", "srcA"),  # bigram exists, still no span
         (2, "a b c d e f g", "en", "srcB"),  # 7 tokens: one short of a span
-        (3, "a b c d e f g h", "en", "srcB"),  # exactly one span
+        (3, "a b c d e f g h", "fr", "srcB"),  # exactly one span
         (4, "the quick brown fox jumps over the lazy dog again", "fr", "srcB"),
         (5, "the quick brown fox jumps over the lazy dog again", "fr", "srcB"),
+        (6, "the a the a the a the a", "en", "srcB"),  # heavy repetition
     ]
 
     @pytest.fixture(scope="class")
@@ -1348,31 +1372,37 @@ class TestShortDocGuards:
         )
         return str(d)
 
-    @pytest.mark.parametrize("name", ["dedup_span_repeats", "text_gopher_rules"])
-    def test_short_docs_match_oracle(self, spark, short_sf_dir, name):
+    @pytest.fixture(scope="class")
+    def short_ddb(self, short_sf_dir):
         import duckdb
 
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{short_sf_dir}/documents.parquet')"
+        )
+        yield con
+        con.close()
+
+    @pytest.mark.parametrize("name", _documents_only_oracled_ids())
+    def test_degenerate_corpus_matches_oracle(
+        self, spark, short_sf_dir, short_ddb, name
+    ):
         from tests.conftest import assert_frames_match
 
         spark_pdf = registry.QUERIES[name](spark, short_sf_dir).toPandas()
-        con = duckdb.connect()
-        try:
-            con.execute(
-                "CREATE VIEW documents AS SELECT * FROM "
-                f"read_parquet('{short_sf_dir}/documents.parquet')"
-            )
-            oracle_pdf = con.execute(registry.ORACLES[name]).fetchdf()
-        finally:
-            con.close()
+        oracle_pdf = short_ddb.execute(registry.ORACLES[name]).fetchdf()
         assert_frames_match(spark_pdf, oracle_pdf, name)
-        if name == "dedup_span_repeats":
-            # docs 4/5 share a 10-token text -> repeats exist; docs 0-2
-            # contribute zero spans and srcA disappears entirely
-            assert set(spark_pdf.source) == {"srcB"}
-            assert int(spark_pdf.n_rep_positions.sum()) > 0
-        else:
-            # every (lang, rule) row survives including the 1-token doc's
-            assert len(spark_pdf) == spark_pdf.lang.nunique() * 4
+
+    def test_short_doc_guards_non_vacuous(self, spark, short_sf_dir):
+        """The specific ADVICE r6 shapes stay exercised: repeats exist
+        (docs 4/5 byte-identical), srcA contributes zero spans, and every
+        (lang, rule) gopher cell survives including the 1-token doc's."""
+        spans = registry.QUERIES["dedup_span_repeats"](spark, short_sf_dir).toPandas()
+        assert set(spans.source) == {"srcB"}
+        assert int(spans.n_rep_positions.sum()) > 0
+        gopher = registry.QUERIES["text_gopher_rules"](spark, short_sf_dir).toPandas()
+        assert len(gopher) == gopher.lang.nunique() * 4
 
 
 class TestContractionPrePass:
