@@ -1411,18 +1411,26 @@ def events_abtest_welch(spark: SparkSession, sf: str) -> DataFrame:
     p = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
     m1 = F.col("sa1") * 1.0 / F.col("n1")
     m2 = F.col("sb1") * 1.0 / F.col("n2")
-    se1 = ((F.col("sa2") - F.col("sa1") * 1.0 * F.col("sa1") / F.col("n1")) / (
-        F.col("n1") - 1
-    )) / F.col("n1")
-    se2 = ((F.col("sb2") - F.col("sb1") * 1.0 * F.col("sb1") / F.col("n2")) / (
-        F.col("n2") - 1
-    )) / F.col("n2")
+    # nullif-guards on every possibly-zero denominator (n=1 groups, two
+    # zero-variance arms): DuckDB's x/0 yields NULL where Spark's ANSI
+    # division throws - both engines must report NULL statistics for
+    # degenerate arms (degenerate-corpus sweep, round 7)
+    nm1a = F.nullif((F.col("n1") - 1).cast("double"), F.lit(0.0))
+    nm1b = F.nullif((F.col("n2") - 1).cast("double"), F.lit(0.0))
+    se1 = (
+        (F.col("sa2") - F.col("sa1") * 1.0 * F.col("sa1") / F.col("n1")) / nm1a
+    ) / F.col("n1")
+    se2 = (
+        (F.col("sb2") - F.col("sb1") * 1.0 * F.col("sb1") / F.col("n2")) / nm1b
+    ) / F.col("n2")
     f = p.select(
         "type_a", "type_b", "n1", "n2",
         m1.alias("m1"), m2.alias("m2"), se1.alias("se1"), se2.alias("se2"),
     )
     t_stat = pround(
-        (F.col("m1") - F.col("m2")) / F.sqrt(F.col("se1") + F.col("se2")), 4
+        (F.col("m1") - F.col("m2"))
+        / F.nullif(F.sqrt(F.col("se1") + F.col("se2")), F.lit(0.0)),
+        4,
     )
     return f.select(
         "type_a",
@@ -1433,9 +1441,12 @@ def events_abtest_welch(spark: SparkSession, sf: str) -> DataFrame:
         t_stat.alias("t_stat"),
         pround(
             ((F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2")))
-            / (
-                F.col("se1") * F.col("se1") / (F.col("n1") - 1.0)
-                + F.col("se2") * F.col("se2") / (F.col("n2") - 1.0)
+            / F.nullif(
+                F.col("se1") * F.col("se1")
+                / F.nullif(F.col("n1") - 1.0, F.lit(0.0))
+                + F.col("se2") * F.col("se2")
+                / F.nullif(F.col("n2") - 1.0, F.lit(0.0)),
+                F.lit(0.0),
             ),
             2,
         ).alias("welch_df"),
@@ -2258,15 +2269,19 @@ def agg_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
             .alias("d_scaled")
         )
     )
-    ks_d = F.col("d_scaled") * 1.0 / (F.col("n1") * F.col("n2"))
+    # nullif-guard the sample-size product: with one sample absent
+    # (n1*n2 = 0) DuckDB's x/0 yields NULL while Spark's ANSI division
+    # throws - the ratios must be NULL on both engines (degenerate-corpus
+    # sweep, round 7)
+    n1n2 = F.nullif((F.col("n1") * F.col("n2")).cast("double"), F.lit(0.0))
+    ks_d = F.col("d_scaled") * 1.0 / n1n2
     return d.select(
         "n1",
         "n2",
         "d_scaled",
         pround(ks_d, 6).alias("ks_d"),
         pround(
-            ks_d
-            / F.sqrt((F.col("n1") + F.col("n2")) * 1.0 / (F.col("n1") * F.col("n2"))),
+            ks_d / F.sqrt((F.col("n1") + F.col("n2")) * 1.0 / n1n2),
             4,
         ).alias("ks_stat_norm"),
     )
@@ -3091,8 +3106,10 @@ def events_power_analysis(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(cents * cents).alias("s2"),
     )
     mean = F.col("s1") * 1.0 / F.col("n")
-    var = (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n")) / (
-        F.col("n") - 1
+    # n-1 and delta^2 nullif-guarded: single-row arms / zero means crash
+    # ANSI division where DuckDB yields NULL (degenerate sweep, round 7)
+    var = (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n")) / F.nullif(
+        (F.col("n") - 1).cast("double"), F.lit(0.0)
     )
     delta = 0.05 * mean
     return s.select(
@@ -3100,7 +3117,7 @@ def events_power_analysis(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         pround(mean, 2).alias("mean_cents"),
         pround(var, 2).alias("var_cents"),
-        F.ceil((2.0 * 7.849 * var) / (delta * delta))
+        F.ceil((2.0 * 7.849 * var) / F.nullif(delta * delta, F.lit(0.0)))
         .cast("long")
         .alias("n_per_arm_5pct"),
     )

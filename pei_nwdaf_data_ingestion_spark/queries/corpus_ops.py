@@ -529,8 +529,10 @@ def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
     )
     mean = F.col("s1") * 1.0 / F.col("k")
-    var = (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("k")) / (
-        F.col("k") - 1
+    # k-1 nullif-guarded too: a single-day type crashes ANSI division
+    # where DuckDB yields NULL (degenerate-corpus sweep, round 7)
+    var = (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("k")) / F.nullif(
+        (F.col("k") - 1).cast("double"), F.lit(0.0)
     )
     z = pround((F.col("n") - mean) / F.sqrt(F.nullif(var, F.lit(0.0))), 4)
     return s.select(

@@ -1429,3 +1429,92 @@ class TestContractionPrePass:
             for r in connected_components(df, pre_contract=True)[0].collect()
         }
         assert contracted == plain and len(plain) > 0
+
+
+def _events_only_oracled_ids():
+    """Every oracled query whose oracle reads ONLY the events table."""
+    import re
+
+    others = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    )
+    out = []
+    for name, sql in registry.ORACLES.items():
+        low = sql.lower()
+        if re.search(r"\bevents\b", low) and not any(
+            re.search(rf"\b{t}\b", low) for t in others
+        ):
+            out.append(name)
+    return sorted(out)
+
+
+class TestDegenerateEventsParity:
+    """Events twin of TestDegenerateCorpusParity: lone-event users,
+    identical-timestamp ties, zero values, single-row event-type groups
+    (variance needs n-1), a type absent entirely (KS's second sample),
+    same-instant funnels - the shapes where ANSI division crashed four
+    statistics operators (agg_ks_drift, events_abtest_welch,
+    events_anomaly_zscore, events_power_analysis) while DuckDB quietly
+    returned NULL, caught and fixed in round 7.  Full Spark-vs-DuckDB
+    parity over every events-only oracled query (auto-discovered)."""
+
+    ROWS = [
+        (0, "2024-01-01 00:10:00", 100, "click", 5.0, '{"k": 1}'),
+        (1, "2024-01-01 01:00:00", 101, "click", 0.0, '{"k": 0}'),
+        (2, "2024-01-01 01:00:00", 101, "purchase", 0.0, '{"k": 2}'),
+        (3, "2024-01-01 02:00:00", 102, "signup", 10.0, '{"k": 3}'),
+        (4, "2024-01-01 02:00:00", 102, "click", 20.0, '{"k": 4}'),
+        (5, "2024-01-01 02:00:00", 102, "purchase", 30.0, '{"k": 5}'),
+        (6, "2024-01-02 03:00:00", 103, "purchase", 7.5, '{"k": 6}'),
+        (7, "2024-01-03 04:00:00", 104, "error", 185.0, '{"k": 7}'),
+        (8, "2024-01-03 04:00:01", 104, "signup", 1.0, '{"k": 8}'),
+    ]
+
+    @pytest.fixture(scope="class")
+    def tiny_sf_dir(self, tmp_path_factory):
+        from datetime import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("tinyevents")
+        ids, tss, uids, types, vals, props = zip(*self.ROWS)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(
+                        [dt.fromisoformat(t) for t in tss], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array(uids, pa.int64()),
+                    "event_type": pa.array(types, pa.string()),
+                    "value": pa.array(vals, pa.float64()),
+                    "props": pa.array(props, pa.string()),
+                }
+            ),
+            d / "events.parquet",
+        )
+        return str(d)
+
+    @pytest.fixture(scope="class")
+    def tiny_ddb(self, tiny_sf_dir):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tiny_sf_dir}/events.parquet')"
+        )
+        yield con
+        con.close()
+
+    @pytest.mark.parametrize("name", _events_only_oracled_ids())
+    def test_degenerate_events_match_oracle(
+        self, spark, tiny_sf_dir, tiny_ddb, name
+    ):
+        from tests.conftest import assert_frames_match
+
+        spark_pdf = registry.QUERIES[name](spark, tiny_sf_dir).toPandas()
+        oracle_pdf = tiny_ddb.execute(registry.ORACLES[name]).fetchdf()
+        assert_frames_match(spark_pdf, oracle_pdf, name)
