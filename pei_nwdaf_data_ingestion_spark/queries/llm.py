@@ -40,6 +40,16 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def _cos_or_null(a, b):
+    """Cosine that degrades to NULL instead of an ANSI DIVIDE_BY_ZERO
+    crash when either vector has zero norm: DuckDB's x/0 is NULL, and
+    both engines default to NULLS LAST under a DESC sort, so guarded
+    cosines stay parity-identical through filters and top-k selection.
+    At 100 TB one corrupt zero vector must degrade one row, not kill the
+    job (degenerate-embeddings sweep, round 7)."""
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+
+
 # IVF coarse-quantizer cache: (applicationId, sf_dir) -> [(cell, centroid)].
 # The k-means build is deterministic, so this only skips re-deriving an
 # identical K x dim table on repeat queries (an ANN index is built once and
@@ -594,9 +604,7 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
     joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
-    cos = _dot(F.col("embedding"), F.col("p")) / (
-        _norm(F.col("embedding")) * _norm(F.col("p"))
-    )
+    cos = _cos_or_null(F.col("embedding"), F.col("p"))
     return (
         joined.select("vec_id", "label", cos.alias("_cos"))
         .orderBy(F.desc("_cos"), F.asc("vec_id"))
@@ -665,9 +673,7 @@ def _knn_join_lsh(
     )
     a = _spread(sigs, "vec_id").alias("a")
     b = sigs.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
-    )
+    cos = _cos_or_null(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
@@ -1001,7 +1007,7 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # (at scale `cell` is the storage partition key and this filter is
     # partition pruning - (k_cells - nprobe)/k_cells of the data is never read)
     p_lit = F.array(*[F.lit(float(x)) for x in p])
-    cos = _dot(F.col("v"), p_lit) / (_norm(F.col("v")) * _norm(p_lit))
+    cos = _cos_or_null(F.col("v"), p_lit)
     return (
         _ivf_index(spark, sf, vecs, cent_rows)
         .filter(F.col("cell").isin(near_cells))
@@ -1076,6 +1082,7 @@ def sim_ivf_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     # this is what sits on disk partitioned by `cell`); codes are exactly
     # sim_embed_quantize's - floor(x / norm * 127 + 0.5), scale = norm/127
     nrm = _norm(F.col("v"))
+    nrm_nz = F.nullif(nrm, F.lit(0.0))  # zero vectors: NULL codes, not a crash
     index = (
         _ivf_index(spark, sf, vecs, cent_rows)
         .filter(F.col("cell").isin(near_cells))
@@ -1085,7 +1092,7 @@ def sim_ivf_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
             "cell",
             F.transform(
                 "v",
-                lambda x: F.floor(x / nrm * 127.0 + F.lit(0.5)).cast("int"),
+                lambda x: F.floor(x / nrm_nz * 127.0 + F.lit(0.5)).cast("int"),
             ).alias("q"),
             (nrm / 127.0).alias("scale"),
         )
@@ -1095,7 +1102,7 @@ def sim_ivf_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     # what a downstream L2 / inner-product probe would need)
     vhat = F.transform("q", lambda qq: qq.cast("double") * F.col("scale"))
     p_lit = F.array(*[F.lit(float(x)) for x in p])
-    cos = _dot(vhat, p_lit) / (_norm(vhat) * _norm(p_lit))
+    cos = _cos_or_null(vhat, p_lit)
     return (
         index.select("vec_id", "label", "cell", cos.alias("_cos"))
         .orderBy(F.desc("_cos"), F.asc("vec_id"))
@@ -1617,9 +1624,7 @@ def dedup_embed_cosine(spark: SparkSession, sf: str) -> DataFrame:
     comparison would be vacuous - VERDICT r2 'What's wrong' #2)."""
     e = load(spark, sf, "embeddings")
     a, b = _spread(e, "vec_id").alias("a"), e.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
-    )
+    cos = _cos_or_null(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
@@ -2309,10 +2314,11 @@ def sim_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
     same canonical form."""
     e = load(spark, sf, "embeddings")
     nrm = _norm(F.col("embedding"))
+    nrm_nz = F.nullif(nrm, F.lit(0.0))  # zero vector: NULL codes, not a crash
     q8 = F.array_join(
         F.transform(
             "embedding",
-            lambda x: F.floor(x.cast("double") / nrm * 127.0 + F.lit(0.5)).cast(
+            lambda x: F.floor(x.cast("double") / nrm_nz * 127.0 + F.lit(0.5)).cast(
                 "long"
             ),
         ),
@@ -2322,7 +2328,10 @@ def sim_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         "label",
         pround(nrm / 127.0, 6).alias("scale"),
-        q8.alias("q8"),
+        # zero vector: whole code string NULL, matching the oracle's
+        # array_to_string over an all-NULL list (Spark's array_join would
+        # render '' instead - engines disagree on that rendering)
+        F.when(nrm != 0.0, q8).alias("q8"),
     )
 
 
@@ -2901,9 +2910,7 @@ def sim_maxsim_multivector(spark: SparkSession, sf: str) -> DataFrame:
     d = e.filter(F.col("label") != 0).select(
         "label", F.col("embedding").alias("dv")
     )
-    cos = _dot(F.col("dv"), F.col("qv")) / (
-        _norm(F.col("dv")) * _norm(F.col("qv"))
-    )
+    cos = _cos_or_null(F.col("dv"), F.col("qv"))
     pm = (
         _spread(d, "label")
         .crossJoin(F.broadcast(q))
@@ -3099,10 +3106,7 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
             "vec_id",
             "label",
             F.col("embedding").cast("array<double>").alias("v"),
-            (
-                _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qv")))
-            ).alias("rel"),
+            _cos_or_null(F.col("embedding"), F.col("qv")).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(20)
@@ -3113,21 +3117,45 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
 
     def cos(a, b):
         # left-fold sums + math.sqrt == the engines' fold + IEEE sqrt
-        # (x ** 0.5 would be pow(), which may differ from sqrt by an ulp)
+        # (x ** 0.5 would be pow(), which may differ from sqrt by an ulp).
+        # Zero-norm vectors yield None == SQL NULL (the _cos_or_null
+        # contract): NULL cosines vanish from SQL max() and NULL scores
+        # sort after every real score under DESC NULLS LAST.
+        na2 = sum(x * x for x in a)
+        nb2 = sum(x * x for x in b)
+        if na2 == 0.0 or nb2 == 0.0:
+            return None
         num = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return num / (na * nb)
+        return num / (math.sqrt(na2) * math.sqrt(nb2))
 
     lam, k = 0.7, 5
-    pool = [(r["vec_id"], r["label"], list(r["v"]), float(r["rel"])) for r in rows]
+    pool = [
+        (r["vec_id"], r["label"], list(r["v"]),
+         None if r["rel"] is None else float(r["rel"]))
+        for r in rows
+    ]
     selected = []
     while pool and len(selected) < k:
         best = None
         for vid, lab, v, rel in pool:
-            red = max((cos(v, sv) for _, _, sv, _, _ in selected), default=0.0)
-            score = lam * rel - (1.0 - lam) * red
-            key = (-score, vid)
+            reds = [
+                c
+                for _, _, sv, _, _ in selected
+                if (c := cos(v, sv)) is not None
+            ]
+            if reds:
+                red = max(reds)  # SQL max() skips NULLs
+            elif selected:
+                red = None  # all-NULL max is NULL in SQL
+            else:
+                red = 0.0
+            score = (
+                None
+                if rel is None or red is None
+                else lam * rel - (1.0 - lam) * red
+            )
+            # NULL scores order after every real score (DESC NULLS LAST)
+            key = (1, vid) if score is None else (0, -score, vid)
             if best is None or key < best[0]:
                 best = (key, (vid, lab, v, rel), score)
         selected.append(best[1] + (best[2],))
@@ -3139,8 +3167,10 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
             i + 1,
             vid,
             lab,
-            math.floor(rel * 1000000.0 + 0.5) / 1000000.0,
-            math.floor(score * 1000000.0 + 0.5) / 1000000.0,
+            None if rel is None else math.floor(rel * 1000000.0 + 0.5) / 1000000.0,
+            None
+            if score is None
+            else math.floor(score * 1000000.0 + 0.5) / 1000000.0,
         )
         for i, (vid, lab, _v, rel, score) in enumerate(selected)
     ]

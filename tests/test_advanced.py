@@ -1518,3 +1518,83 @@ class TestDegenerateEventsParity:
         spark_pdf = registry.QUERIES[name](spark, tiny_sf_dir).toPandas()
         oracle_pdf = tiny_ddb.execute(registry.ORACLES[name]).fetchdf()
         assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+def _embeddings_only_oracled_ids():
+    """Every oracled query whose oracle reads ONLY the embeddings table."""
+    import re
+
+    others = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "events",
+    )
+    out = []
+    for name, sql in registry.ORACLES.items():
+        low = sql.lower()
+        if re.search(r"\bembeddings\b", low) and not any(
+            re.search(rf"\b{t}\b", low) for t in others
+        ):
+            out.append(name)
+    return sorted(out)
+
+
+class TestDegenerateEmbeddingsParity:
+    """Embeddings twin of the degenerate sweeps: a ZERO-NORM vector (one
+    corrupt row must degrade one cosine to NULL, never kill the job -
+    eight ANN operators crashed on ANSI DIVIDE_BY_ZERO before round 7's
+    _cos_or_null guards), byte-identical duplicate vectors, and a pool
+    barely above the IVF/PQ codebook size.  Full Spark-vs-DuckDB parity
+    over every embeddings-only oracled query (auto-discovered)."""
+
+    @pytest.fixture(scope="class")
+    def tiny_sf_dir(self, tmp_path_factory):
+        import random
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = random.Random(3)
+        rows = []
+        for vid in range(18):
+            if vid == 5:
+                v = [0.0] * 64  # zero-norm vector
+            else:
+                v = [rng.uniform(-0.5, 0.5) for _ in range(64)]
+            rows.append([vid, v, vid % 3])
+        rows[4][1] = list(rows[3][1])  # exact duplicate pair
+        d = tmp_path_factory.mktemp("tinyemb")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([r[2] for r in rows], pa.int32()),
+                }
+            ),
+            d / "embeddings.parquet",
+        )
+        return str(d)
+
+    @pytest.fixture(scope="class")
+    def tiny_ddb(self, tiny_sf_dir):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tiny_sf_dir}/embeddings.parquet')"
+        )
+        yield con
+        con.close()
+
+    @pytest.mark.parametrize("name", _embeddings_only_oracled_ids())
+    def test_degenerate_embeddings_match_oracle(
+        self, spark, tiny_sf_dir, tiny_ddb, name
+    ):
+        from tests.conftest import assert_frames_match
+
+        spark_pdf = registry.QUERIES[name](spark, tiny_sf_dir).toPandas()
+        oracle_pdf = tiny_ddb.execute(registry.ORACLES[name]).fetchdf()
+        assert_frames_match(spark_pdf, oracle_pdf, name)
