@@ -1174,8 +1174,17 @@ def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     per_flag_probe = probe.groupBy("l_returnflag").agg(
         F.count("*").alias("n_probe")
     )
-    return per_flag_probe.join(F.broadcast(per_flag_pass), "l_returnflag").select(
-        "l_returnflag", "n_probe", "n_bloom_pass", "n_true_match"
+    # LEFT join: a flag whose probes all fail the bloom filter must still
+    # report (n_bloom_pass=0, n_true_match=0) like the oracle's scalar
+    # subqueries - an inner join silently dropped it (degenerate-TPCH
+    # sweep, round 7)
+    return per_flag_probe.join(
+        F.broadcast(per_flag_pass), "l_returnflag", "left"
+    ).select(
+        "l_returnflag",
+        "n_probe",
+        F.coalesce("n_bloom_pass", F.lit(0)).cast("long").alias("n_bloom_pass"),
+        F.coalesce("n_true_match", F.lit(0)).cast("long").alias("n_true_match"),
     )
 
 
