@@ -15,6 +15,11 @@ the base tables pre-cached (catalog.py - restores the multi-core scan
 parallelism the single-row-group fixture files deny), `uncached_queries`
 re-times every query against plain cold parquet scans (warm JVM, no cache) -
 the honest single-split-scan numbers.
+
+A third WARM sweep runs at a 10x-smaller scale factor (round-8 ask) and the
+line also carries `lo_queries`, per-query `growth_exponent` (overhead-
+adjusted log-log slope between the two scales - the empirical scale-up
+evidence) and a `superlinear` flag list.  SPARK_GRAFT_SF_SWEEP=0 disables.
 """
 
 from __future__ import annotations
@@ -172,7 +177,7 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: warmup query failed: {exc}", file=sys.stderr)
 
-    def sweep() -> dict:
+    def sweep(at_dir: str = sf_dir) -> dict:
         out: dict = {}
         for name in HEADLINE:
             fn = registry.QUERIES.get(name)
@@ -182,7 +187,7 @@ def main() -> None:
                 "spark.sql.adaptive.enabled",
                 "true" if name in AQE_ON else "false",
             )
-            out[name] = safe_time_query(fn, spark, sf_dir)
+            out[name] = safe_time_query(fn, spark, at_dir)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         return out
 
@@ -213,6 +218,68 @@ def main() -> None:
     catalog._CACHE.clear()
     uncached = sweep()
     calib_end = time_calibration(spark)
+
+    # multi-scale growth sweep (VERDICT r7 item 1): re-time every headline
+    # shape WARM at a 10x-smaller scale factor and report the per-query
+    # empirical growth exponent g = log(t_hi/t_lo)/log(sf_hi/sf_lo), both
+    # times first stripped of the host's fixed per-query floor (the
+    # calibration probe cost - Spark's plan+schedule overhead is constant,
+    # not data-dependent, and would otherwise drag every exponent toward 0).
+    # g ~ 1 = linear in input, the only plan shape that survives a 100x
+    # scale-up; anything meaningfully above 1 on a non-trivial absolute
+    # time is flagged as superlinear.  SPARK_GRAFT_SF_SWEEP=0 disables;
+    # SPARK_GRAFT_SF_LO_DIR overrides the low-scale fixture dir.
+    import math
+
+    sweep_lo: dict = {}
+    growth: dict = {}
+    superlinear: list = []
+    sf_lo = ""
+    if os.environ.get("SPARK_GRAFT_SF_SWEEP", "1") != "0":
+        lo_dir = os.environ.get("SPARK_GRAFT_SF_LO_DIR")
+        if not lo_dir:
+            base = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
+            name = os.path.basename(sf_dir.rstrip("/"))
+            lo_dir = os.path.join(
+                base, "sf0.001" if name == "sf0.01" else "sf0.01"
+            )
+        try:
+            sf_hi_v = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+            sf_lo_v = float(lo_dir.rstrip("/").rsplit("sf", 1)[-1])
+        except ValueError:
+            sf_hi_v = sf_lo_v = 0.0
+        if (
+            os.path.isdir(lo_dir)
+            and os.path.abspath(lo_dir) != os.path.abspath(sf_dir)
+            and sf_hi_v > sf_lo_v > 0.0
+        ):
+            sf_lo = lo_dir.rstrip("/").rsplit("sf", 1)[-1]
+            os.environ["SPARK_GRAFT_CACHE"] = "1"
+            os.environ.pop("SPARK_GRAFT_COLD_FANOUT", None)
+            for t in catalog.TABLES:
+                try:
+                    catalog.load(spark, lo_dir, t).count()
+                except Exception as exc:  # noqa: BLE001
+                    print(f"bench: lo-sf warmup failed for {t}: {exc}",
+                          file=sys.stderr)
+            sweep_lo = sweep(lo_dir)
+            floor = max(calib_start, calib_end)
+            ratio = math.log(sf_hi_v / sf_lo_v)
+            for n, t_hi in times.items():
+                t_lo = sweep_lo.get(n)
+                if not (isinstance(t_hi, float) and isinstance(t_lo, float)):
+                    continue
+                adj_hi = max(t_hi - floor, 0.005)
+                adj_lo = max(t_lo - floor, 0.005)
+                g = round(math.log(adj_hi / adj_lo) / ratio, 3)
+                growth[n] = g
+                # superlinear gate: exponent above linear-with-margin AND a
+                # non-floor absolute time at the high scale (sub-0.5 s shapes
+                # are inside host jitter; their exponents are reported but
+                # never flagged)
+                if g > 1.1 and t_hi > 0.5:
+                    superlinear.append(n)
+            superlinear.sort()
 
     def total_ok(sweep_out: dict) -> float:
         return round(sum(v for v in sweep_out.values() if isinstance(v, float)), 4)
@@ -287,6 +354,13 @@ def main() -> None:
         "regressions": regressions,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if sweep_lo:
+        payload["sf_lo"] = (
+            float(sf_lo) if sf_lo.replace(".", "").isdigit() else sf_lo
+        )
+        payload["lo_queries"] = sweep_lo
+        payload["growth_exponent"] = growth
+        payload["superlinear"] = superlinear
     if noisy_host:
         payload["flags_suppressed_by_noise"] = suppressed
     if errors:

@@ -797,6 +797,10 @@ def events_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_active"),
         )
     )
+    # the ~150-row daily frame feeds BOTH join sides; localCheckpoint it so
+    # the broadcast branch does not recompute the distinct+lag+agg subtree
+    # (VERDICT r7 item 2 - warm creep was exactly that recompute)
+    s = s.localCheckpoint(eager=False)
     p = s.select((F.col("day_id") + 1).alias("day_id"), F.col("n_active").alias("pa"))
     return (
         s.join(F.broadcast(p), "day_id", "left")
@@ -3232,7 +3236,10 @@ _NEYMAN_BUDGET = 100  # total sample size to allocate
       FROM documents GROUP BY lang),
     w AS (
       SELECT lang, n_h,
-             CAST(floor(n_h * sqrt((s2 - s1 * 1.0 * s1 / n_h) / (n_h - 1))
+             -- single-doc stratum: sample variance undefined (0/0) ->
+             -- weight 0, no variance evidence (multibyte sweep, round 8)
+             CAST(floor(n_h * coalesce(sqrt((s2 - s1 * 1.0 * s1 / n_h)
+                                            / nullif(n_h - 1, 0)), 0.0)
                         + 0.5) AS BIGINT) AS weight
       FROM s),
     t AS (SELECT CAST(sum(weight) AS BIGINT) AS wt FROM w),
@@ -3274,11 +3281,16 @@ def pipeline_sample_neyman(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_chars").alias("s1"),
         F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
     )
+    # single-doc stratum: sample variance undefined (0/0) -> weight 0,
+    # matching the oracle's nullif+coalesce (multibyte sweep, round 8)
     weight = F.floor(
         F.col("n_h")
-        * F.sqrt(
-            (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n_h"))
-            / (F.col("n_h") - 1)
+        * F.coalesce(
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n_h"))
+                / F.nullif(F.col("n_h") - 1, F.lit(0))
+            ),
+            F.lit(0.0),
         )
         + 0.5
     ).cast("long")

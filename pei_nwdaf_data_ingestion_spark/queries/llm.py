@@ -1800,7 +1800,9 @@ def pipeline_seq_pack(spark: SparkSession, sf: str) -> DataFrame:
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
              AS n_bpe_tokens,
-           CAST(strlen(text) AS BIGINT) AS n_chars_actual
+           -- length() = CHARACTERS (the column is a char count; strlen =
+           -- bytes only coincided on the ASCII fixtures - multibyte sweep)
+           CAST(length(text) AS BIGINT) AS n_chars_actual
     FROM documents
     """,
 )
@@ -2667,6 +2669,7 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.asc("_adc"), F.asc("vec_id"))
         .limit(topk)
         .join(vecs.select("vec_id", "label"), "vec_id")
+        .orderBy(F.asc("_adc"), F.asc("vec_id"))
         .select(
             "vec_id",
             "label",
@@ -2674,7 +2677,6 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
                 "adc_dist"
             ),
         )
-        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     )
 
 
@@ -3255,21 +3257,28 @@ def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
         "rep",
         "n_copies",
         F.transform("tokens", lambda tk: F.xxhash64(tk)).alias("th"),
+        F.pmod("rep", F.lit(_MH_SALTS)).cast("int").alias("salt"),
         *minhash_band_cols(),
     ).localCheckpoint(eager=False)
-    x = _spread(banded, "rep").alias("x")
     broadcast_build = (
         os.path.getsize(os.path.join(sf, "documents.parquet")) < _MH_BROADCAST_BYTES
     )
+    x = _spread(banded, "rep")
+    if not broadcast_build:
+        x = x.withColumn(
+            "sj", F.explode(F.sequence(F.lit(0), F.lit(_MH_SALTS - 1)))
+        )
+    x = x.alias("x")
     y = F.broadcast(banded.alias("y")) if broadcast_build else banded.alias("y")
     jac = F.size(F.array_intersect("x.th", "y.th")).cast("double") / F.size(
         F.array_union("x.th", "y.th")
     )
     parts = []
     for bnd in range(4):
-        cond = (F.col(f"x.band{bnd}") == F.col(f"y.band{bnd}")) & (
-            F.col("x.rep") < F.col("y.rep")
-        )
+        cond = F.col(f"x.band{bnd}") == F.col(f"y.band{bnd}")
+        if not broadcast_build:
+            cond = cond & (F.col("x.sj") == F.col("y.salt"))
+        cond = cond & (F.col("x.rep") < F.col("y.rep"))
         for prev in range(bnd):
             cond = cond & (F.col(f"x.band{prev}") != F.col(f"y.band{prev}"))
         cond = cond & (jac >= 0.8)
@@ -3328,10 +3337,13 @@ def _lsh_recall_oracle() -> str:
                 (SELECT count(*) FROM exact e
                  JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
                 AS BIGINT) AS n_edges_lost,
+           -- empty exact reference: recall undefined -> NULL, never 0/0
+           -- (multibyte sweep, round 8)
            CAST(((SELECT count(*) FROM exact e
                   JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
                  * 1000000)
-                // (SELECT count(*) FROM exact) AS BIGINT) AS recall_micro
+                // nullif((SELECT count(*) FROM exact), 0)
+                AS BIGINT) AS recall_micro
     """
 
 
@@ -3370,8 +3382,11 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
             # r6 item 2): edges absent from the graph can only ever SPLIT
             # components, never merge them, and this row bounds how many
             (F.col("n_exact_blocked") - F.col("n_common")).alias("n_edges_lost"),
+            # empty exact reference: recall undefined -> NULL, never 0/0
+            # (multibyte sweep, round 8)
             F.expr(
-                "CAST((n_common * 1000000) div n_exact_blocked AS BIGINT)"
+                "CAST((n_common * 1000000) div nullif(n_exact_blocked, 0)"
+                " AS BIGINT)"
             ).alias("recall_micro"),
         )
     )

@@ -66,21 +66,27 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT doc_id AS asset_id, f.frame_idx,
            md5(substr(text, (f.frame_idx - 1) * 100 + 1, 100)) AS frame_md5,
-           CAST(strlen(substr(text, (f.frame_idx - 1) * 100 + 1, 100)) AS BIGINT)
+           -- length() = CHARACTERS on both sides: frames are slices of the
+           -- DECODED text (code points), not raw bytes - strlen only
+           -- coincided on the ASCII fixtures (multibyte sweep, round 8)
+           CAST(length(substr(text, (f.frame_idx - 1) * 100 + 1, 100)) AS BIGINT)
              AS frame_len
     FROM documents
     JOIN LATERAL (
-      SELECT unnest(range(1, least(3, strlen(text) // 100 + 1) + 1)) AS frame_idx
+      SELECT unnest(range(1, least(3, length(text) // 100 + 1) + 1)) AS frame_idx
     ) f ON true
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Frame sampling over binary media (north-star: decode / resize /
-    frame-sample): each asset expands into up to 3 fixed-stride 100-byte
-    frames - the UDTF-shaped 1->N row expansion a video keyframe sampler
-    produces, with md5 standing in for the per-frame decode.  All plumbing
-    (binary slicing, lateral expansion, per-frame hashing) runs JVM-side;
-    a real decoder would swap into the frame expression only."""
+    frame-sample): each asset expands into up to 3 fixed-stride 100-CHAR
+    frames of the decoded content - the UDTF-shaped 1->N row expansion a
+    video keyframe sampler produces, with md5 standing in for the
+    per-frame decode.  (A real decoder slices BYTES; the fixture blobs
+    are utf-8 text and DuckDB cannot slice blobs, so the oracle-portable
+    dual slices code points - identical on any byte-oriented format once
+    a real decoder replaces the frame expression.)  All plumbing (slice,
+    lateral expansion, per-frame hashing) runs JVM-side."""
     assets = synthesize_assets(load(spark, sf, "documents"))
     text = F.decode("content", "utf-8")  # synthesized assets are utf-8 bytes
     k = F.least(F.lit(3), (F.length(text) / 100).cast("int") + 1)

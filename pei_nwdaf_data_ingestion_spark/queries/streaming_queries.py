@@ -65,6 +65,8 @@ def _write_time_batches(df: DataFrame, dest: str, order_col, cuts) -> None:
     boundaries fall - the ordering-invariance property tests (VERDICT r6
     item 5) drive the same stateful query with several cut sets and assert
     the drained result does not depend on them."""
+    assert list(cuts) == sorted(cuts), f"cuts must be ascending: {cuts!r}"
+    assert all(0.0 < c < 1.0 for c in cuts), f"cuts must be in (0,1): {cuts!r}"
     col = F.col(order_col) if isinstance(order_col, str) else order_col
     qnames = [f"q{i}" for i in range(len(cuts))]
     qs = df.agg(

@@ -169,17 +169,31 @@ ADDED_IN_ROUND: dict[str, int] = {
 # the driver's ~50-query sampling window regardless of staleness, but ONLY
 # until a CORRECTNESS file of that round exists (after that the derived
 # staleness ordering takes over; a permanent pin would waste window slots
-# every later round).  Round 7: the LSH-fed clustering swap (VERDICT r6
-# item 2) changed these three queries' RESULTS (corpus-global LSH edges
-# instead of blocked all-pairs; the audit gained n_edges_lost), so their
-# committed driver hashes are stale and they must be re-verified ahead of
-# the staleness order.  Budget check: 3 pins + the 46-id round-6 sampling
-# backlog = 49 <= the driver's ~50-slot window, so the pins cannot push
-# any backlog id out of CORRECTNESS_r07 (VERDICT r6 item 1).
-_CHANGED_ROUND = 7
+# every later round).  Round 8 (VERDICT r7 item 4): the 8 ANN-family ids
+# gained their DuckDB oracles in round 7 AFTER their last driver sample,
+# so their newest driver signal predates the oracle they now carry - pin
+# them so CORRECTNESS_r08 records a post-oracle driver hash for each
+# (the judge hash-verified all 8 manually in r7; this makes the driver
+# artifact agree).  dedup_two_stage and sim_pq_topk additionally changed
+# code this round (salted non-broadcast regime; raw-_adc final sort).
+# Budget check: 13 pins << the driver's ~50-slot window.
+_CHANGED_ROUND = 8
 _CHANGED_THIS_ROUND = [
-    "dedup_cluster_components",
-    "dedup_canonical_select",
+    "sim_knn_join",
+    "sim_ivf_topk",
+    "sim_ivf_quantized_topk",
+    "sim_pq_encode",
+    "sim_pq_topk",
+    "sim_mmr_rerank",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_two_stage",
+    # multibyte-sweep repairs (round 8): char-vs-byte oracle fixes and
+    # degenerate-denominator guards - fixture results unchanged, but the
+    # post-fix spellings deserve fresh driver hashes
+    "text_token_count_bpe",
+    "multimodal_frame_sample",
+    "pipeline_sample_neyman",
     "dedup_lsh_recall_audit",
 ]
 

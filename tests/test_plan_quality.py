@@ -675,3 +675,36 @@ class TestMinhashPairRegimes:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         assert got == base and len(base) > 0
+
+    def test_two_stage_salted_regime_equality(self, spark, monkeypatch):
+        """dedup_two_stage (round 8): beyond the gate its probe side fans
+        out over _MH_SALTS exactly like _minhash_pairs_plan - the salted
+        shuffle must stay an equi join and return the broadcast regime's
+        exact pair ledger (copies and jaccard included)."""
+        import contextlib
+        import io
+
+        from pei_nwdaf_data_ingestion_spark.queries import llm
+
+        def rows(df):
+            return {
+                (r["doc_a"], r["doc_b"], r["copies_a"], r["copies_b"], r["jaccard"])
+                for r in df.collect()
+            }
+
+        base = rows(llm.dedup_two_stage(spark, SF_DIR))
+        monkeypatch.setattr(llm, "_MH_BROADCAST_BYTES", 0)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = llm.dedup_two_stage(spark, SF_DIR)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+            got = rows(df)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert got == base and len(base) > 0
