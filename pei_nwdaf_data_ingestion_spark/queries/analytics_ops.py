@@ -2164,13 +2164,20 @@ def pipeline_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+
+    def as_long(v):
+        # sum/max over an EMPTY scan observe as None - keep the NULL (the
+        # oracle's sum/max are NULL there too); int(None) crashed the
+        # empty-input sweep (round 8)
+        return None if v is None else int(v)
+
     return spark.createDataFrame(
         [
             (
-                int(m["n_rows"]),
-                int(m["cents_sum"]),
-                int(m["n_negative"]),
-                int(m["cents_max"]),
+                as_long(m["n_rows"]),
+                as_long(m["cents_sum"]),
+                as_long(m["n_negative"]),
+                as_long(m["cents_max"]),
             )
         ],
         "n_rows long, cents_sum long, n_negative long, cents_max long",

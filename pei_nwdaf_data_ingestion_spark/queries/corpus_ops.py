@@ -1686,16 +1686,22 @@ def scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
     predicate over the unpartitioned parquet, proving layout changes
     results not at all.  Money rides as integer cents."""
     ev = load(spark, sf, "events")
+    with_day = ev.withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
     d = _dump_dir(
         spark, sf, "events_by_day",
-        lambda p: ev.withColumn(
-            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
-        )
-        .write.mode("overwrite")
-        .partitionBy("day")
-        .parquet(p),
+        lambda p: with_day.write.mode("overwrite").partitionBy("day").parquet(p),
     )
-    src = spark.read.parquet(d).filter(F.col("day") == "2024-01-15")
+    # explicit schema: a 0-row input dumps no partition dirs at all, and a
+    # schema-less read of the empty layout cannot bind (empty-input sweep,
+    # round 8); on populated layouts the declared schema changes nothing -
+    # PartitionFilters pruning is pinned by test_plan_quality either way
+    src = (
+        spark.read.schema(with_day.schema)
+        .parquet(d)
+        .filter(F.col("day") == "2024-01-15")
+    )
     return src.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias(

@@ -882,6 +882,20 @@ def _ivf_index(
     return df
 
 
+def _probe_or_none(e: DataFrame):
+    """The vec_id=0 probe vector as a Python list, or None when the input
+    has no probe row (e.g. an empty table) - the ANN top-k queries degrade
+    to an EMPTY result frame instead of crashing on collect()[0], the
+    guard any 100 TB job wants when an upstream filter leaves the probe
+    side empty (empty-input sweep, round 8)."""
+    r = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("p"))
+        .take(1)
+    )
+    return r[0]["p"] if r else None
+
+
 def _ivf_probe_cells(e: DataFrame, cent_rows, nprobe: int):
     """The probe vector (vec_id 0) + its nprobe nearest cells, computed on
     the driver from the K x dim centroid table (bounded).  The probe is
@@ -996,6 +1010,10 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     iterations as CTEs and replays the identical assignments."""
     k_cells, nprobe, topk = 16, 6, 10
     e = load(spark, sf, "embeddings")
+    if _probe_or_none(e) is None:
+        return spark.createDataFrame(
+            [], "vec_id long, label int, cell int, cosine double"
+        )
     v = F.col("embedding").cast("array<double>")
     vecs = e.filter(F.col("vec_id") != 0).select(
         "vec_id", "label", v.alias("v"), _vq_col(v).alias("vq")
@@ -1071,6 +1089,10 @@ def sim_ivf_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     vectors and cosines are bit-identical cross-engine."""
     k_cells, nprobe, topk = 16, 6, 10
     e = load(spark, sf, "embeddings")
+    if _probe_or_none(e) is None:
+        return spark.createDataFrame(
+            [], "vec_id long, label int, cell int, cosine double"
+        )
     v = F.col("embedding").cast("array<double>")
     vecs = e.filter(F.col("vec_id") != 0).select(
         "vec_id", "label", v.alias("v"), _vq_col(v).alias("vq")
@@ -2063,6 +2085,10 @@ def pipeline_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
                  * 10000.0 + 0.5) / 10000.0 AS dup_rate
     FROM documents
     GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    -- Spark emits NO grouping rows on an empty input where ANSI emits the
+    -- 0-count grand-total row; n_docs > 0 filters nothing on populated
+    -- input (empty-input sweep, round 8)
+    HAVING count(*) > 0
     """,
 )
 def pipeline_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
@@ -2635,6 +2661,11 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     adc_dist rescales to the float metric at the very end."""
     topk = 10
     e = load(spark, sf, "embeddings")
+    p = _probe_or_none(e)
+    if p is None:
+        return spark.createDataFrame(
+            [], "vec_id long, label int, adc_dist double"
+        )
     v = F.col("embedding").cast("array<double>")
     vecs = e.filter(F.col("vec_id") != 0).select(
         "vec_id", "label", _vq_col(v).alias("vq")
@@ -2642,12 +2673,6 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     codes = _pq_codes(spark, sf, vecs.select("vec_id", "vq"))
     rows = _pq_codebook_rows(spark, sf, vecs.select("vec_id", "vq"))
     import math
-
-    p = (
-        e.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").cast("array<double>").alias("p"))
-        .collect()[0]["p"]
-    )
     pq = [int(math.floor(x * float(_IVF_Q) + 0.5)) for x in p]
     # driver-side distance table: ||p_sub - c||^2 per (sub, cell), exact ints
     dtab = [

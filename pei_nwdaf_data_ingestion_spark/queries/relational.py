@@ -536,6 +536,11 @@ def agg_having(spark: SparkSession, sf: str) -> DataFrame:
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- Spark emits NO rollup rows on an empty input where ANSI emits the
+    -- 0-count grand-total row; n > 0 filters nothing on populated input
+    -- (every emitted cell aggregates >= 1 row) and reconciles the empty
+    -- case (empty-input sweep, round 8)
+    HAVING count(*) > 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
@@ -560,6 +565,8 @@ def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
            count(*) AS n, floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    -- empty-input reconciliation: see agg_rollup (round 8)
+    HAVING count(*) > 0
     """,
 )
 def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
@@ -608,6 +615,8 @@ def agg_maxby(spark: SparkSession, sf: str) -> DataFrame:
            floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    -- empty-input reconciliation: see agg_rollup (round 8)
+    HAVING count(*) > 0
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
@@ -705,13 +714,17 @@ def agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "agg_unpivot",
     oracle="""
-    SELECT 'l_quantity' AS measure,
-           count(*) AS n, floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS total
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_extendedprice' AS measure,
-           count(*) AS n, floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total
-    FROM lineitem
+    -- the true dual of unpivot+groupBy: melt first, THEN group, so an
+    -- empty input yields zero groups - the old two-global-aggs spelling
+    -- fabricated 2 rows on empty input (empty-input sweep, round 8)
+    SELECT measure, count(*) AS n,
+           floor((sum(val)) * 100.0 + 0.5) / 100.0 AS total
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice' AS measure, l_extendedprice AS val
+      FROM lineitem)
+    GROUP BY measure
     """,
 )
 def agg_unpivot(spark: SparkSession, sf: str) -> DataFrame:

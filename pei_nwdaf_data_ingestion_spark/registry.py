@@ -176,7 +176,7 @@ ADDED_IN_ROUND: dict[str, int] = {
 # (the judge hash-verified all 8 manually in r7; this makes the driver
 # artifact agree).  dedup_two_stage and sim_pq_topk additionally changed
 # code this round (salted non-broadcast regime; raw-_adc final sort).
-# Budget check: 13 pins << the driver's ~50-slot window.
+# Budget check: 20 pins << the driver's ~50-slot window.
 _CHANGED_ROUND = 8
 _CHANGED_THIS_ROUND = [
     "sim_knn_join",
@@ -195,6 +195,16 @@ _CHANGED_THIS_ROUND = [
     "multimodal_frame_sample",
     "pipeline_sample_neyman",
     "dedup_lsh_recall_audit",
+    # empty-input-sweep repairs (round 8): grouping-set HAVING guards,
+    # unpivot oracle respelled as melt-then-group, None-safe observe
+    # metrics, schema-bound partitioned read, ANN probe guards
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_unpivot",
+    "pipeline_dataset_card",
+    "pipeline_observe_metrics",
+    "scan_partition_pruned",
 ]
 
 
