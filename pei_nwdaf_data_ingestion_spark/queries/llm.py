@@ -86,6 +86,20 @@ _MH_K = 12
 # independent stripes so verification parallelizes even when one signature
 # covers half the corpus
 _MH_SALTS = 32
+
+# Hot-bucket (stop-band) cap for the LSH candidate joins (VERDICT r7 item
+# 3): a band bucket with more than this many members is a boilerplate-
+# signature pathology (sf0.1: 2654 of 5000 docs share one signature ->
+# 3.5M pairs enumerated AND verified from a single bucket; at 100 TB the
+# same happens with license headers / templated pages), and its pair space
+# grows QUADRATICALLY while its dedup information is redundant - members
+# of a real near-dup cluster still co-occur in their other, colder bands.
+# The rule is the stop-word rule: a hot bucket is treated as NOT a match,
+# so a pair survives iff at least one of its matching bands is cold, and
+# it is verified exactly once, in its lowest COLD matching band.  The
+# oracle replays the identical rule, and dedup_lsh_recall_audit MEASURES
+# the recall cost against the blocked exact reference.
+_MH_BUCKET_CAP = 1024
 # below this source size the banded frame broadcasts as the build side
 # (shuffle-free probe, even per-doc spread); beyond it the salted shuffle
 # join takes over - corpus-proportional state must never pin in every
@@ -392,7 +406,7 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def minhash_verified_pairs_ctes(t: float = 0.8) -> str:
+def minhash_verified_pairs_ctes(t: float = 0.8, cap: int | None = None) -> str:
     """Shared DuckDB CTE chain `toks -> hk -> banded -> cand -> vpairs`:
     the MinHash-banded candidate pairs, Jaccard-VERIFIED at threshold `t`
     (vpairs carries doc_a, doc_b, jac).  One text, three consumers - the
@@ -408,10 +422,23 @@ def minhash_verified_pairs_ctes(t: float = 0.8) -> str:
     makes with xxhash64; measured 154 s -> 88 s for the sf0.1 oracle).
     vpairs is MATERIALIZED: the clustering oracles reference it three
     times (edges / m / redge) and DuckDB would otherwise inline - i.e.
-    re-run - the whole candidate+verify pipeline per reference."""
+    re-run - the whole candidate+verify pipeline per reference.
+
+    Hot-bucket stop-band rule (round 8, _MH_BUCKET_CAP): a band bucket
+    with more than `cap` members does not generate candidates - the
+    hot{b} CTEs replay the Spark side's rule exactly, and because cand is
+    a set UNION over bands, "lowest cold matching band" and "any cold
+    matching band" fix the same pair set."""
+    cap = _MH_BUCKET_CAP if cap is None else cap
+    hot_ctes = ",\n    ".join(
+        f"hot{b} AS (SELECT band{b} AS s FROM banded "
+        f"GROUP BY band{b} HAVING count(*) > {cap})"
+        for b in range(4)
+    )
     cand_unions = "\n      UNION\n      ".join(
         f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x "
-        f"JOIN banded y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id"
+        f"JOIN banded y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id "
+        f"WHERE x.band{b} NOT IN (SELECT s FROM hot{b})"
         for b in range(4)
     )
     return f"""toks AS (
@@ -423,6 +450,7 @@ def minhash_verified_pairs_ctes(t: float = 0.8) -> str:
     banded AS (
       SELECT doc_id, {_minhash_band_sql()}
       FROM hk),
+    {hot_ctes},
     cand AS (
       {cand_unions}),
     vpairs AS MATERIALIZED (
@@ -492,12 +520,19 @@ def _minhash_verified_pairs(
 
 
 def _minhash_pairs_plan(
-    spark: SparkSession, sf: str, t: float = 0.8, n_bands: int = 4
+    spark: SparkSession,
+    sf: str,
+    t: float = 0.8,
+    n_bands: int = 4,
+    cap: int | None = None,
 ) -> DataFrame:
     """The un-checkpointed candidate+verify plan (see
     _minhash_verified_pairs for the full design notes); split out so plan
     tests can assert the join regimes - the cached wrapper replaces the
-    subtree with an RDD scan."""
+    subtree with an RDD scan.  `cap` is the hot-bucket stop-band threshold
+    (defaults to _MH_BUCKET_CAP; tests pass a small value to exercise the
+    rule on tiny fixtures)."""
+    cap = _MH_BUCKET_CAP if cap is None else cap
     d = load(spark, sf, "documents")
     toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tokens"))
     broadcast_build = (
@@ -520,6 +555,29 @@ def _minhash_pairs_plan(
         )
         .localCheckpoint(eager=False)
     )
+    # hot-bucket flags (_MH_BUCKET_CAP): per band, the tiny list of
+    # over-cap signatures broadcasts onto the checkpointed frame - the
+    # flag join is map-side (zero shuffle on the big side) and the hot
+    # lists are bounded by |corpus|/cap entries regardless of scale
+    for b in range(n_bands):
+        hot_b = (
+            banded.groupBy(f"band{b}")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > cap)
+            .select(f"band{b}", F.lit(True).alias(f"_hot{b}"))
+        )
+        banded = banded.join(F.broadcast(hot_b), f"band{b}", "left")
+    banded = banded.select(
+        "doc_id",
+        "th",
+        "n_tok",
+        "salt",
+        *[f"band{b}" for b in range(n_bands)],
+        *[
+            F.coalesce(F.col(f"_hot{b}"), F.lit(False)).alias(f"hot{b}")
+            for b in range(n_bands)
+        ],
+    )
     x = _spread(banded, "doc_id")
     if not broadcast_build:
         x = x.withColumn(
@@ -537,12 +595,22 @@ def _minhash_pairs_plan(
     )
     parts = []
     for bnd in range(n_bands):
-        cond = F.col(f"x.band{bnd}") == F.col(f"y.band{bnd}")
+        # a hot band is NOT a match: branch b requires band b cold, and
+        # the lowest-band dedup predicate becomes "prev band differs OR
+        # prev band was hot" so pairs sharing a hot band still verify in
+        # their lowest COLD band (x's flag suffices - matching rows share
+        # the bucket, hence the flag)
+        cond = (F.col(f"x.band{bnd}") == F.col(f"y.band{bnd}")) & (
+            ~F.col(f"x.hot{bnd}")
+        )
         if not broadcast_build:
             cond = cond & (F.col("x.sj") == F.col("y.salt"))
         cond = cond & (F.col("x.doc_id") < F.col("y.doc_id"))
         for prev in range(bnd):
-            cond = cond & (F.col(f"x.band{prev}") != F.col(f"y.band{prev}"))
+            cond = cond & (
+                (F.col(f"x.band{prev}") != F.col(f"y.band{prev}"))
+                | F.col(f"x.hot{prev}")
+            )
         cond = cond & ratio_ok & (jac >= t)
         parts.append(
             x.join(y, cond).select(
@@ -3207,10 +3275,18 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _two_stage_oracle() -> str:
+    # hot-bucket stop-band rule shared with minhash_verified_pairs_ctes
+    # (_MH_BUCKET_CAP, round 8)
+    hot_ctes = ",\n    ".join(
+        f"hot{b} AS (SELECT band{b} AS s FROM banded "
+        f"GROUP BY band{b} HAVING count(*) > {_MH_BUCKET_CAP})"
+        for b in range(4)
+    )
     cand_unions = "\n      UNION\n      ".join(
         f"SELECT x.rep AS doc_a, y.rep AS doc_b, x.n_copies AS na,"
         f" y.n_copies AS nb FROM banded x "
-        f"JOIN banded y ON x.band{b} = y.band{b} AND x.rep < y.rep"
+        f"JOIN banded y ON x.band{b} = y.band{b} AND x.rep < y.rep "
+        f"WHERE x.band{b} NOT IN (SELECT s FROM hot{b})"
         for b in range(4)
     )
     return f"""
@@ -3230,6 +3306,7 @@ def _two_stage_oracle() -> str:
     banded AS (
       SELECT rep, n_copies, {_minhash_band_sql()}
       FROM toks),
+    {hot_ctes},
     cand AS (
       {cand_unions}),
     j AS (
@@ -3285,6 +3362,28 @@ def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
         F.pmod("rep", F.lit(_MH_SALTS)).cast("int").alias("salt"),
         *minhash_band_cols(),
     ).localCheckpoint(eager=False)
+    # hot-bucket stop-band flags, same rule as _minhash_pairs_plan (the
+    # exact-dedup stage does NOT collapse near-dup cliques, so the
+    # boilerplate-signature pathology reaches this join too)
+    for b in range(4):
+        hot_b = (
+            banded.groupBy(f"band{b}")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > _MH_BUCKET_CAP)
+            .select(f"band{b}", F.lit(True).alias(f"_hot{b}"))
+        )
+        banded = banded.join(F.broadcast(hot_b), f"band{b}", "left")
+    banded = banded.select(
+        "rep",
+        "n_copies",
+        "th",
+        "salt",
+        *[f"band{b}" for b in range(4)],
+        *[
+            F.coalesce(F.col(f"_hot{b}"), F.lit(False)).alias(f"hot{b}")
+            for b in range(4)
+        ],
+    )
     broadcast_build = (
         os.path.getsize(os.path.join(sf, "documents.parquet")) < _MH_BROADCAST_BYTES
     )
@@ -3300,12 +3399,17 @@ def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
     )
     parts = []
     for bnd in range(4):
-        cond = F.col(f"x.band{bnd}") == F.col(f"y.band{bnd}")
+        cond = (F.col(f"x.band{bnd}") == F.col(f"y.band{bnd}")) & (
+            ~F.col(f"x.hot{bnd}")
+        )
         if not broadcast_build:
             cond = cond & (F.col("x.sj") == F.col("y.salt"))
         cond = cond & (F.col("x.rep") < F.col("y.rep"))
         for prev in range(bnd):
-            cond = cond & (F.col(f"x.band{prev}") != F.col(f"y.band{prev}"))
+            cond = cond & (
+                (F.col(f"x.band{prev}") != F.col(f"y.band{prev}"))
+                | F.col(f"x.hot{prev}")
+            )
         cond = cond & (jac >= 0.8)
         parts.append(
             x.join(y, cond).select(
@@ -3323,9 +3427,19 @@ def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _lsh_recall_oracle() -> str:
+    # the lsh CTE recomputes dedup_minhash_lsh's pair set, so it carries
+    # the SAME hot-bucket stop-band rule (_MH_BUCKET_CAP, round 8) - the
+    # audit's n_lsh/n_common then measure the cap's recall cost against
+    # the uncapped blocked exact reference
+    hot_ctes = ",\n    ".join(
+        f"hot{b} AS (SELECT band{b} AS s FROM banded "
+        f"GROUP BY band{b} HAVING count(*) > {_MH_BUCKET_CAP})"
+        for b in range(4)
+    )
     cand_unions = "\n      UNION\n      ".join(
         f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x "
-        f"JOIN banded y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id"
+        f"JOIN banded y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id "
+        f"WHERE x.band{b} NOT IN (SELECT s FROM hot{b})"
         for b in range(4)
     )
     return f"""
@@ -3338,6 +3452,7 @@ def _lsh_recall_oracle() -> str:
       SELECT doc_id, {_minhash_band_sql(over="raw")}
       FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS raw
             FROM documents)),
+    {hot_ctes},
     cand AS (
       {cand_unions}),
     lsh AS (

@@ -743,6 +743,59 @@ def stream_attribution_state(
         return spark.table(name)
 
 
+def _apply_inactivity_flush(stream: DataFrame) -> DataFrame:
+    """The inactivity-flush stateful operator on an already-watermarked
+    (user_id, day, ts, value) stream - split from stream_inactivity_flush
+    so the checkpoint-recovery test (tests/test_streaming.py, VERDICT r7
+    item 7) drives the IDENTICAL operator through a kill-and-restart
+    schedule; the declared query wraps it with the fixture batching rig."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def flush(key, pdfs, state):
+        import math
+        import warnings
+
+        warnings.filterwarnings(
+            "ignore",
+            message="The behavior of DataFrame concatenation with empty",
+            category=FutureWarning,
+        )
+        user, day = key
+        if state.hasTimedOut:
+            n, s, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "day": [day],
+                    "n_events": [n],
+                    "value_sum": [math.floor(s * 100.0 + 0.5) / 100.0],
+                }
+            )
+            return
+        n, s, last_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            last_ms = max(
+                last_ms, int(pdf["ts"].astype("int64").max()) // 1_000_000
+            )  # pandas datetime64 int64 is NANOseconds -> milliseconds
+        state.update((n, s, last_ms))
+        # event-time timeout: last event + 30 min (milliseconds)
+        state.setTimeoutTimestamp(last_ms + 30 * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [], "day": [], "n_events": [], "value_sum": []}
+        )
+
+    return stream.groupBy("user_id", "day").applyInPandasWithState(
+        flush,
+        "user_id long, day string, n_events long, value_sum double",
+        "n long, s double, last_ms long",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 @query("stream_inactivity_flush")
 def stream_inactivity_flush(
     spark: SparkSession, sf: str, *, cuts=(0.5,)
@@ -764,8 +817,6 @@ def stream_inactivity_flush(
     At scale: state is one (n, sum, last_ts) per live (user, day) in the
     state store, evicted BY THE TIMEOUT itself - the watermark bounds
     state exactly as it bounds stream-stream join buffers."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     ev = load(spark, sf, "events").select(
         "event_id",
         "user_id",
@@ -783,53 +834,41 @@ def stream_inactivity_flush(
             .parquet(os.path.join(tmp, "half=*"))
             .withWatermark("ts", "10 minutes")
         )
-
-        def flush(key, pdfs, state):
-            import math
-            import warnings
-
-            warnings.filterwarnings(
-                "ignore",
-                message="The behavior of DataFrame concatenation with empty",
-                category=FutureWarning,
-            )
-            user, day = key
-            if state.hasTimedOut:
-                n, s, _last = state.get
-                state.remove()
-                yield pd.DataFrame(
-                    {
-                        "user_id": [user],
-                        "day": [day],
-                        "n_events": [n],
-                        "value_sum": [math.floor(s * 100.0 + 0.5) / 100.0],
-                    }
-                )
-                return
-            n, s, last_ms = state.get if state.exists else (0, 0.0, 0)
-            for pdf in pdfs:
-                n += len(pdf)
-                s += float(pdf["value"].sum())
-                last_ms = max(
-                    last_ms, int(pdf["ts"].astype("int64").max()) // 1_000_000
-                )  # pandas datetime64 int64 is NANOseconds -> milliseconds
-            state.update((n, s, last_ms))
-            # event-time timeout: last event + 30 min (milliseconds)
-            state.setTimeoutTimestamp(last_ms + 30 * 60 * 1000)
-            yield pd.DataFrame(
-                {"user_id": [], "day": [], "n_events": [], "value_sum": []}
-            )
-
-        out = stream.groupBy("user_id", "day").applyInPandasWithState(
-            flush,
-            "user_id long, day string, n_events long, value_sum double",
-            "n long, s double, last_ms long",
-            "append",
-            GroupStateTimeout.EventTimeTimeout,
-        )
+        out = _apply_inactivity_flush(stream)
         name = "stream_inactivity_out"
         _drain(out, name, mode="append")
         return spark.table(name)
+
+
+def _cdc_merge_fn(spark: SparkSession, state_dir: str):
+    """The per-micro-batch CDC merge (last-write-wins argmax into a
+    persistent parquet state table) - split from stream_cdc_upsert so the
+    checkpoint-recovery test drives the IDENTICAL merge through a
+    kill-and-restart schedule.  The merge is IDEMPOTENT (re-merging an
+    already-applied batch is a no-op), which is what upgrades
+    foreachBatch's at-least-once replay to exactly-once results."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        winners = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.isdir(state_dir):
+            current = spark.read.parquet(state_dir)
+            winners = (
+                current.unionByName(winners)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        merged = winners.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    return merge
 
 
 @query("stream_cdc_upsert")
@@ -854,8 +893,6 @@ def stream_cdc_upsert(spark: SparkSession, sf: str, *, cuts=(0.5,)) -> DataFrame
     MERGE INTO with file-level pruning on the key ranges the batch
     touches.  The final table equals ref_upsert_lastwins' batch result
     exactly (asserted in tests/test_streaming.py)."""
-    from pyspark.sql import Window as W
-
     ev = load(spark, sf, "events").select(
         "event_id",
         "user_id",
@@ -874,27 +911,8 @@ def stream_cdc_upsert(spark: SparkSession, sf: str, *, cuts=(0.5,)) -> DataFrame
             .parquet(os.path.join(src, "half=*"))
         )
 
-        w = W.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
-
-        def merge(batch_df: DataFrame, batch_id: int) -> None:
-            winners = (
-                batch_df.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-            )
-            if os.path.isdir(state_dir):
-                current = spark.read.parquet(state_dir)
-                winners = (
-                    current.unionByName(winners)
-                    .withColumn("rn", F.row_number().over(w))
-                    .filter(F.col("rn") == 1)
-                    .drop("rn")
-                )
-            merged = winners.localCheckpoint(eager=True)
-            merged.write.mode("overwrite").parquet(state_dir)
-
         q = (
-            stream.writeStream.foreachBatch(merge)
+            stream.writeStream.foreachBatch(_cdc_merge_fn(spark, state_dir))
             .trigger(availableNow=True)
             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
             .start()

@@ -176,7 +176,7 @@ ADDED_IN_ROUND: dict[str, int] = {
 # (the judge hash-verified all 8 manually in r7; this makes the driver
 # artifact agree).  dedup_two_stage and sim_pq_topk additionally changed
 # code this round (salted non-broadcast regime; raw-_adc final sort).
-# Budget check: 20 pins << the driver's ~50-slot window.
+# Budget check: 22 pins << the driver's ~50-slot window.
 _CHANGED_ROUND = 8
 _CHANGED_THIS_ROUND = [
     "sim_knn_join",
@@ -205,6 +205,11 @@ _CHANGED_THIS_ROUND = [
     "pipeline_dataset_card",
     "pipeline_observe_metrics",
     "scan_partition_pruned",
+    # hot-bucket stop-band cap (round 8): oracle + plan changed across the
+    # minhash family (results unchanged at sf0.01 - no bucket exceeds the
+    # cap there - but the spellings deserve fresh driver hashes)
+    "dedup_cluster_components",
+    "dedup_canonical_select",
 ]
 
 

@@ -1487,6 +1487,107 @@ class TestMultibyteCorpusParity:
         assert int(rep.bytes_reclaimable.sum()) > 0
 
 
+class TestHotBucketCap:
+    """The LSH hot-bucket stop-band rule (_MH_BUCKET_CAP, VERDICT r7 item
+    3): a band bucket larger than the cap generates NO candidates - the
+    boilerplate-signature clique that made one join task enumerate and
+    verify millions of pairs at sf0.1 - while pairs sharing any COLD band
+    still verify exactly once.  A synthetic corpus with a 12-doc
+    byte-identical clique (hot in all four bands at cap=8) plus a 3-doc
+    near-dup group (cold everywhere) pins: the clique's pairs are dropped,
+    the cold group's pairs survive bit-identically, and the DuckDB CTE
+    dual with the SAME cap fixes the SAME pair set."""
+
+    CLIQUE = list(range(100, 112))
+
+    @pytest.fixture(scope="class")
+    def clique_sf_dir(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = []
+        boiler = "the same boilerplate license header text repeated verbatim"
+        for did in self.CLIQUE:
+            rows.append((did, boiler, "en", "srcA"))
+        base = "alpha beta gamma delta epsilon zeta eta theta iota".split()
+        for i, uniq in enumerate(["kappa", "lam", "mu"]):
+            rows.append((200 + i, " ".join(base + [uniq]), "en", "srcA"))
+        rows.append((300, "a completely different document about spark", "en", "srcB"))
+        rows.append((301, "another unrelated text with disjoint tokens", "en", "srcB"))
+        d = tmp_path_factory.mktemp("clique")
+        ids, texts, langs, sources = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    def _pairs(self, spark, sf_dir, cap):
+        from pei_nwdaf_data_ingestion_spark.queries import llm
+
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in llm._minhash_pairs_plan(spark, sf_dir, cap=cap).collect()
+        }
+
+    def test_cap_drops_clique_keeps_cold_pairs(self, spark, clique_sf_dir):
+        clique = set(self.CLIQUE)
+        uncapped = self._pairs(spark, clique_sf_dir, cap=10**9)
+        capped = self._pairs(spark, clique_sf_dir, cap=8)
+        clique_pairs = {(a, b) for (a, b) in uncapped if a in clique and b in clique}
+        assert len(clique_pairs) == 12 * 11 // 2  # the quadratic blowup
+        assert {(200, 201), (200, 202), (201, 202)} <= uncapped
+        # the cap removes exactly the clique's pair space, nothing else
+        assert capped == uncapped - clique_pairs
+        assert {(200, 201), (200, 202), (201, 202)} <= capped
+
+    def test_capped_oracle_fixes_same_pairs(self, spark, clique_sf_dir):
+        import duckdb
+
+        from pei_nwdaf_data_ingestion_spark.queries import llm
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{clique_sf_dir}/documents.parquet')"
+        )
+        for cap in (8, 10**9):
+            got = self._pairs(spark, clique_sf_dir, cap=cap)
+            want = {
+                (a, b)
+                for a, b in con.execute(
+                    f"WITH {llm.minhash_verified_pairs_ctes(cap=cap)} "
+                    "SELECT doc_a, doc_b FROM vpairs"
+                ).fetchall()
+            }
+            assert got == want, f"cap={cap}"
+        con.close()
+
+    def test_recall_audit_measures_cap_cost(self, spark, clique_sf_dir, monkeypatch):
+        """With the cap active the audit's ledger shows the lost clique
+        edges: n_exact_blocked counts them (the exact reference is
+        uncapped), n_lsh/n_common exclude them, n_edges_lost > 0."""
+        from pei_nwdaf_data_ingestion_spark.queries import llm
+
+        llm._MH_PAIRS_CACHE.clear()
+        monkeypatch.setattr(llm, "_MH_BUCKET_CAP", 8)
+        try:
+            row = llm.dedup_lsh_recall_audit(spark, clique_sf_dir).collect()[0]
+        finally:
+            llm._MH_PAIRS_CACHE.clear()
+        assert row["n_edges_lost"] == 12 * 11 // 2
+        assert row["n_common"] == row["n_exact_blocked"] - 12 * 11 // 2
+        assert 0 < row["recall_micro"] < 1_000_000
+
+
 class TestContractionPrePass:
     def test_pre_contract_labels_equal_plain_cc(self, spark):
         """The min-neighbor contraction pre-pass is a physical

@@ -6,6 +6,7 @@ reference's module-level set (receiver.py:45-46,394-410)."""
 from __future__ import annotations
 
 import json
+import os
 import tempfile
 
 import pytest
@@ -746,3 +747,167 @@ def test_stream_inactivity_flush_exactly_once_accounting(spark, cuts):
                 1, emitted_n[k]
             ) + 1e-9 or math.isclose(emitted_s[k], exact_s[k], rel_tol=1e-6)
     assert n_settled > 0, "property vacuous: no settled groups"
+
+
+def _phased_copy(staging: str, live: str, half: str) -> None:
+    """Deliver one pre-built micro-batch (a half=bN dir) into the live
+    source directory, preserving the mtime ladder the file source orders
+    replay by."""
+    import shutil
+
+    src = os.path.join(staging, half)
+    dst = os.path.join(live, half)
+    shutil.copytree(src, dst, copy_function=shutil.copy2)
+
+
+def test_cdc_upsert_recovers_from_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart exactly-once for the CDC merge (VERDICT r7 item 7):
+    run the IDENTICAL _cdc_merge_fn through (a) one uninterrupted stream
+    over both micro-batches, and (b) a stream STOPPED after batch 1 (the
+    second batch had not arrived), then restarted against the SAME
+    checkpoint + state table once batch 2 lands.  The restarted run must
+    not replay batch 1 (source offsets come from the checkpoint) and the
+    final state tables must be identical.  Also asserts merge IDEMPOTENCE
+    - re-applying an already-merged batch is a no-op - which is what makes
+    foreachBatch's crash-window replay (committed sink, uncommitted
+    offset) still yield exactly-once RESULTS."""
+    from pei_nwdaf_data_ingestion_spark.catalog import load
+    from pei_nwdaf_data_ingestion_spark.queries.streaming_queries import (
+        _cdc_merge_fn,
+        _write_time_batches,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    schema = "event_id long, user_id long, event_type string, ts_us long"
+    staging = str(tmp_path / "staging")
+    _write_time_batches(ev, staging, "ts_us", (0.5,))
+
+    def run(src_dir: str, state_dir: str, ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src_dir, "half=*"))
+            .writeStream.foreachBatch(_cdc_merge_fn(spark, state_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def state_rows(state_dir: str) -> set:
+        return {
+            (r["user_id"], r["event_id"], r["event_type"], r["ts_us"])
+            for r in spark.read.parquet(state_dir).collect()
+        }
+
+    # (a) uninterrupted reference: both batches present from the start
+    full_src = str(tmp_path / "full_src")
+    os.makedirs(full_src)
+    _phased_copy(staging, full_src, "half=b0")
+    _phased_copy(staging, full_src, "half=b1")
+    full_state = str(tmp_path / "full_state")
+    run(full_src, full_state, str(tmp_path / "full_ckpt"))
+    reference = state_rows(full_state)
+    assert reference, "reference run produced no state"
+
+    # (b) phased: batch 1 only, stream terminates (= the process dies
+    # between batches), then batch 2 arrives and a NEW stream resumes
+    # from the same checkpoint
+    live = str(tmp_path / "live_src")
+    os.makedirs(live)
+    _phased_copy(staging, live, "half=b0")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    run(live, state, ckpt)
+    after_b1 = state_rows(state)
+    assert after_b1, "batch 1 produced no state"
+
+    # crash-window replay: the merge re-applied to already-merged rows
+    # must change nothing (idempotence = exactly-once results under
+    # foreachBatch's at-least-once contract)
+    b0 = spark.read.schema(schema).parquet(os.path.join(live, "half=b0"))
+    _cdc_merge_fn(spark, state)(b0, 0)
+    assert state_rows(state) == after_b1
+
+    _phased_copy(staging, live, "half=b1")
+    run(live, state, ckpt)  # restart: checkpoint skips batch 1
+    assert state_rows(state) == reference
+
+
+def test_inactivity_flush_recovers_from_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart for applyInPandasWithState (VERDICT r7 item 7): the
+    inactivity-flush operator's keyed state AND watermark live in the
+    checkpoint, so a stream stopped after batch 1 and restarted once
+    batch 2 arrives must emit, across both runs combined, exactly the
+    uninterrupted run's rows (same groups, same counts, same sums) - a
+    durable parquet sink accumulates emissions across the restart."""
+    from pei_nwdaf_data_ingestion_spark.catalog import load
+    from pei_nwdaf_data_ingestion_spark.queries.streaming_queries import (
+        _apply_inactivity_flush,
+        _write_time_batches,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("ts"),
+        "value",
+    )
+    schema = "event_id long, user_id long, day string, ts timestamp, value double"
+    staging = str(tmp_path / "staging")
+    _write_time_batches(ev, staging, F.unix_micros("ts"), (0.5,))
+
+    def run(src_dir: str, sink: str, ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src_dir, "half=*"))
+            .withWatermark("ts", "10 minutes")
+        )
+        q = (
+            _apply_inactivity_flush(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def emitted(sink: str) -> dict:
+        out = {}
+        for r in spark.read.parquet(sink).collect():
+            k = (r["user_id"], r["day"])
+            n, s = out.get(k, (0, 0.0))
+            out[k] = (n + r["n_events"], round(s + r["value_sum"], 2))
+        return out
+
+    # uninterrupted reference
+    full_src = str(tmp_path / "full_src")
+    os.makedirs(full_src)
+    _phased_copy(staging, full_src, "half=b0")
+    _phased_copy(staging, full_src, "half=b1")
+    full_sink = str(tmp_path / "full_sink")
+    run(full_src, full_sink, str(tmp_path / "full_ckpt"))
+    reference = emitted(full_sink)
+    assert reference, "reference run never flushed"
+
+    # phased with restart from the same checkpoint + sink
+    live = str(tmp_path / "live_src")
+    os.makedirs(live)
+    _phased_copy(staging, live, "half=b0")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    run(live, sink, ckpt)
+    _phased_copy(staging, live, "half=b1")
+    run(live, sink, ckpt)
+    assert emitted(sink) == reference
