@@ -279,7 +279,8 @@ def _components_ctes() -> str:
     self-loops dropped) mirrors graph.connected_components' pre-pass and
     preserves components exactly - and it is what makes the oracle RUN at
     scale-shifted fixtures: on the sf0.1 near-clique (2.9M verified
-    edges, one 3871-node component) the naive recursive CTE accumulates
+    edges pre-cap - the r8 stop-band cap shrinks the set to ~149k, and
+    the contraction pays either way) the naive recursive CTE accumulates
     every (node, smaller-reachable-label) pair - ~n^2/2 reach rows joined
     against 5.8M directed edges per iteration, tens of billions of
     intermediate rows - while the contracted residue is 1949 edges."""
@@ -340,14 +341,18 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     scale-unsafe stage the round-6 audit flagged (VERDICT r6 item 4): at
     100 TB a hot block is billions of docs and the pairwise join never
     finishes, while the LSH candidate path costs O(corpus) hashes plus
-    bucket-local verification.  The swap changes the clustering from
-    block-local to corpus-global (cross-block near-dups now merge, as
-    they should) at a measured >= 90% pair recall (dedup_lsh_recall_audit
-    quantifies exactly what the banding loses).  The DuckDB oracle
-    recomputes the IDENTICAL signatures, bands, candidates and verified
-    edges (shared CTE text with dedup_minhash_lsh's oracle), then the
-    same fixpoint as a recursive CTE - so the hash check covers edge
-    generation AND label propagation."""
+    bucket-local verification.  Round 8 adds the hot-bucket stop-band cap
+    (_MH_BUCKET_CAP): boilerplate-signature buckets stop generating their
+    quadratic pair space (sf0.1: 2.9M -> ~149k verified edges) and
+    contribute verified CHAIN edges instead - linear in bucket size and
+    exactly sufficient for THIS consumer, because connectivity, not the
+    pair listing, is what clustering needs (the 2654-doc boilerplate
+    cluster still resolves to one component; dedup_lsh_recall_audit
+    quantifies the pair-listing recall the cap trades away).  The DuckDB
+    oracle recomputes the IDENTICAL signatures, bands, hot buckets,
+    chains and verified edges (shared CTE text with dedup_minhash_lsh's
+    oracle), then the same fixpoint as a recursive CTE - so the hash
+    check covers edge generation AND label propagation."""
     from .llm import _minhash_verified_pairs
 
     pairs = _minhash_verified_pairs(spark, sf).select(
@@ -355,9 +360,10 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     )
     # lowest-band emission already guarantees ordered, deduped, loop-free
     # edges, so CC skips its entry canonicalization shuffle; the verified
-    # graph is near-clique on this corpus (2.9M edges over ~4k docs at
-    # sf0.1), so the min-neighbor contraction pre-pass collapses it before
-    # the star rounds ever see it
+    # graph is still dense around the capped clusters (~149k edges over
+    # ~4k docs at sf0.1 since the stop-band cap; 2.9M uncapped), so the
+    # min-neighbor contraction pre-pass collapses it before the star
+    # rounds ever see it
     labels, _ = connected_components(
         pairs, assume_canonical=True, pre_contract=True
     )

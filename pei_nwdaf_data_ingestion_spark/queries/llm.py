@@ -425,10 +425,13 @@ def minhash_verified_pairs_ctes(t: float = 0.8, cap: int | None = None) -> str:
     re-run - the whole candidate+verify pipeline per reference.
 
     Hot-bucket stop-band rule (round 8, _MH_BUCKET_CAP): a band bucket
-    with more than `cap` members does not generate candidates - the
-    hot{b} CTEs replay the Spark side's rule exactly, and because cand is
-    a set UNION over bands, "lowest cold matching band" and "any cold
-    matching band" fix the same pair set."""
+    with more than `cap` members does not generate pairwise candidates -
+    the hot{b} CTEs replay the Spark side's rule exactly, and because
+    cand is a set UNION over bands, "lowest cold matching band" and "any
+    cold matching band" fix the same pair set.  Hot buckets instead
+    contribute CHAIN candidates (consecutive members by doc_id), which
+    keep boilerplate clusters connected at linear cost; the set UNION
+    absorbs chain pairs that also cold-match."""
     cap = _MH_BUCKET_CAP if cap is None else cap
     hot_ctes = ",\n    ".join(
         f"hot{b} AS (SELECT band{b} AS s FROM banded "
@@ -441,6 +444,15 @@ def minhash_verified_pairs_ctes(t: float = 0.8, cap: int | None = None) -> str:
         f"WHERE x.band{b} NOT IN (SELECT s FROM hot{b})"
         for b in range(4)
     )
+    chain_unions = "\n      UNION\n      ".join(
+        f"SELECT doc_a, doc_b FROM ("
+        f"SELECT doc_id AS doc_a, lead(doc_id) OVER "
+        f"(PARTITION BY band{b} ORDER BY doc_id) AS doc_b "
+        f"FROM banded WHERE band{b} IN (SELECT s FROM hot{b})) "
+        f"WHERE doc_b IS NOT NULL"
+        for b in range(4)
+    )
+    cand_unions = cand_unions + "\n      UNION\n      " + chain_unions
     return f"""toks AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
       FROM documents),
@@ -619,10 +631,59 @@ def _minhash_pairs_plan(
                 jac.alias("jac"),
             )
         )
+    # CHAIN edges through hot buckets: a capped bucket still contributes
+    # its consecutive-by-doc_id pairs (verified like any candidate), so a
+    # genuine boilerplate CLUSTER stays CONNECTED for the clustering
+    # consumers at O(bucket) cost instead of the O(bucket^2) pair space -
+    # the pair LISTING of a near-clique is irreducibly quadratic, but its
+    # component structure is not, and chains preserve exactly that.  One
+    # window per band over only the hot rows (bounded by the hot lists).
+    chain_parts = []
+    for bnd in range(n_bands):
+        wc = Window.partitionBy(f"band{bnd}").orderBy("doc_id")
+        nxt = banded.filter(F.col(f"hot{bnd}")).select(
+            "doc_id",
+            "th",
+            "n_tok",
+            *[f"band{b}" for b in range(n_bands)],
+            *[f"hot{b}" for b in range(n_bands)],
+            F.lead("doc_id").over(wc).alias("nxt_id"),
+            F.lead("th").over(wc).alias("nxt_th"),
+            F.lead("n_tok").over(wc).alias("nxt_n"),
+            *[F.lead(f"band{b}").over(wc).alias(f"nxt_band{b}") for b in range(n_bands)],
+        )
+        cjac = F.size(F.array_intersect("th", "nxt_th")).cast(
+            "double"
+        ) / F.size(F.array_union("th", "nxt_th"))
+        keep = F.col("nxt_id").isNotNull()
+        # drop chain pairs that ALSO match in a cold band - those are
+        # already emitted by the cold branches (oracle-side the set UNION
+        # dedups them for free)
+        for c in range(n_bands):
+            keep = keep & (
+                (F.col(f"band{c}") != F.col(f"nxt_band{c}")) | F.col(f"hot{c}")
+            )
+        keep = keep & (
+            (F.col("n_tok") >= t * F.col("nxt_n"))
+            & (F.col("nxt_n") >= t * F.col("n_tok"))
+        )
+        keep = keep & (cjac >= t)
+        chain_parts.append(
+            nxt.filter(keep).select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("nxt_id").alias("doc_b"),
+                cjac.alias("jac"),
+            )
+        )
+    chains = chain_parts[0]
+    for p in chain_parts[1:]:
+        chains = chains.unionAll(p)
+    # a pair can chain in several hot bands: dedup the (small) chain set
+    chains = chains.dropDuplicates(["doc_a", "doc_b"])
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    return out
+    return out.unionAll(chains)
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
@@ -3289,6 +3350,16 @@ def _two_stage_oracle() -> str:
         f"WHERE x.band{b} NOT IN (SELECT s FROM hot{b})"
         for b in range(4)
     )
+    chain_unions = "\n      UNION\n      ".join(
+        f"SELECT doc_a, doc_b, na, nb FROM ("
+        f"SELECT rep AS doc_a, lead(rep) OVER w AS doc_b,"
+        f" n_copies AS na, lead(n_copies) OVER w AS nb "
+        f"FROM banded WHERE band{b} IN (SELECT s FROM hot{b}) "
+        f"WINDOW w AS (PARTITION BY band{b} ORDER BY rep)) "
+        f"WHERE doc_b IS NOT NULL"
+        for b in range(4)
+    )
+    cand_unions = cand_unions + "\n      UNION\n      " + chain_unions
     return f"""
     WITH g AS (
       SELECT md5(text) AS h, min(doc_id) AS rep,
@@ -3420,10 +3491,49 @@ def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
                 pround(jac, 4).alias("jaccard"),
             )
         )
+    # chain candidates through hot buckets (same rule as
+    # _minhash_pairs_plan: linear connectivity instead of the quadratic
+    # pair space, verified like any candidate)
+    chain_parts = []
+    for bnd in range(4):
+        wc = Window.partitionBy(f"band{bnd}").orderBy("rep")
+        nxt = banded.filter(F.col(f"hot{bnd}")).select(
+            "rep",
+            "n_copies",
+            "th",
+            *[f"band{b}" for b in range(4)],
+            *[f"hot{b}" for b in range(4)],
+            F.lead("rep").over(wc).alias("nxt_rep"),
+            F.lead("n_copies").over(wc).alias("nxt_copies"),
+            F.lead("th").over(wc).alias("nxt_th"),
+            *[F.lead(f"band{b}").over(wc).alias(f"nxt_band{b}") for b in range(4)],
+        )
+        cjac = F.size(F.array_intersect("th", "nxt_th")).cast(
+            "double"
+        ) / F.size(F.array_union("th", "nxt_th"))
+        keep = F.col("nxt_rep").isNotNull()
+        for c in range(4):
+            keep = keep & (
+                (F.col(f"band{c}") != F.col(f"nxt_band{c}")) | F.col(f"hot{c}")
+            )
+        keep = keep & (cjac >= 0.8)
+        chain_parts.append(
+            nxt.filter(keep).select(
+                F.col("rep").alias("doc_a"),
+                F.col("nxt_rep").alias("doc_b"),
+                F.col("n_copies").alias("copies_a"),
+                F.col("nxt_copies").alias("copies_b"),
+                pround(cjac, 4).alias("jaccard"),
+            )
+        )
+    chains = chain_parts[0]
+    for p in chain_parts[1:]:
+        chains = chains.unionAll(p)
+    chains = chains.dropDuplicates(["doc_a", "doc_b"])
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    return out
+    return out.unionAll(chains)
 
 
 def _lsh_recall_oracle() -> str:
@@ -3442,6 +3552,15 @@ def _lsh_recall_oracle() -> str:
         f"WHERE x.band{b} NOT IN (SELECT s FROM hot{b})"
         for b in range(4)
     )
+    chain_unions = "\n      UNION\n      ".join(
+        f"SELECT doc_a, doc_b FROM ("
+        f"SELECT doc_id AS doc_a, lead(doc_id) OVER "
+        f"(PARTITION BY band{b} ORDER BY doc_id) AS doc_b "
+        f"FROM banded WHERE band{b} IN (SELECT s FROM hot{b})) "
+        f"WHERE doc_b IS NOT NULL"
+        for b in range(4)
+    )
+    cand_unions = cand_unions + "\n      UNION\n      " + chain_unions
     return f"""
     WITH toks AS (
       SELECT doc_id, lang, source,

@@ -1545,9 +1545,30 @@ class TestHotBucketCap:
         clique_pairs = {(a, b) for (a, b) in uncapped if a in clique and b in clique}
         assert len(clique_pairs) == 12 * 11 // 2  # the quadratic blowup
         assert {(200, 201), (200, 202), (201, 202)} <= uncapped
-        # the cap removes exactly the clique's pair space, nothing else
-        assert capped == uncapped - clique_pairs
+        # the cap replaces the clique's quadratic pair space with its
+        # linear CHAIN (consecutive doc_ids), keeping the cluster
+        # connected; everything else is untouched
+        chain = {(a, a + 1) for a in self.CLIQUE[:-1]}
+        assert capped == (uncapped - clique_pairs) | chain
         assert {(200, 201), (200, 202), (201, 202)} <= capped
+
+    def test_capped_clique_stays_one_component(self, spark, clique_sf_dir, monkeypatch):
+        """The chain edges preserve exactly what clustering needs: with the
+        cap active the 12-doc clique still resolves to ONE component."""
+        from pei_nwdaf_data_ingestion_spark.queries import advanced, llm
+
+        llm._MH_PAIRS_CACHE.clear()
+        monkeypatch.setattr(llm, "_MH_BUCKET_CAP", 8)
+        try:
+            labels = {
+                r["doc_id"]: r["component_id"]
+                for r in advanced.dedup_cluster_components(
+                    spark, clique_sf_dir
+                ).collect()
+            }
+        finally:
+            llm._MH_PAIRS_CACHE.clear()
+        assert {labels[d] for d in self.CLIQUE} == {min(self.CLIQUE)}
 
     def test_capped_oracle_fixes_same_pairs(self, spark, clique_sf_dir):
         import duckdb
@@ -1572,19 +1593,21 @@ class TestHotBucketCap:
         con.close()
 
     def test_recall_audit_measures_cap_cost(self, spark, clique_sf_dir, monkeypatch):
-        """With the cap active the audit's ledger shows the lost clique
-        edges: n_exact_blocked counts them (the exact reference is
-        uncapped), n_lsh/n_common exclude them, n_edges_lost > 0."""
+        """With the cap active the audit's ledger shows exactly the clique
+        pairs the chain does not list (66 pairs - 11 chain links = 55):
+        n_exact_blocked counts them (the exact reference is uncapped),
+        n_lsh/n_common exclude them, n_edges_lost > 0."""
         from pei_nwdaf_data_ingestion_spark.queries import llm
 
+        lost = 12 * 11 // 2 - 11  # quadratic pair space minus the chain
         llm._MH_PAIRS_CACHE.clear()
         monkeypatch.setattr(llm, "_MH_BUCKET_CAP", 8)
         try:
             row = llm.dedup_lsh_recall_audit(spark, clique_sf_dir).collect()[0]
         finally:
             llm._MH_PAIRS_CACHE.clear()
-        assert row["n_edges_lost"] == 12 * 11 // 2
-        assert row["n_common"] == row["n_exact_blocked"] - 12 * 11 // 2
+        assert row["n_edges_lost"] == lost
+        assert row["n_common"] == row["n_exact_blocked"] - lost
         assert 0 < row["recall_micro"] < 1_000_000
 
 
