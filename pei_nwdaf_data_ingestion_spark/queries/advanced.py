@@ -344,13 +344,14 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     bucket-local verification.  Round 8 adds the hot-bucket stop-band cap
     (_MH_BUCKET_CAP): boilerplate-signature buckets stop generating their
     quadratic pair space (sf0.1: 2.9M -> ~149k verified edges) and
-    contribute verified CHAIN edges instead - linear in bucket size and
-    exactly sufficient for THIS consumer, because connectivity, not the
-    pair listing, is what clustering needs (the 2654-doc boilerplate
+    contribute verified STAR edges (bucket-min -> member) instead - linear
+    in bucket size, exactly sufficient for THIS consumer (connectivity,
+    not the pair listing, is what clustering needs), and already a label-
+    propagation fixpoint, so the star rounds converge immediately (the 2654-doc boilerplate
     cluster still resolves to one component; dedup_lsh_recall_audit
     quantifies the pair-listing recall the cap trades away).  The DuckDB
     oracle recomputes the IDENTICAL signatures, bands, hot buckets,
-    chains and verified edges (shared CTE text with dedup_minhash_lsh's
+    stars and verified edges (shared CTE text with dedup_minhash_lsh's
     oracle), then the same fixpoint as a recursive CTE - so the hash
     check covers edge generation AND label propagation."""
     from .llm import _minhash_verified_pairs

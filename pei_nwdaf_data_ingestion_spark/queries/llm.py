@@ -429,9 +429,10 @@ def minhash_verified_pairs_ctes(t: float = 0.8, cap: int | None = None) -> str:
     the hot{b} CTEs replay the Spark side's rule exactly, and because
     cand is a set UNION over bands, "lowest cold matching band" and "any
     cold matching band" fix the same pair set.  Hot buckets instead
-    contribute CHAIN candidates (consecutive members by doc_id), which
-    keep boilerplate clusters connected at linear cost; the set UNION
-    absorbs chain pairs that also cold-match."""
+    contribute STAR candidates (bucket-min -> member), which keep
+    boilerplate clusters connected at linear cost AND arrive at the
+    clustering fixpoint pre-converged; the set UNION absorbs star pairs
+    that also cold-match."""
     cap = _MH_BUCKET_CAP if cap is None else cap
     hot_ctes = ",\n    ".join(
         f"hot{b} AS (SELECT band{b} AS s FROM banded "
@@ -444,15 +445,15 @@ def minhash_verified_pairs_ctes(t: float = 0.8, cap: int | None = None) -> str:
         f"WHERE x.band{b} NOT IN (SELECT s FROM hot{b})"
         for b in range(4)
     )
-    chain_unions = "\n      UNION\n      ".join(
+    star_unions = "\n      UNION\n      ".join(
         f"SELECT doc_a, doc_b FROM ("
-        f"SELECT doc_id AS doc_a, lead(doc_id) OVER "
-        f"(PARTITION BY band{b} ORDER BY doc_id) AS doc_b "
+        f"SELECT min(doc_id) OVER (PARTITION BY band{b}) AS doc_a,"
+        f" doc_id AS doc_b "
         f"FROM banded WHERE band{b} IN (SELECT s FROM hot{b})) "
-        f"WHERE doc_b IS NOT NULL"
+        f"WHERE doc_a <> doc_b"
         for b in range(4)
     )
-    cand_unions = cand_unions + "\n      UNION\n      " + chain_unions
+    cand_unions = cand_unions + "\n      UNION\n      " + star_unions
     return f"""toks AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
       FROM documents),
@@ -567,28 +568,46 @@ def _minhash_pairs_plan(
         )
         .localCheckpoint(eager=False)
     )
-    # hot-bucket flags (_MH_BUCKET_CAP): per band, the tiny list of
-    # over-cap signatures broadcasts onto the checkpointed frame - the
-    # flag join is map-side (zero shuffle on the big side) and the hot
-    # lists are bounded by |corpus|/cap entries regardless of scale
-    for b in range(n_bands):
-        hot_b = (
-            banded.groupBy(f"band{b}")
-            .agg(F.count("*").alias("_c"))
-            .filter(F.col("_c") > cap)
-            .select(f"band{b}", F.lit(True).alias(f"_hot{b}"))
+    # hot-bucket flags (_MH_BUCKET_CAP): ONE exploded aggregation finds
+    # every over-cap (band, signature) bucket - bounded by |corpus|/cap
+    # entries regardless of scale - then a single tiny probe job decides
+    # whether the cap machinery is needed at all.  Clean corpora (no hot
+    # bucket: every fixture at sf<=0.01) keep the literal-false flags,
+    # which Catalyst constant-folds back to the uncapped plan - the rule
+    # costs one small job, zero extra stages, unless the pathology is
+    # actually present.
+    hot = (
+        banded.select(
+            F.posexplode(
+                F.array(*[F.col(f"band{b}") for b in range(n_bands)])
+            ).alias("bidx", "sig")
         )
-        banded = banded.join(F.broadcast(hot_b), f"band{b}", "left")
+        .groupBy("bidx", "sig")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > cap)
+        .select("bidx", "sig")
+        .localCheckpoint(eager=False)
+    )
+    have_hot = bool(hot.limit(1).take(1))
+    if have_hot:
+        for b in range(n_bands):
+            hot_b = hot.filter(F.col("bidx") == b).select(
+                F.col("sig").alias(f"band{b}"), F.lit(True).alias(f"_hot{b}")
+            )
+            banded = banded.join(F.broadcast(hot_b), f"band{b}", "left")
+        flag_cols = [
+            F.coalesce(F.col(f"_hot{b}"), F.lit(False)).alias(f"hot{b}")
+            for b in range(n_bands)
+        ]
+    else:
+        flag_cols = [F.lit(False).alias(f"hot{b}") for b in range(n_bands)]
     banded = banded.select(
         "doc_id",
         "th",
         "n_tok",
         "salt",
         *[f"band{b}" for b in range(n_bands)],
-        *[
-            F.coalesce(F.col(f"_hot{b}"), F.lit(False)).alias(f"hot{b}")
-            for b in range(n_bands)
-        ],
+        *flag_cols,
     )
     x = _spread(banded, "doc_id")
     if not broadcast_build:
@@ -631,59 +650,65 @@ def _minhash_pairs_plan(
                 jac.alias("jac"),
             )
         )
-    # CHAIN edges through hot buckets: a capped bucket still contributes
-    # its consecutive-by-doc_id pairs (verified like any candidate), so a
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    if not have_hot:
+        return out
+    # STAR edges through hot buckets: a capped bucket still contributes
+    # (bucket-min -> member) pairs (verified like any candidate), so a
     # genuine boilerplate CLUSTER stays CONNECTED for the clustering
     # consumers at O(bucket) cost instead of the O(bucket^2) pair space -
     # the pair LISTING of a near-clique is irreducibly quadratic, but its
-    # component structure is not, and chains preserve exactly that.  One
-    # window per band over only the hot rows (bounded by the hot lists).
-    chain_parts = []
+    # component structure is not.  A star (not a chain) on purpose: the
+    # bucket arrives at connected_components already a star, so label
+    # propagation converges immediately, where a 2654-node chain cost
+    # O(log n) extra star rounds (measured +1.4 s at sf0.1).  One
+    # windowed min per band over only the hot rows.
+    star_parts = []
+    rep_struct = F.struct(
+        "doc_id", "th", "n_tok", *[f"band{b}" for b in range(n_bands)]
+    )
     for bnd in range(n_bands):
-        wc = Window.partitionBy(f"band{bnd}").orderBy("doc_id")
-        nxt = banded.filter(F.col(f"hot{bnd}")).select(
+        wr = Window.partitionBy(f"band{bnd}")
+        hm = banded.filter(F.col(f"hot{bnd}")).select(
             "doc_id",
             "th",
             "n_tok",
             *[f"band{b}" for b in range(n_bands)],
             *[f"hot{b}" for b in range(n_bands)],
-            F.lead("doc_id").over(wc).alias("nxt_id"),
-            F.lead("th").over(wc).alias("nxt_th"),
-            F.lead("n_tok").over(wc).alias("nxt_n"),
-            *[F.lead(f"band{b}").over(wc).alias(f"nxt_band{b}") for b in range(n_bands)],
+            F.min(rep_struct).over(wr).alias("rep"),
         )
-        cjac = F.size(F.array_intersect("th", "nxt_th")).cast(
+        cjac = F.size(F.array_intersect("th", F.col("rep.th"))).cast(
             "double"
-        ) / F.size(F.array_union("th", "nxt_th"))
-        keep = F.col("nxt_id").isNotNull()
-        # drop chain pairs that ALSO match in a cold band - those are
+        ) / F.size(F.array_union("th", F.col("rep.th")))
+        keep = F.col("doc_id") != F.col("rep.doc_id")
+        # drop star pairs that ALSO match in a cold band - those are
         # already emitted by the cold branches (oracle-side the set UNION
         # dedups them for free)
         for c in range(n_bands):
             keep = keep & (
-                (F.col(f"band{c}") != F.col(f"nxt_band{c}")) | F.col(f"hot{c}")
+                (F.col(f"band{c}") != F.col(f"rep.band{c}"))
+                | F.col(f"hot{c}")
             )
         keep = keep & (
-            (F.col("n_tok") >= t * F.col("nxt_n"))
-            & (F.col("nxt_n") >= t * F.col("n_tok"))
+            (F.col("n_tok") >= t * F.col("rep.n_tok"))
+            & (F.col("rep.n_tok") >= t * F.col("n_tok"))
         )
         keep = keep & (cjac >= t)
-        chain_parts.append(
-            nxt.filter(keep).select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("nxt_id").alias("doc_b"),
+        star_parts.append(
+            hm.filter(keep).select(
+                F.col("rep.doc_id").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
                 cjac.alias("jac"),
             )
         )
-    chains = chain_parts[0]
-    for p in chain_parts[1:]:
-        chains = chains.unionAll(p)
-    # a pair can chain in several hot bands: dedup the (small) chain set
-    chains = chains.dropDuplicates(["doc_a", "doc_b"])
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.unionAll(chains)
+    stars = star_parts[0]
+    for p in star_parts[1:]:
+        stars = stars.unionAll(p)
+    # a pair can star in several hot bands: dedup the (small) star set
+    stars = stars.dropDuplicates(["doc_a", "doc_b"])
+    return out.unionAll(stars)
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
@@ -3350,16 +3375,18 @@ def _two_stage_oracle() -> str:
         f"WHERE x.band{b} NOT IN (SELECT s FROM hot{b})"
         for b in range(4)
     )
-    chain_unions = "\n      UNION\n      ".join(
+    star_unions = "\n      UNION\n      ".join(
         f"SELECT doc_a, doc_b, na, nb FROM ("
-        f"SELECT rep AS doc_a, lead(rep) OVER w AS doc_b,"
-        f" n_copies AS na, lead(n_copies) OVER w AS nb "
+        f"SELECT (min({{'r': rep, 'nc': n_copies}}) OVER w).r AS doc_a,"
+        f" rep AS doc_b,"
+        f" (min({{'r': rep, 'nc': n_copies}}) OVER w).nc AS na,"
+        f" n_copies AS nb "
         f"FROM banded WHERE band{b} IN (SELECT s FROM hot{b}) "
-        f"WINDOW w AS (PARTITION BY band{b} ORDER BY rep)) "
-        f"WHERE doc_b IS NOT NULL"
+        f"WINDOW w AS (PARTITION BY band{b})) "
+        f"WHERE doc_a <> doc_b"
         for b in range(4)
     )
-    cand_unions = cand_unions + "\n      UNION\n      " + chain_unions
+    cand_unions = cand_unions + "\n      UNION\n      " + star_unions
     return f"""
     WITH g AS (
       SELECT md5(text) AS h, min(doc_id) AS rep,
@@ -3491,49 +3518,49 @@ def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
                 pround(jac, 4).alias("jaccard"),
             )
         )
-    # chain candidates through hot buckets (same rule as
-    # _minhash_pairs_plan: linear connectivity instead of the quadratic
-    # pair space, verified like any candidate)
-    chain_parts = []
+    # star candidates through hot buckets (same rule as
+    # _minhash_pairs_plan: bucket-min -> member, linear connectivity
+    # instead of the quadratic pair space, verified like any candidate)
+    star_parts = []
+    rep_struct = F.struct(
+        "rep", "n_copies", "th", *[f"band{b}" for b in range(4)]
+    )
     for bnd in range(4):
-        wc = Window.partitionBy(f"band{bnd}").orderBy("rep")
-        nxt = banded.filter(F.col(f"hot{bnd}")).select(
+        wr = Window.partitionBy(f"band{bnd}")
+        hm = banded.filter(F.col(f"hot{bnd}")).select(
             "rep",
             "n_copies",
             "th",
             *[f"band{b}" for b in range(4)],
             *[f"hot{b}" for b in range(4)],
-            F.lead("rep").over(wc).alias("nxt_rep"),
-            F.lead("n_copies").over(wc).alias("nxt_copies"),
-            F.lead("th").over(wc).alias("nxt_th"),
-            *[F.lead(f"band{b}").over(wc).alias(f"nxt_band{b}") for b in range(4)],
+            F.min(rep_struct).over(wr).alias("mn"),
         )
-        cjac = F.size(F.array_intersect("th", "nxt_th")).cast(
+        cjac = F.size(F.array_intersect("th", F.col("mn.th"))).cast(
             "double"
-        ) / F.size(F.array_union("th", "nxt_th"))
-        keep = F.col("nxt_rep").isNotNull()
+        ) / F.size(F.array_union("th", F.col("mn.th")))
+        keep = F.col("rep") != F.col("mn.rep")
         for c in range(4):
             keep = keep & (
-                (F.col(f"band{c}") != F.col(f"nxt_band{c}")) | F.col(f"hot{c}")
+                (F.col(f"band{c}") != F.col(f"mn.band{c}")) | F.col(f"hot{c}")
             )
         keep = keep & (cjac >= 0.8)
-        chain_parts.append(
-            nxt.filter(keep).select(
-                F.col("rep").alias("doc_a"),
-                F.col("nxt_rep").alias("doc_b"),
-                F.col("n_copies").alias("copies_a"),
-                F.col("nxt_copies").alias("copies_b"),
+        star_parts.append(
+            hm.filter(keep).select(
+                F.col("mn.rep").alias("doc_a"),
+                F.col("rep").alias("doc_b"),
+                F.col("mn.n_copies").alias("copies_a"),
+                F.col("n_copies").alias("copies_b"),
                 pround(cjac, 4).alias("jaccard"),
             )
         )
-    chains = chain_parts[0]
-    for p in chain_parts[1:]:
-        chains = chains.unionAll(p)
-    chains = chains.dropDuplicates(["doc_a", "doc_b"])
+    stars = star_parts[0]
+    for p in star_parts[1:]:
+        stars = stars.unionAll(p)
+    stars = stars.dropDuplicates(["doc_a", "doc_b"])
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    return out.unionAll(chains)
+    return out.unionAll(stars)
 
 
 def _lsh_recall_oracle() -> str:
@@ -3552,15 +3579,15 @@ def _lsh_recall_oracle() -> str:
         f"WHERE x.band{b} NOT IN (SELECT s FROM hot{b})"
         for b in range(4)
     )
-    chain_unions = "\n      UNION\n      ".join(
+    star_unions = "\n      UNION\n      ".join(
         f"SELECT doc_a, doc_b FROM ("
-        f"SELECT doc_id AS doc_a, lead(doc_id) OVER "
-        f"(PARTITION BY band{b} ORDER BY doc_id) AS doc_b "
+        f"SELECT min(doc_id) OVER (PARTITION BY band{b}) AS doc_a,"
+        f" doc_id AS doc_b "
         f"FROM banded WHERE band{b} IN (SELECT s FROM hot{b})) "
-        f"WHERE doc_b IS NOT NULL"
+        f"WHERE doc_a <> doc_b"
         for b in range(4)
     )
-    cand_unions = cand_unions + "\n      UNION\n      " + chain_unions
+    cand_unions = cand_unions + "\n      UNION\n      " + star_unions
     return f"""
     WITH toks AS (
       SELECT doc_id, lang, source,

@@ -1546,14 +1546,14 @@ class TestHotBucketCap:
         assert len(clique_pairs) == 12 * 11 // 2  # the quadratic blowup
         assert {(200, 201), (200, 202), (201, 202)} <= uncapped
         # the cap replaces the clique's quadratic pair space with its
-        # linear CHAIN (consecutive doc_ids), keeping the cluster
+        # linear STAR (bucket-min -> member), keeping the cluster
         # connected; everything else is untouched
-        chain = {(a, a + 1) for a in self.CLIQUE[:-1]}
-        assert capped == (uncapped - clique_pairs) | chain
+        star = {(min(self.CLIQUE), v) for v in self.CLIQUE[1:]}
+        assert capped == (uncapped - clique_pairs) | star
         assert {(200, 201), (200, 202), (201, 202)} <= capped
 
     def test_capped_clique_stays_one_component(self, spark, clique_sf_dir, monkeypatch):
-        """The chain edges preserve exactly what clustering needs: with the
+        """The star edges preserve exactly what clustering needs: with the
         cap active the 12-doc clique still resolves to ONE component."""
         from pei_nwdaf_data_ingestion_spark.queries import advanced, llm
 
@@ -1594,12 +1594,12 @@ class TestHotBucketCap:
 
     def test_recall_audit_measures_cap_cost(self, spark, clique_sf_dir, monkeypatch):
         """With the cap active the audit's ledger shows exactly the clique
-        pairs the chain does not list (66 pairs - 11 chain links = 55):
+        pairs the star does not list (66 pairs - 11 star edges = 55):
         n_exact_blocked counts them (the exact reference is uncapped),
         n_lsh/n_common exclude them, n_edges_lost > 0."""
         from pei_nwdaf_data_ingestion_spark.queries import llm
 
-        lost = 12 * 11 // 2 - 11  # quadratic pair space minus the chain
+        lost = 12 * 11 // 2 - 11  # quadratic pair space minus the star
         llm._MH_PAIRS_CACHE.clear()
         monkeypatch.setattr(llm, "_MH_BUCKET_CAP", 8)
         try:
