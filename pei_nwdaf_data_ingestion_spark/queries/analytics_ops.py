@@ -645,7 +645,9 @@ _RP_OUT_DIMS = 16
                   AS BIGINT) AS qv
       FROM embeddings
       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
-      CROSS JOIN (SELECT unnest(range(0, {_RP_OUT_DIMS})) AS j) j),
+      CROSS JOIN (SELECT unnest(range(0, {_RP_OUT_DIMS})) AS j) j
+      -- explode SKIPS NULL vectors (nothing to project - NULL sweep, r8)
+      WHERE embedding IS NOT NULL),
     p AS (
       SELECT vec_id, j,
              CAST(sum(CASE WHEN (instr('0123456789abcdef',

@@ -147,7 +147,11 @@ def pipeline_token_budget_split(spark: SparkSession, sf: str) -> DataFrame:
              CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
                AS nd
-      FROM documents),
+      FROM documents
+      -- a NULL text has no difficulty score, and engines disagree on
+      -- where NULL ordering keys land (Spark first, DuckDB last) - an
+      -- un-rankable doc is excluded explicitly (NULL sweep, round 8)
+      WHERE text IS NOT NULL),
     x AS (
       SELECT doc_id, nt,
              CAST(floor((nd * 1.0 / nt) * 1000000.0 + 0.5) AS BIGINT)
@@ -183,7 +187,8 @@ def pipeline_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     toks = F.split("text", " ")
-    x = d.select(
+    # un-rankable NULL-text docs excluded (see the oracle's comment)
+    x = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.size(toks).cast("long").alias("nt"),
         F.size(F.array_distinct(toks)).cast("long").alias("nd"),
@@ -1985,7 +1990,9 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
       SELECT vec_id, label,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                AS nrm
-      FROM embeddings),
+      -- a NULL vector has no norm to audit (missingness is a contract-
+      -- audit concern, not a norm statistic) - NULL sweep, round 8
+      FROM embeddings WHERE embedding IS NOT NULL),
     med AS (SELECT quantile_cont(nrm, 0.5) AS m FROM n),
     mad AS (
       SELECT quantile_cont(abs(n.nrm - med.m), 0.5) AS d, med.m AS m
@@ -2010,7 +2017,11 @@ def sim_embed_norm_audit(spark: SparkSession, sf: str) -> DataFrame:
     agg_mad_robust two-pass, corpus-wide); min/max per label are exact
     double order statistics - no float sums anywhere."""
     e = load(spark, sf, "embeddings")
-    n = e.select("vec_id", "label", F.sqrt(_dot_local(F.col("embedding"), F.col("embedding"))).alias("nrm"))
+    n = e.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        "label",
+        F.sqrt(_dot_local(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
     med = n.agg(F.percentile("nrm", F.lit(0.5)).alias("m"))
     mad = (
         n.crossJoin(F.broadcast(med))
@@ -2318,6 +2329,11 @@ def scan_csv_quarantine(spark: SparkSession, sf: str) -> DataFrame:
            sha256(string_agg(text || chr(10), '' ORDER BY doc_id))
              AS content_sha
     FROM documents
+    -- a NULL text has no payload and a NULL source no directory (Spark
+    -- would file it under the hive default partition; string_agg would
+    -- silently skip the row) - excluded explicitly on both sides
+    -- (NULL-input sweep, round 8)
+    WHERE text IS NOT NULL AND source IS NOT NULL
     GROUP BY source
     """,
 )
@@ -2339,7 +2355,11 @@ def scan_binary_source(spark: SparkSession, sf: str) -> DataFrame:
     reader.  At 100 TB binaryFile scans parallelize per file with
     pushed path filters; the length column comes from the file status,
     so audits that only need sizes never read payload bytes."""
-    dm = load(spark, sf, "documents").select("doc_id", "source", "text")
+    dm = (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("doc_id", "source", "text")
+    )
     d = _dump_dir(
         spark, sf, "binsrc",
         lambda p: dm.repartition("source")

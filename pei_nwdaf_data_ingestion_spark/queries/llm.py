@@ -757,7 +757,7 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     on the unrounded cosine with vec_id tiebreak keeps selection stable."""
     e = load(spark, sf, "embeddings")
     probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
-    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+    joined = e.filter((F.col("vec_id") != 0) & F.col("embedding").isNotNull()).crossJoin(F.broadcast(probe))
     cos = _cos_or_null(F.col("embedding"), F.col("p"))
     return (
         joined.select("vec_id", "label", cos.alias("_cos"))
@@ -1109,7 +1109,7 @@ def _ivf_oracle_ctes(k_cells: int = 16, nprobe: int = 6, dim: int = 64) -> str:
     )
     return f"""v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS e, {vq} AS vq
-      FROM embeddings WHERE vec_id <> 0),
+      FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL),
     init AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
              vq AS c
@@ -1169,7 +1169,7 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
             [], "vec_id long, label int, cell int, cosine double"
         )
     v = F.col("embedding").cast("array<double>")
-    vecs = e.filter(F.col("vec_id") != 0).select(
+    vecs = e.filter((F.col("vec_id") != 0) & F.col("embedding").isNotNull()).select(
         "vec_id", "label", v.alias("v"), _vq_col(v).alias("vq")
     )
     cent_rows = _ivf_centroid_rows(spark, sf, vecs, k_cells)
@@ -1248,7 +1248,7 @@ def sim_ivf_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
             [], "vec_id long, label int, cell int, cosine double"
         )
     v = F.col("embedding").cast("array<double>")
-    vecs = e.filter(F.col("vec_id") != 0).select(
+    vecs = e.filter((F.col("vec_id") != 0) & F.col("embedding").isNotNull()).select(
         "vec_id", "label", v.alias("v"), _vq_col(v).alias("vq")
     )
     cent_rows = _ivf_centroid_rows(spark, sf, vecs, k_cells)
@@ -1300,6 +1300,9 @@ def sim_ivf_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
            floor((avg(CAST(embedding[dim] AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS centroid_val
     FROM embeddings
     CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+    -- explode/flatten SKIPS NULL vectors (a vectorless row contributes
+    -- nothing to a centroid; Spark posexplode's contract - NULL sweep r8)
+    WHERE embedding IS NOT NULL
     GROUP BY label, dim
     """,
 )
@@ -1602,8 +1605,12 @@ def text_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang, source, n_chars, label,
            len(embedding) AS dim,
-           floor((list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
-             AS embedding_norm2
+           -- NULL embedding -> NULL norm (DuckDB's list_dot_product
+           -- ERRORS on NULL lists where Spark's aggregate yields NULL;
+           -- the guard spells the shared semantics - NULL sweep, r8)
+           CASE WHEN embedding IS NULL THEN NULL ELSE
+             floor((list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+           END AS embedding_norm2
     FROM documents JOIN embeddings ON doc_id = vec_id
     """,
 )
@@ -2471,8 +2478,12 @@ def pipeline_shuffle_shard(spark: SparkSession, sf: str) -> DataFrame:
     WITH n AS (
       SELECT vec_id, label,
              embedding::DOUBLE[] AS e,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-               AS nrm
+             -- NULL vector -> NULL norm/scale/codes, row kept (row-level
+             -- transform semantics; DuckDB's list_dot_product ERRORS on a
+             -- NULL list where Spark folds to NULL - NULL sweep, r8)
+             CASE WHEN embedding IS NULL THEN NULL ELSE
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             END AS nrm
       FROM embeddings)
     SELECT vec_id, label,
            floor((nrm / 127.0) * 1000000.0 + 0.5) / 1000000.0 AS scale,
@@ -2702,7 +2713,7 @@ def _pq_oracle_ctes() -> str:
     )
     return f"""v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS e, {vq} AS vq
-      FROM embeddings WHERE vec_id <> 0),
+      FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL),
     sv AS (
       SELECT v.vec_id, s.sub,
              list_transform({rng}, i -> v.vq[s.sub * {dsub} + i]) AS svq
@@ -2780,7 +2791,7 @@ def sim_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     distance, centroid and code is bit-identical cross-engine."""
     e = load(spark, sf, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    vecs = e.filter(F.col("vec_id") != 0).select(
+    vecs = e.filter((F.col("vec_id") != 0) & F.col("embedding").isNotNull()).select(
         "vec_id", _vq_col(v).alias("vq")
     )
     codes = _pq_codes(spark, sf, vecs)
@@ -2821,7 +2832,7 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
             [], "vec_id long, label int, adc_dist double"
         )
     v = F.col("embedding").cast("array<double>")
-    vecs = e.filter(F.col("vec_id") != 0).select(
+    vecs = e.filter((F.col("vec_id") != 0) & F.col("embedding").isNotNull()).select(
         "vec_id", "label", _vq_col(v).alias("vq")
     )
     codes = _pq_codes(spark, sf, vecs.select("vec_id", "vq"))
@@ -2930,7 +2941,10 @@ def pipeline_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
            t.n_sources,
            floor((-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)))
                  * 10000.0 + 0.5) / 10000.0 AS source_entropy_nats
-    FROM c JOIN t ON c.lang = t.lang
+    -- null-safe join: a NULL lang is a real stratum ("unknown language")
+    -- and the Spark side's window keeps it; a plain equi-join would drop
+    -- it (NULL-input sweep, round 8)
+    FROM c JOIN t ON c.lang IS NOT DISTINCT FROM t.lang
     GROUP BY c.lang, t.tot, t.n_sources
     """,
 )
@@ -3217,7 +3231,7 @@ def _mmr_oracle(k: int = 5, lam: float = 0.7, pool_n: int = 20) -> str:
     ctes = [
         f"""v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS e
-      FROM embeddings WHERE vec_id <> 0),
+      FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL),
     probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
     pool AS (
       SELECT v.vec_id, v.label, v.e, {cos('v.e', 'p.p')} AS rel
@@ -3281,7 +3295,7 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("qv")
     )
     cand = (
-        e.filter(F.col("vec_id") != 0)
+        e.filter((F.col("vec_id") != 0) & F.col("embedding").isNotNull())
         .crossJoin(F.broadcast(probe))
         .select(
             "vec_id",

@@ -335,6 +335,12 @@ def ref_batch_pack(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "user_id",
             F.size("records").cast("long").alias("n_records"),
-            F.to_json(F.col("records")).alias("batch_json"),
+            # ignoreNullFields=false: a record with an unknown field keeps
+            # an explicit "field":null on the wire (matching DuckDB's
+            # to_json and any schema-ful consumer; Spark's default silently
+            # drops the key - NULL-input sweep, round 8)
+            F.to_json(
+                F.col("records"), {"ignoreNullFields": "false"}
+            ).alias("batch_json"),
         )
     )

@@ -75,6 +75,9 @@ def scan_filter_pred(spark: SparkSession, sf: str) -> DataFrame:
            floor((avg(CAST(embedding[dim] AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS avg_val
     FROM embeddings
     CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+    -- explode/flatten SKIPS NULL arrays (Spark posexplode contract);
+    -- spell it so the positional-index dual agrees (NULL-input sweep, r8)
+    WHERE embedding IS NOT NULL
     GROUP BY dim
     """,
 )
@@ -596,11 +599,21 @@ def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
 )
 def agg_maxby(spark: SparkSession, sf: str) -> DataFrame:
     """max_by/min_by keyed on the unique o_orderkey so ties are impossible
-    (determinism convention, SURVEY.md 7.4)."""
+    (determinism convention, SURVEY.md 7.4).  NULL values are SKIPPED
+    (the extremum is taken over rows whose value is known): DuckDB's
+    max_by/min_by do this implicitly, Spark's return the value AT the
+    extremal key even when NULL - nulling the ordering key alongside the
+    value makes the skip explicit and identical (NULL-input sweep, r8)."""
     o = load(spark, sf, "orders")
+
+    def known(val: str):
+        return F.when(F.col(val).isNotNull(), F.col("o_orderkey"))
+
     return o.groupBy("o_custkey").agg(
-        F.max_by("o_orderstatus", "o_orderkey").alias("latest_status"),
-        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+        F.max_by("o_orderstatus", known("o_orderstatus")).alias("latest_status"),
+        F.min_by("o_orderpriority", known("o_orderpriority")).alias(
+            "first_priority"
+        ),
         F.max("o_orderkey").alias("latest_orderkey"),
     )
 

@@ -498,7 +498,10 @@ def udtf_normalize(spark: SparkSession, sf: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            keep = pdf[pdf["event_type"] != "error"]
+            # notna() mirrors SQL's three-valued `event_type <> 'error'`
+            # (NULL is not dispatchable - the reference normalizer drops
+            # it; plain pandas != would KEEP NaN rows - NULL sweep, r8)
+            keep = pdf[pdf["event_type"].notna() & (pdf["event_type"] != "error")]
             yield pd.DataFrame(
                 {
                     "event_id": keep["event_id"],
@@ -1017,7 +1020,10 @@ def stream_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
       SELECT event_type,
              CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) % 7 AS dow,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
-      FROM events),
+      FROM events
+      -- a valueless event contributes nothing to a value profile; the
+      -- explicit filter keeps pandas count == SQL count(*) (NULL sweep r8)
+      WHERE value IS NOT NULL),
     d AS (
       SELECT event_type, dow,
              CAST(count(*) AS BIGINT) AS n,
@@ -1032,7 +1038,9 @@ def stream_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
            CAST((d.sc * 1000000) // d.n AS BIGINT) AS mean_cents_micro,
            CAST((((d.sc * 1000000) // d.n) * 1000)
                 // ((t.tc * 1000000) // t.nt) AS BIGINT) AS seasonal_milli
-    FROM d JOIN t ON d.event_type = t.event_type
+    -- null-safe join: a NULL event_type is a real stratum and the Spark
+    -- side's groupBy keeps it (NULL sweep, round 8)
+    FROM d JOIN t ON d.event_type IS NOT DISTINCT FROM t.event_type
     """,
 )
 def udaf_seasonal_dow(spark: SparkSession, sf: str) -> DataFrame:
@@ -1055,7 +1063,7 @@ def udaf_seasonal_dow(spark: SparkSession, sf: str) -> DataFrame:
     equivalent exists (two hash aggs + broadcast join) - this query is
     the API-surface demonstration, cross-checked by the oracle."""
     ev = load(spark, sf, "events")
-    base = ev.select(
+    base = ev.filter(F.col("value").isNotNull()).select(
         "event_type",
         (F.floor(F.unix_micros("ts") / 86_400_000_000.0).cast("long") % 7).alias(
             "dow"

@@ -176,7 +176,8 @@ ADDED_IN_ROUND: dict[str, int] = {
 # (the judge hash-verified all 8 manually in r7; this makes the driver
 # artifact agree).  dedup_two_stage and sim_pq_topk additionally changed
 # code this round (salted non-broadcast regime; raw-_adc final sort).
-# Budget check: 22 pins << the driver's ~50-slot window.
+# Budget check: 36 pins < the driver's ~50-slot window (the
+# remaining ~14 slots still drain the stalest unpinned ids).
 _CHANGED_ROUND = 8
 _CHANGED_THIS_ROUND = [
     "sim_knn_join",
@@ -210,6 +211,23 @@ _CHANGED_THIS_ROUND = [
     # cap there - but the spellings deserve fresh driver hashes)
     "dedup_cluster_components",
     "dedup_canonical_select",
+    # NULL-input-sweep repairs (round 8): explicit NULL semantics spelled
+    # on both sides (skip-NULL extremes, null-safe joins, NULL-vector
+    # exclusion, ignoreNullFields JSON) - fixture results unchanged
+    "agg_maxby",
+    "explode_unnest",
+    "multimodal_join",
+    "pipeline_curriculum_order",
+    "ref_batch_pack",
+    "scan_binary_source",
+    "sim_embed_norm_audit",
+    "sim_embed_quantize",
+    "sim_label_centroid",
+    "sim_random_projection",
+    "sim_cosine_topk",
+    "text_source_entropy",
+    "udaf_seasonal_dow",
+    "udtf_normalize",
 ]
 
 
