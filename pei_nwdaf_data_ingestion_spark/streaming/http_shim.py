@@ -17,8 +17,10 @@ Request contract (mirrors receiver.py:358-365):
   - 204                    on acceptance (body spooled for the stream)
 
 Control plane (optional, enabled by passing `store=`): the reference's
-subscription CRUD (receiver.py:296-351) minus the outbound NEF calls
-(deliberate omission - README "Deliberate reference omissions"):
+subscription CRUD (receiver.py:296-351); passing `nef_client=` also enables
+the OUTBOUND NEF subscribe/unsubscribe egress (receiver.py:304-316,341-349)
+with the reference's 504/502/500 upstream-error mapping and best-effort
+delete - closing what was previously a documented omission (round 8):
   - POST   /nef/subscriptions        -> 201 {"notifId", "nefSubscriptionId"}
                                         (422 on missing required fields,
                                         FastAPI's validation status)
@@ -133,6 +135,77 @@ class HmacTokenAuth:
         return None
 
 
+class NefClient:
+    """Outbound NEF subscribe/unsubscribe client - the control-plane egress
+    of the reference (receiver.py:304-316 create, :341-349 delete), stdlib
+    urllib in place of requests/httpx (this image ships neither).
+
+    Error mapping matches the reference exactly:
+      timeout          -> (504, "NEF did not respond")        (:311-312)
+      connect failure  -> (502, "Cannot connect to NEF")      (:313-314)
+      anything else    -> (500, "NEF subscription failed: e") (:315-316)
+    and unsubscribe is BEST-EFFORT: failures are recorded, never raised
+    (:341-349 logs a warning and removes the local subscription anyway).
+    """
+
+    def __init__(self, timeout: float = 5.0) -> None:
+        self.timeout = timeout
+        self.warnings: list[str] = []
+
+    def subscribe(
+        self, nef_url: str, notif_id: str, notif_uri: str, events: list
+    ):
+        """POST the TS 29.591-shaped subscription; returns
+        (201, nef_subscription_id) or (status, detail) per the mapping."""
+        import socket
+        import urllib.error
+        import urllib.request
+
+        payload = json.dumps(
+            {
+                "notifId": notif_id,
+                "notifUri": notif_uri,
+                "eventsSubs": [{"event": e} for e in events],
+            }
+        ).encode()
+        req = urllib.request.Request(
+            nef_url,
+            data=payload,
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                body = json.loads(r.read() or b"{}")
+        except socket.timeout:
+            return 504, "NEF did not respond"
+        except urllib.error.URLError as e:
+            if isinstance(e.reason, socket.timeout):
+                return 504, "NEF did not respond"
+            if isinstance(e, urllib.error.HTTPError):
+                return 500, f"NEF subscription failed: {e}"
+            return 502, "Cannot connect to NEF"
+        except Exception as e:  # noqa: BLE001 - reference catches broad (:315)
+            return 500, f"NEF subscription failed: {e}"
+        return 201, body.get("subscriptionId")
+
+    def unsubscribe(self, nef_url: str, nef_sub_id: str) -> bool:
+        """Best-effort DELETE {nef_url}/{nef_sub_id}; True when the NEF
+        acknowledged, False when it could not be reached (recorded in
+        self.warnings, mirroring the reference's logger.warning)."""
+        import urllib.error
+        import urllib.request
+
+        url = f"{nef_url.rstrip('/')}/{nef_sub_id}"
+        req = urllib.request.Request(url, method="DELETE")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout):
+                return True
+        except Exception as e:  # noqa: BLE001 - reference catches broad (:347)
+            self.warnings.append(f"Failed to unsubscribe from NEF: {e}")
+            return False
+
+
 class NotifyHTTPShim:
     """Minimal HTTP server accepting NEF notification callbacks into a spool
     directory consumed by the Structured Streaming file source."""
@@ -145,17 +218,22 @@ class NotifyHTTPShim:
         port: int = 0,
         auth: HmacTokenAuth | None = None,
         store=None,
+        nef_client: NefClient | None = None,
     ) -> None:
         """`auth`: optional HmacTokenAuth gate (None = the reference's
         DEV_MODE posture).  `store`: optional subscription store (anything
         with add/get/remove/list - pipeline.subscriptions.SubscriptionStore)
-        enabling the /nef/subscriptions control-plane routes."""
+        enabling the /nef/subscriptions control-plane routes.
+        `nef_client`: optional NefClient enabling the OUTBOUND subscribe/
+        unsubscribe calls to the NEF named in each request's nefUrl (None
+        keeps the routes local-only)."""
         self.spool_dir = spool_dir
         self._known = known_notif_ids
         self._host = host
         self._port = port
         self._auth = auth
         self._store = store
+        self._nef = nef_client
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -223,22 +301,41 @@ class NotifyHTTPShim:
                     if missing:
                         self._respond(422, f"Missing fields: {', '.join(missing)}")
                         return
-                    # outbound NEF subscribe deliberately omitted (README);
-                    # nef_sub_id stays None where the reference stores the
-                    # NEF's subscriptionId (receiver.py:315-322)
+                    # outbound NEF subscribe (receiver.py:304-316): with a
+                    # NefClient the shim registers itself at the NEF named
+                    # by nefUrl and stores the returned subscriptionId; on
+                    # failure the error mapping answers and NOTHING is
+                    # stored.  Without a client the routes stay local-only
+                    # (nef_sub_id None).
+                    nef_sub_id = None
+                    if shim._nef is not None:
+                        status, result = shim._nef.subscribe(
+                            payload["nefUrl"],
+                            payload["notifId"],
+                            shim.url,
+                            payload["events"],
+                        )
+                        if status != 201:
+                            self._respond(status, result)
+                            return
+                        nef_sub_id = result
                     shim._store.add(
                         {
                             "notif_id": payload["notifId"],
                             "snssai": payload.get("snssai"),
                             "dnn": payload.get("dnn"),
                             "events": payload["events"],
-                            "nef_sub_id": None,
+                            "nef_sub_id": nef_sub_id,
                             "nef_url": payload["nefUrl"],
                             "created_at": int(time.time()),
                         }
                     )
                     self._respond_json(
-                        201, {"notifId": payload["notifId"], "nefSubscriptionId": None}
+                        201,
+                        {
+                            "notifId": payload["notifId"],
+                            "nefSubscriptionId": nef_sub_id,
+                        },
                     )
                     return
                 if self.path != "/nef/notify":
@@ -272,9 +369,19 @@ class NotifyHTTPShim:
                 prefix = "/nef/subscriptions/"
                 if self.path.startswith(prefix) and shim._store is not None:
                     notif_id = self.path[len(prefix):]
-                    if shim._store.get(notif_id) is None:  # receiver.py:337-339
+                    sub = shim._store.get(notif_id)
+                    if sub is None:  # receiver.py:337-339
                         self._respond(404, "Subscription not found")
                         return
+                    # best-effort outbound unsubscribe (receiver.py:341-349):
+                    # a NEF failure is warned about, never blocks the local
+                    # removal, and the response stays 204
+                    if (
+                        shim._nef is not None
+                        and sub.get("nef_sub_id")
+                        and sub.get("nef_url")
+                    ):
+                        shim._nef.unsubscribe(sub["nef_url"], sub["nef_sub_id"])
                     shim._store.remove(notif_id)
                     self._respond(204)
                     return

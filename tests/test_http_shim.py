@@ -189,3 +189,209 @@ def test_subscription_crud_endpoints(tmp_path):
         assert code == 204
         code, body = _request(base, "/nef/subscriptions")
         assert body["subscriptions"] == []
+
+
+# -- outbound NEF subscribe/unsubscribe (round 8: the last documented
+# omission closed) ------------------------------------------------------------
+
+
+class _FakeNef:
+    """Stdlib stand-in for the external 5G NEF: records every subscribe
+    payload and unsubscribe path, answers 201 {"subscriptionId": ...} (or a
+    configured failure mode)."""
+
+    def __init__(self, mode: str = "ok", delay: float = 0.0):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.posts: list[dict] = []
+        self.deletes: list[str] = []
+        nef = self
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def do_POST(self):
+                import time as _t
+
+                if delay:
+                    _t.sleep(delay)
+                n = int(self.headers.get("Content-Length", "0"))
+                nef.posts.append(json.loads(self.rfile.read(n)))
+                if mode == "error":
+                    self.send_response(500)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                body = json.dumps({"subscriptionId": "nef-sub-42"}).encode()
+                self.send_response(201)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_DELETE(self):
+                nef.deletes.append(self.path)
+                self.send_response(204)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    @property
+    def url(self) -> str:
+        h, p = self._server.server_address[:2]
+        return f"http://{h}:{p}/nef/subscriptions"
+
+    def stop(self):
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=5)
+
+
+def _shim_with_nef(tmp_path, nef_client):
+    from pei_nwdaf_data_ingestion_spark.streaming.http_shim import NotifyHTTPShim
+
+    store = _DictStore()
+    shim = NotifyHTTPShim(
+        str(tmp_path / "spool"),
+        known_notif_ids=lambda: set(store.subs),
+        store=store,
+        nef_client=nef_client,
+    )
+    return shim, store
+
+
+def test_outbound_nef_subscribe_round_trip(tmp_path):
+    """Happy path (receiver.py:296-327): the shim POSTs the TS 29.591
+    payload to the NEF named in nefUrl, advertises its OWN /nef/notify as
+    notifUri, stores the NEF's subscriptionId, and answers 201 with it."""
+    from pei_nwdaf_data_ingestion_spark.streaming.http_shim import NefClient
+
+    nef = _FakeNef()
+    shim, store = _shim_with_nef(tmp_path, NefClient())
+    try:
+        with shim:
+            base = f"http://{shim._server.server_address[0]}:{shim._server.server_address[1]}"
+            code, body = _request(
+                base,
+                "/nef/subscriptions",
+                "POST",
+                {"notifId": "n1", "nefUrl": nef.url, "events": ["LOAD_LEVEL"]},
+            )
+        assert code == 201 and body["nefSubscriptionId"] == "nef-sub-42"
+        assert store.get("n1")["nef_sub_id"] == "nef-sub-42"
+        assert len(nef.posts) == 1
+        assert nef.posts[0]["notifId"] == "n1"
+        assert nef.posts[0]["eventsSubs"] == [{"event": "LOAD_LEVEL"}]
+        assert nef.posts[0]["notifUri"].endswith("/nef/notify")
+    finally:
+        nef.stop()
+
+
+def test_outbound_nef_connect_failure_maps_502(tmp_path):
+    """Unreachable NEF -> 502 "Cannot connect to NEF" (receiver.py:313-314)
+    and NOTHING is stored."""
+    from pei_nwdaf_data_ingestion_spark.streaming.http_shim import NefClient
+
+    shim, store = _shim_with_nef(tmp_path, NefClient(timeout=2))
+    with shim:
+        base = f"http://{shim._server.server_address[0]}:{shim._server.server_address[1]}"
+        code, body = _request(
+            base,
+            "/nef/subscriptions",
+            "POST",
+            # closed port on localhost: immediate connection refusal
+            {"notifId": "n1", "nefUrl": "http://127.0.0.1:9/x", "events": ["E"]},
+        )
+    assert code == 502 and body["detail"] == "Cannot connect to NEF"
+    assert store.get("n1") is None
+
+
+def test_outbound_nef_timeout_maps_504(tmp_path):
+    """NEF accepting but not answering inside the client timeout -> 504
+    "NEF did not respond" (receiver.py:311-312)."""
+    from pei_nwdaf_data_ingestion_spark.streaming.http_shim import NefClient
+
+    nef = _FakeNef(delay=1.5)
+    shim, store = _shim_with_nef(tmp_path, NefClient(timeout=0.3))
+    try:
+        with shim:
+            base = f"http://{shim._server.server_address[0]}:{shim._server.server_address[1]}"
+            code, body = _request(
+                base,
+                "/nef/subscriptions",
+                "POST",
+                {"notifId": "n1", "nefUrl": nef.url, "events": ["E"]},
+            )
+        assert code == 504 and body["detail"] == "NEF did not respond"
+        assert store.get("n1") is None
+    finally:
+        nef.stop()
+
+
+def test_outbound_nef_upstream_error_maps_500(tmp_path):
+    """NEF answering 500 -> 500 "NEF subscription failed: ..."
+    (receiver.py:315-316)."""
+    from pei_nwdaf_data_ingestion_spark.streaming.http_shim import NefClient
+
+    nef = _FakeNef(mode="error")
+    shim, store = _shim_with_nef(tmp_path, NefClient())
+    try:
+        with shim:
+            base = f"http://{shim._server.server_address[0]}:{shim._server.server_address[1]}"
+            code, body = _request(
+                base,
+                "/nef/subscriptions",
+                "POST",
+                {"notifId": "n1", "nefUrl": nef.url, "events": ["E"]},
+            )
+        assert code == 500 and body["detail"].startswith("NEF subscription failed")
+        assert store.get("n1") is None
+    finally:
+        nef.stop()
+
+
+def test_outbound_nef_unsubscribe_best_effort(tmp_path):
+    """DELETE sends the outbound unsubscribe to {nefUrl}/{subId}
+    (receiver.py:341-346) and stays 204 + locally removed even when the
+    NEF is gone (:347-349, warning only)."""
+    from pei_nwdaf_data_ingestion_spark.streaming.http_shim import NefClient
+
+    nef = _FakeNef()
+    client = NefClient()
+    shim, store = _shim_with_nef(tmp_path, client)
+    try:
+        with shim:
+            base = f"http://{shim._server.server_address[0]}:{shim._server.server_address[1]}"
+            _request(
+                base,
+                "/nef/subscriptions",
+                "POST",
+                {"notifId": "n1", "nefUrl": nef.url, "events": ["E"]},
+            )
+            code, _ = _request(base, "/nef/subscriptions/n1", "DELETE")
+            assert code == 204
+            assert store.get("n1") is None
+            assert nef.deletes and nef.deletes[0].endswith("/nef-sub-42")
+
+            # NEF now unreachable: delete of a second sub still succeeds
+            store.add(
+                {
+                    "notif_id": "n2",
+                    "events": ["E"],
+                    "nef_sub_id": "nef-sub-43",
+                    "nef_url": "http://127.0.0.1:9/x",
+                }
+            )
+            code, _ = _request(base, "/nef/subscriptions/n2", "DELETE")
+            assert code == 204
+            assert store.get("n2") is None
+            assert client.warnings  # the reference logs a warning here
+    finally:
+        nef.stop()
