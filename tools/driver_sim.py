@@ -12,9 +12,15 @@ import __spark_entry__ as e
 SF = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# DRIVER_SIM_CORES / DRIVER_SIM_PARTITIONS override the layout: running
+# the whole gate under a different core count + shuffle width (e.g. 3/3)
+# is the partitioning-invariance probe - any result that depends on task
+# layout, partition count or per-partition fold order fails the rerun.
+_CORES = os.environ.get("DRIVER_SIM_CORES", "8")
+_PARTS = os.environ.get("DRIVER_SIM_PARTITIONS", "8")
 spark = (
-    SparkSession.builder.master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
+    SparkSession.builder.master(f"local[{_CORES}]")
+    .config("spark.sql.shuffle.partitions", _PARTS)
     .config("spark.sql.session.timeZone", "America/New_York")  # non-UTC probe
     .config("spark.driver.memory", "8g")
     .getOrCreate()
