@@ -1292,6 +1292,74 @@ def sim_ivf_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ivf_recall_oracle(topk: int = 10) -> str:
+    # ivf replays _ivf_topk_oracle's scan CTE (same build CTEs, same raw
+    # ordering); exact is the brute-force reference over the SAME v/probe
+    # CTEs - the filter (vec_id <> 0, non-NULL embedding) matches
+    # sim_cosine_topk's builder exactly
+    cos = (
+        f"{_sql_dot('v.e', 'p.p')}"
+        f" / (sqrt({_sql_dot('v.e', 'v.e')}) * sqrt({_sql_dot('p.p', 'p.p')}))"
+    )
+    return f"""
+    WITH {_ivf_oracle_ctes()},
+    scan AS (
+      SELECT v.vec_id, {cos} AS cos
+      FROM assigned a JOIN v USING (vec_id), probe p
+      WHERE a.cell IN (SELECT cell FROM pcells)),
+    ivf AS (SELECT vec_id FROM scan ORDER BY cos DESC, vec_id LIMIT {topk}),
+    exact AS (
+      SELECT v.vec_id FROM v, probe p
+      ORDER BY {cos} DESC, v.vec_id LIMIT {topk})
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM ivf) AS BIGINT) AS n_ivf,
+           CAST((SELECT count(*) FROM exact e
+                 JOIN ivf i ON e.vec_id = i.vec_id) AS BIGINT) AS n_common,
+           CAST((SELECT count(*) FROM exact) -
+                (SELECT count(*) FROM exact e
+                 JOIN ivf i ON e.vec_id = i.vec_id) AS BIGINT) AS n_missed,
+           -- empty corpus: recall undefined -> NULL, never 0/0
+           CAST(((SELECT count(*) FROM exact e
+                  JOIN ivf i ON e.vec_id = i.vec_id) * 1000000)
+                // nullif((SELECT count(*) FROM exact), 0)
+                AS BIGINT) AS recall_micro
+    """
+
+
+@query("sim_ivf_recall_audit", oracle=_ivf_recall_oracle())
+def sim_ivf_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-quality audit for the IVF ANN path: measured RECALL@k of
+    sim_ivf_topk's nprobe-cell scan against the exact brute-force
+    sim_cosine_topk over the same probe - the number you check BEFORE
+    trusting (k_cells, nprobe) at 100 TB, where "nprobe/K of the data"
+    is the cost model and this is what that skipping actually loses
+    (the IVF dual of dedup_lsh_recall_audit, closing the audit pair:
+    every approximate path in the engine ships with its own measured
+    recall).  Implementation literally CALLS the two registered
+    builders and joins their top-k id sets - the audit can never drift
+    from what the audited queries do; both are fully oracled, so the
+    audit is DuckDB-hash-checked end to end.  Empty corpus: zero
+    counts, NULL recall (0/0 is undefined, not 0)."""
+    exact = sim_cosine_topk(spark, sf).select("vec_id")
+    ivf = sim_ivf_topk(spark, sf).select("vec_id")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_ivf = ivf.agg(F.count("*").alias("n_ivf"))
+    n_common = exact.join(ivf, "vec_id").agg(F.count("*").alias("n_common"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_ivf))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            "n_exact",
+            "n_ivf",
+            "n_common",
+            (F.col("n_exact") - F.col("n_common")).alias("n_missed"),
+            F.expr(
+                "CAST((n_common * 1000000) div nullif(n_exact, 0) AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+    )
+
+
 @query(
     "sim_label_centroid",
     oracle="""
@@ -1398,6 +1466,137 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
         pround(distinct_ratio, 4).alias("distinct_ratio"),
         pround(F.col("n_chars").cast("double") / n_tokens, 2).alias("avg_token_len"),
         (n_tokens.between(20, 90) & (distinct_ratio > 0.2)).cast("int").alias("passes"),
+    )
+
+
+# PII patterns shared verbatim by the Spark plan and the DuckDB oracle -
+# plain character classes only (no \d, \b, lookarounds), the regex subset
+# on which Java regex (Spark) and RE2 (DuckDB) agree match-for-match;
+# parity probed on adversarial strings before adoption (overlapping
+# candidates, trailing fragments, multi-hit docs)
+_PII_EMAIL = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+_PII_PHONE = "\\+1-[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+_PII_IP = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+
+def _pii_mask(col):
+    """Email -> phone -> IP chained masks, the exact order the oracle
+    replays (the tags contain no digits/dots, so later patterns cannot
+    match inside an earlier mask; the zero-residual property is pinned
+    in tests on adversarial strings)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 3 = 0 THEN ' mail user'
+                     || CAST(doc_id AS VARCHAR) || '@ex-'
+                     || coalesce(source, 'x') || '.net' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN ' call +1-202-555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST(CAST(floor(doc_id / 256.0) AS BIGINT) % 256
+                             AS VARCHAR) || '.'
+                     || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END AS s
+      FROM documents),
+    m AS (
+      SELECT doc_id, s,
+             regexp_replace(regexp_replace(regexp_replace(s,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS clean
+      FROM aug)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(s, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(s, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_md5
+    FROM m
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + masking - the redaction pass every pretraining
+    pipeline runs between crawl and tokenizer (C4/Dolma-style: emails,
+    phone numbers, IP addresses found and replaced with type tags, with
+    per-doc counts kept for the data card).  The fixture corpus is
+    synthetic word-salad with no organic PII, so the query DERIVES a
+    deterministic augmented column first - doc_id-keyed pseudo-PII
+    (email on id%3, NANP phone on id%4, IPv4 on id%5) appended to the
+    text, the same fixture-exercising trick merge_upsert plays with its
+    %7 key remap - then detects and masks on that; counts, masked
+    length and the md5 of the masked text are all hash-checked, so the
+    masking itself is verified byte-for-byte cross-engine.
+
+    Scale shape: pure per-row column expressions (concat + three
+    regexp_extract_all + three chained regexp_replace) - map-side, zero
+    shuffle, whole-stage codegen, linear at 100 TB.  NULL text/source
+    coalesce to ''/'x' on BOTH sides (NULL-sweep convention); a NULL
+    doc_id injects nothing (NULL % k is NULL, never 0, both engines)."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    email_inj = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" mail user"),
+            did.cast("string"),
+            F.lit("@ex-"),
+            F.coalesce(F.col("source"), F.lit("x")),
+            F.lit(".net"),
+        ),
+    ).otherwise("")
+    phone_inj = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit(" call +1-202-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    ip_inj = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            (F.floor(did / 256.0) % 256).cast("string"),
+            F.lit("."),
+            (did % 250 + 1).cast("string"),
+        ),
+    ).otherwise("")
+    s = F.concat(F.coalesce(F.col("text"), F.lit("")), email_inj, phone_inj, ip_inj)
+
+    def n_hits(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long")
+
+    aug = d.select("doc_id", s.alias("s"))
+    clean = _pii_mask("s")
+    return aug.select(
+        "doc_id",
+        n_hits(F.col("s"), _PII_EMAIL).alias("n_emails"),
+        n_hits(F.col("s"), _PII_PHONE).alias("n_phones"),
+        n_hits(F.col("s"), _PII_IP).alias("n_ips"),
+        clean.alias("clean"),
+    ).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.length("clean").cast("long").alias("clean_len"),
+        F.md5("clean").alias("clean_md5"),
     )
 
 

@@ -163,6 +163,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "join_interval_overlap_agg": 6,
     "pipeline_sample_neyman": 6,
     "graph_two_hop_reach": 6,
+    "text_pii_scrub": 8,
+    "sim_ivf_recall_audit": 8,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -176,8 +178,8 @@ ADDED_IN_ROUND: dict[str, int] = {
 # (the judge hash-verified all 8 manually in r7; this makes the driver
 # artifact agree).  dedup_two_stage and sim_pq_topk additionally changed
 # code this round (salted non-broadcast regime; raw-_adc final sort).
-# Budget check: 36 pins < the driver's ~50-slot window (the
-# remaining ~14 slots still drain the stalest unpinned ids).
+# Budget check: 38 pins < the driver's ~50-slot window (the
+# remaining ~12 slots still drain the stalest unpinned ids).
 _CHANGED_ROUND = 8
 _CHANGED_THIS_ROUND = [
     "sim_knn_join",
@@ -228,6 +230,10 @@ _CHANGED_THIS_ROUND = [
     "text_source_entropy",
     "udaf_seasonal_dow",
     "udtf_normalize",
+    # new ids this round (never sampled - staleness ordering would surface
+    # them anyway; the pin makes CORRECTNESS_r08 inclusion deterministic)
+    "text_pii_scrub",
+    "sim_ivf_recall_audit",
 ]
 
 

@@ -275,6 +275,79 @@ class TestSimilaritySearch:
         assert q.equals(again)
 
 
+class TestIvfRecallAudit:
+    def test_audit_matches_hand_computed_overlap(self, spark):
+        """sim_ivf_recall_audit must report exactly the overlap of the two
+        builders it audits (it can never drift from them - it calls them),
+        and its conservation identities must hold."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        audit = registry.QUERIES["sim_ivf_recall_audit"](spark, sf).toPandas()
+        ivf = registry.QUERIES["sim_ivf_topk"](spark, sf).toPandas()
+        bf = registry.QUERIES["sim_cosine_topk"](spark, sf).toPandas()
+        assert len(audit) == 1
+        row = audit.iloc[0]
+        common = len(set(ivf.vec_id) & set(bf.vec_id))
+        assert row.n_exact == len(bf) == 10
+        assert row.n_ivf == len(ivf) == 10
+        assert row.n_common == common
+        assert row.n_missed == row.n_exact - row.n_common
+        assert row.recall_micro == common * 1_000_000 // row.n_exact
+
+
+class TestPiiScrub:
+    def test_injection_keyed_counts_and_output_shape(self, spark):
+        """Counts must follow the doc_id-keyed injection rule exactly
+        (>=1 email iff id%3==0 etc. - the organic corpus text contains
+        no PII), every injection class must actually fire, and the
+        masked-text digest column must be a well-formed md5."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = registry.QUERIES["text_pii_scrub"](spark, sf).toPandas()
+        assert len(got) > 0
+        for col, mod in (("n_emails", 3), ("n_phones", 4), ("n_ips", 5)):
+            assert ((got.doc_id % mod == 0) == (got[col] > 0)).all()
+            assert got[col].sum() > 0
+        assert got.clean_md5.str.fullmatch("[0-9a-f]{32}").all()
+
+    def test_mask_leaves_zero_residual_hits(self, spark):
+        """Re-feeding masked text to the detectors yields ZERO hits - the
+        defining property of a scrub - driven through the query's own
+        mask expression on adversarial strings (overlapping candidates,
+        trailing fragments, multi-hit lines)."""
+        from pei_nwdaf_data_ingestion_spark.queries.llm import (
+            _PII_EMAIL,
+            _PII_IP,
+            _PII_PHONE,
+            _pii_mask,
+        )
+
+        rows = [
+            ("mail user12@ex-src0.net and user3@a.b.co end",),
+            ("call +1-202-555-0042 now +1-9-555 bad",),
+            ("ip 10.3.200.17 and 1.2.3.4.5 tricky",),
+            ("mix user9@ex-src3.org +1-202-555-0107 10.0.0.1",),
+            ("plain words only",),
+        ]
+        df = spark.createDataFrame(rows, "s string")
+        residual = df.select(_pii_mask("s").alias("clean")).select(
+            *[
+                F.size(F.regexp_extract_all("clean", F.lit(p), F.lit(0))).alias(
+                    f"r{i}"
+                )
+                for i, p in enumerate((_PII_EMAIL, _PII_PHONE, _PII_IP))
+            ]
+        )
+        agg = residual.agg(
+            F.sum("r0").alias("e"), F.sum("r1").alias("p"), F.sum("r2").alias("i")
+        ).collect()[0]
+        assert (agg.e, agg.p, agg.i) == (0, 0, 0)
+
+
 class TestMultimodal:
     def test_decode_stub_deterministic(self):
         a = decode_stub(b"hello")
