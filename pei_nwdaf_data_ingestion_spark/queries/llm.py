@@ -1360,6 +1360,77 @@ def sim_ivf_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _semdedup_oracle(tau: float = 0.35) -> str:
+    cos = (
+        f"{_sql_dot('x.e', 'y.e')}"
+        f" / (sqrt({_sql_dot('x.e', 'x.e')}) * sqrt({_sql_dot('y.e', 'y.e')}))"
+    )
+    return f"""
+    WITH {_ivf_oracle_ctes()},
+    cellv AS (
+      SELECT a.cell, v.vec_id, v.e FROM assigned a JOIN v USING (vec_id)),
+    hits AS (
+      SELECT y.vec_id, min(x.vec_id) AS dup_of, max({cos}) AS mc
+      FROM cellv x JOIN cellv y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE {cos} >= {tau}
+      GROUP BY y.vec_id)
+    SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+           CAST(CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+           h.dup_of,
+           floor(h.mc * 10000.0 + 0.5) / 10000.0 AS max_cos
+    FROM cellv c LEFT JOIN hits h ON c.vec_id = h.vec_id
+    """
+
+
+@query("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup bounded by the IVF coarse quantizer (SemDeDup,
+    Abbas et al. 2023: k-means-cluster the embeddings, then near-dup
+    only WITHIN clusters) - the embedding dual of the LSH stop-band
+    story: dedup_embed_cosine's label-blocked pairwise is lossless but
+    quadratic per block, while this caps every pairwise comparison
+    inside a k-means cell.  At 100 TB K scales as N/target_cell_size,
+    so per-cell work stays bounded AND the cell join key stays
+    high-cardinality; here K=16 reuses sim_ivf_topk's cached
+    deterministic index build (one build, many consumers - exactly how
+    a production pipeline amortizes the quantizer).
+
+    Per vector: keep=1 iff no earlier (lower vec_id) same-cell vector
+    has cosine >= 0.35 (threshold per dedup_embed_cosine's fixture
+    rationale); pruned rows carry dup_of = the LOWEST such earlier id
+    (deterministic canonical, the min-id survivor rule every dedup
+    family here uses) and max_cos = the strongest same-cell affinity.
+    Fully DuckDB-oracled via the shared IVF CTE chain - cells,
+    pairwise cosines, survivor labels all hash-checked."""
+    k_cells, tau = 16, 0.35
+    e = load(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    vecs = e.filter(
+        (F.col("vec_id") != 0) & F.col("embedding").isNotNull()
+    ).select("vec_id", "label", v.alias("v"), _vq_col(v).alias("vq"))
+    cent_rows = _ivf_centroid_rows(spark, sf, vecs, k_cells)
+    idx = _ivf_index(spark, sf, vecs, cent_rows).select("vec_id", "cell", "v")
+    x, y = idx.alias("x"), idx.alias("y")
+    cos = _cos_or_null(F.col("x.v"), F.col("y.v"))
+    hits = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(cos >= tau)
+        .groupBy(F.col("y.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("x.vec_id")).alias("dup_of"), F.max(cos).alias("mc"))
+    )
+    return idx.join(hits, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        "dup_of",
+        pround("mc", 4).alias("max_cos"),
+    )
+
+
 @query(
     "sim_label_centroid",
     oracle="""

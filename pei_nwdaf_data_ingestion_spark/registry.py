@@ -165,6 +165,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "graph_two_hop_reach": 6,
     "text_pii_scrub": 8,
     "sim_ivf_recall_audit": 8,
+    "dedup_semdedup": 8,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -234,6 +235,7 @@ _CHANGED_THIS_ROUND = [
     # them anyway; the pin makes CORRECTNESS_r08 inclusion deterministic)
     "text_pii_scrub",
     "sim_ivf_recall_audit",
+    "dedup_semdedup",
 ]
 
 

@@ -297,7 +297,27 @@ class TestIvfRecallAudit:
         assert row.recall_micro == common * 1_000_000 // row.n_exact
 
 
-class TestPiiScrub:
+class TestSemDedup:
+    def test_survivor_rule_invariants(self, spark):
+        """Every non-probe vector appears exactly once; keep=0 iff a
+        dup_of is reported; dup_of is always an EARLIER same-corpus id
+        (the min-id survivor rule); survivors dominate (a pruned row's
+        canonical is itself kept OR pruned toward a yet-earlier id -
+        chains always terminate at a kept minimum)."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.01"  # sf0.001 has too few within-cell pairs
+        got = registry.QUERIES["dedup_semdedup"](spark, sf).toPandas()
+        assert len(got) > 0
+        assert got.vec_id.is_unique
+        pruned = got[got.keep == 0]
+        kept = got[got.keep == 1]
+        assert len(pruned) > 0, "threshold vacuous on this fixture"
+        assert pruned.dup_of.notna().all() and kept.dup_of.isna().all()
+        assert (pruned.dup_of < pruned.vec_id).all()
+        # canonicals resolve within the corpus
+        assert pruned.dup_of.isin(got.vec_id).all()
     def test_injection_keyed_counts_and_output_shape(self, spark):
         """Counts must follow the doc_id-keyed injection rule exactly
         (>=1 email iff id%3==0 etc. - the organic corpus text contains
