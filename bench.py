@@ -86,6 +86,11 @@ HEADLINE = [
     "dedup_span_repeats",
     "sim_random_projection",
     "events_growth_accounting",
+    # round-8 additions: the map-side regex scrub over the full corpus
+    # (3x extract_all + 3x chained replace per row), and the cell-bounded
+    # embedding dedup reusing the cached IVF quantizer
+    "text_pii_scrub",
+    "dedup_semdedup",
 ]
 
 

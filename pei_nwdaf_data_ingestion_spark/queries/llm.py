@@ -1411,16 +1411,25 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     cent_rows = _ivf_centroid_rows(spark, sf, vecs, k_cells)
     idx = _ivf_index(spark, sf, vecs, cent_rows).select("vec_id", "cell", "v")
     x, y = idx.alias("x"), idx.alias("y")
-    cos = _cos_or_null(F.col("x.v"), F.col("y.v"))
-    hits = (
+    # join on (cell, id<) ONLY, then project the cosine ONCE per pair
+    # before filter + agg: folding it into the join condition makes
+    # Catalyst evaluate the 64-dim fold inside the condition AND again
+    # inside max() - projecting first halves the dominant cost
+    pairs = (
         x.join(
             y,
             (F.col("x.cell") == F.col("y.cell"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
-        .filter(cos >= tau)
-        .groupBy(F.col("y.vec_id").alias("vec_id"))
-        .agg(F.min(F.col("x.vec_id")).alias("dup_of"), F.max(cos).alias("mc"))
+        .select(
+            F.col("y.vec_id").alias("vec_id"),
+            F.col("x.vec_id").alias("cand"),
+            _cos_or_null(F.col("x.v"), F.col("y.v")).alias("c"),
+        )
+        .filter(F.col("c") >= tau)
+    )
+    hits = pairs.groupBy("vec_id").agg(
+        F.min("cand").alias("dup_of"), F.max("c").alias("mc")
     )
     return idx.join(hits, "vec_id", "left").select(
         "vec_id",
