@@ -2467,6 +2467,127 @@ def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 # training-mix construction + corpus reporting (round 5)
 # ---------------------------------------------------------------------------
 
+_DSIR_B = 128  # hashed n-gram feature buckets
+
+
+@query(
+    "pipeline_importance_dsir",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+    g AS (
+      SELECT t.doc_id, t.lang,
+             CAST(('0x' || substr(md5(t.toks[r.i] || ' ' || t.toks[r.i + 1]),
+                                  1, 6)) AS BIGINT) % {_DSIR_B} AS bucket
+      FROM t, LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) r),
+    b AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS raw_c,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tgt_c
+      FROM g GROUP BY bucket),
+    tot AS (
+      SELECT CAST(sum(raw_c) AS BIGINT) AS rn,
+             CAST(sum(tgt_c) AS BIGINT) AS tn
+      FROM b),
+    lw AS (
+      SELECT b.bucket,
+             CAST(floor(ln(((b.tgt_c + 1) * (tot.rn + {_DSIR_B}))
+                   / CAST((b.raw_c + 1) * (tot.tn + {_DSIR_B}) AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS lw
+      FROM b, tot),
+    d AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(lw.lw) AS BIGINT) AS w_micro
+      FROM g JOIN lw USING (bucket) GROUP BY g.doc_id)
+    SELECT doc_id, n_grams, w_micro,
+           CAST(floor(w_micro / CAST(n_grams AS DOUBLE)) AS BIGINT)
+             AS avg_w_micro,
+           CAST(CASE WHEN w_micro > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS selected
+    FROM d
+    """,
+)
+def pipeline_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """Data Selection via Importance Resampling, hashed-n-gram flavor
+    (DSIR, Xie et al. 2023): score every document by how much more
+    likely its hashed-bigram features are under the TARGET domain
+    (lang='en' here) than under the raw corpus, and keep the docs whose
+    aggregate log-ratio is positive - the importance-weighting step
+    between heuristic quality filters (pipeline_pretrain_filter) and
+    mixture sampling (pipeline_mix_sample) in a modern pretraining
+    pipeline.  Features are md5-bucketed bigrams ({_DSIR_B} buckets,
+    the pipeline_feature_hashing / Count-Min discipline - engine-
+    portable, fixed model size); bucket weights are
+    ln((tgt+1)(R+B) / ((raw+1)(T+B))) - add-one smoothed so empty
+    targets and unseen buckets degrade gracefully - floored to integer
+    micro-nats PER BUCKET before any per-doc sum (the js_divergence
+    discipline: sums stay order-independent integers, bit-identical
+    cross-engine; log arguments are ratios of exact integer products,
+    rescale to per-million counts once totals approach 2^53 at 100 TB).
+
+    Plan shape: one map-side bigram-hash explode; the bucket model is a
+    <= {_DSIR_B}-row agg (perfectly combinable, carries no text);
+    totals derive from the model, never a second corpus pass; the
+    per-doc scoring joins the BROADCAST {_DSIR_B}-row weight table back
+    onto the gram stream and aggregates per doc - two data-bounded
+    shuffles total, nothing grows with the vocabulary."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    base = d.filter(F.col("text").isNotNull() & (F.size(toks) >= 2)).select(
+        "doc_id", "lang", toks.alias("tk")
+    )
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - 1),"
+                f" i -> CAST(conv(substring(md5(concat(element_at(tk, i),"
+                f" ' ', element_at(tk, i + 1))), 1, 6), 16, 10) AS BIGINT)"
+                f" % {_DSIR_B})"
+            )
+        ).alias("bucket"),
+    )
+    b = grams.groupBy("bucket").agg(
+        F.count("*").alias("raw_c"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_c"),
+    )
+    tot = b.agg(F.sum("raw_c").alias("rn"), F.sum("tgt_c").alias("tn"))
+    lw = (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    ((F.col("tgt_c") + 1) * (F.col("rn") + _DSIR_B))
+                    / ((F.col("raw_c") + 1) * (F.col("tn") + _DSIR_B)).cast(
+                        "double"
+                    )
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("lw"),
+        )
+    )
+    docw = (
+        grams.join(F.broadcast(lw), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("lw").alias("w_micro"))
+    )
+    return docw.select(
+        "doc_id",
+        "n_grams",
+        "w_micro",
+        F.floor(F.col("w_micro") / F.col("n_grams").cast("double"))
+        .cast("long")
+        .alias("avg_w_micro"),
+        F.when(F.col("w_micro") > 0, 1).otherwise(0).cast("int").alias("selected"),
+    )
+
 
 @query(
     "pipeline_mix_sample",

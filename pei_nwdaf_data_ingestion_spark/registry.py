@@ -166,6 +166,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_pii_scrub": 8,
     "sim_ivf_recall_audit": 8,
     "dedup_semdedup": 8,
+    "pipeline_importance_dsir": 8,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -236,6 +237,7 @@ _CHANGED_THIS_ROUND = [
     "text_pii_scrub",
     "sim_ivf_recall_audit",
     "dedup_semdedup",
+    "pipeline_importance_dsir",
 ]
 
 

@@ -297,6 +297,31 @@ class TestIvfRecallAudit:
         assert row.recall_micro == common * 1_000_000 // row.n_exact
 
 
+class TestImportanceDsir:
+    def test_target_language_scores_higher(self, spark):
+        """DSIR's whole point: documents from the target domain (lang='en')
+        must carry higher importance weights than the rest - their hashed
+        bigrams ARE the target distribution.  Checked as both a mean gap
+        and a selection-rate gap; weights must be non-degenerate (both
+        signs present)."""
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.01"
+        got = registry.QUERIES["pipeline_importance_dsir"](spark, sf).toPandas()
+        langs = (
+            load(spark, sf, "documents").select("doc_id", "lang").toPandas()
+        )
+        m = got.merge(langs, on="doc_id")
+        en, rest = m[m.lang == "en"], m[m.lang != "en"]
+        assert len(en) > 0 and len(rest) > 0
+        assert en.avg_w_micro.mean() > rest.avg_w_micro.mean()
+        assert en.selected.mean() > rest.selected.mean()
+        assert (m.w_micro > 0).any() and (m.w_micro < 0).any()
+        assert ((m.selected == 1) == (m.w_micro > 0)).all()
+
+
 class TestSemDedup:
     def test_survivor_rule_invariants(self, spark):
         """Every non-probe vector appears exactly once; keep=0 iff a
