@@ -87,10 +87,12 @@ HEADLINE = [
     "sim_random_projection",
     "events_growth_accounting",
     # round-8 additions: the map-side regex scrub over the full corpus
-    # (3x extract_all + 3x chained replace per row), and the cell-bounded
-    # embedding dedup reusing the cached IVF quantizer
+    # (3x extract_all + 3x chained replace per row), the cell-bounded
+    # embedding dedup reusing the cached IVF quantizer, and the
+    # hashed-bigram importance scorer (explode + 128-row model + re-join)
     "text_pii_scrub",
     "dedup_semdedup",
+    "pipeline_importance_dsir",
 ]
 
 
