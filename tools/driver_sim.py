@@ -18,13 +18,19 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # layout, partition count or per-partition fold order fails the rerun.
 _CORES = os.environ.get("DRIVER_SIM_CORES", "8")
 _PARTS = os.environ.get("DRIVER_SIM_PARTITIONS", "8")
-spark = (
+_builder = (
     SparkSession.builder.master(f"local[{_CORES}]")
     .config("spark.sql.shuffle.partitions", _PARTS)
     .config("spark.sql.session.timeZone", "America/New_York")  # non-UTC probe
     .config("spark.driver.memory", "8g")
-    .getOrCreate()
 )
+# DRIVER_SIM_CONF="k=v,k=v" layers arbitrary session confs on top - e.g.
+# spark.sql.adaptive.enabled=false is the AQE-off invariance probe (results
+# must not depend on runtime re-planning / coalescing decisions)
+for _kv in filter(None, os.environ.get("DRIVER_SIM_CONF", "").split(",")):
+    _k, _, _v = _kv.partition("=")
+    _builder = _builder.config(_k.strip(), _v.strip())
+spark = _builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 ddb = duckdb.connect()
