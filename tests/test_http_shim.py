@@ -224,7 +224,11 @@ class _FakeNef:
                     self.send_header("Content-Length", "0")
                     self.end_headers()
                     return
-                body = json.dumps({"subscriptionId": "nef-sub-42"}).encode()
+                if mode == "list_body":
+                    # 2xx with a non-object JSON body (malformed NEF)
+                    body = json.dumps(["nef-sub-42"]).encode()
+                else:
+                    body = json.dumps({"subscriptionId": "nef-sub-42"}).encode()
                 self.send_response(201)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
@@ -341,6 +345,30 @@ def test_outbound_nef_upstream_error_maps_500(tmp_path):
     from pei_nwdaf_data_ingestion_spark.streaming.http_shim import NefClient
 
     nef = _FakeNef(mode="error")
+    shim, store = _shim_with_nef(tmp_path, NefClient())
+    try:
+        with shim:
+            base = f"http://{shim._server.server_address[0]}:{shim._server.server_address[1]}"
+            code, body = _request(
+                base,
+                "/nef/subscriptions",
+                "POST",
+                {"notifId": "n1", "nefUrl": nef.url, "events": ["E"]},
+            )
+        assert code == 500 and body["detail"].startswith("NEF subscription failed")
+        assert store.get("n1") is None
+    finally:
+        nef.stop()
+
+
+def test_outbound_nef_malformed_body_maps_500(tmp_path):
+    """A 2xx NEF response whose JSON body is not an object (here: a list)
+    must map to the reference's catch-all 500 "NEF subscription failed:
+    ..." (receiver.py:315-316), not raise in the handler thread
+    (ADVICE r8)."""
+    from pei_nwdaf_data_ingestion_spark.streaming.http_shim import NefClient
+
+    nef = _FakeNef(mode="list_body")
     shim, store = _shim_with_nef(tmp_path, NefClient())
     try:
         with shim:

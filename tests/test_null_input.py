@@ -94,3 +94,65 @@ def test_null_input_matches_oracle(spark, null_sf_dir, null_ddb, name):
     spark_pdf = registry.QUERIES[name](spark, null_sf_dir).toPandas()
     oracle_pdf = null_ddb.execute(registry.ORACLES[name]).fetchdf()
     assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+# --- probe-NULL case (ADVICE r8): the NULL_PLAN offsets above never null
+# row 0, so the ANN queries' probe row (vec_id=0) always survived the main
+# sweep and the "present row, NULL embedding" path was untested.  Spark's
+# _probe_or_none treats that row as 'no probe' (empty result); the oracles'
+# probe CTEs carry the matching 'AND embedding IS NOT NULL' guard - this
+# fixture pins the two stay in lockstep.
+
+PROBE_IDS = [
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_ivf_quantized_topk",
+    "sim_ivf_recall_audit",
+    "sim_pq_topk",
+    "sim_mmr_rerank",
+    "dedup_semdedup",  # shares the IVF CTE chain; probe unused, pin anyway
+]
+
+
+@pytest.fixture(scope="module")
+def probe_null_sf_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("probe_null_sf")
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+        if t == "embeddings":
+            vec_id = tbl.column("vec_id")
+            mask = pa.compute.equal(vec_id, 0)
+            cols = {
+                name: (
+                    pa.compute.if_else(
+                        mask,
+                        pa.nulls(tbl.num_rows, tbl.column(name).type),
+                        tbl.column(name),
+                    )
+                    if name == "embedding"
+                    else tbl.column(name)
+                )
+                for name in tbl.column_names
+            }
+            tbl = pa.table(cols)
+        pq.write_table(tbl, d / f"{t}.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", PROBE_IDS)
+def test_null_probe_matches_oracle(spark, probe_null_sf_dir, name):
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{probe_null_sf_dir}/{t}.parquet')"
+            )
+        spark_pdf = registry.QUERIES[name](spark, probe_null_sf_dir).toPandas()
+        oracle_pdf = con.execute(registry.ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, name)

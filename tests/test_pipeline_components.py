@@ -343,6 +343,9 @@ class TestSemDedup:
         assert (pruned.dup_of < pruned.vec_id).all()
         # canonicals resolve within the corpus
         assert pruned.dup_of.isin(got.vec_id).all()
+
+
+class TestPiiScrub:
     def test_injection_keyed_counts_and_output_shape(self, spark):
         """Counts must follow the doc_id-keyed injection rule exactly
         (>=1 email iff id%3==0 etc. - the organic corpus text contains
