@@ -303,6 +303,55 @@ def main() -> None:
                     superlinear.append(n)
             superlinear.sort()
 
+    # hi-scale growth sweep (VERDICT r8 item 3): the sf0.01->sf0.1 sweep is
+    # floor-dominated on every sub-0.5 s shape (the overhead adjustment
+    # mostly measures scheduler constants there), so exponents are ALSO
+    # measured one decade UP - sf0.1 -> sf1 (6M-row lineitem), where the
+    # floor is noise and the slope measures data scaling.  Fixtures are the
+    # deterministic 10x derivation of tools/gen_sf1.py (gitignored;
+    # regenerate in ~1 min); the sweep is skipped silently when absent.
+    sweep_hi: dict = {}
+    growth_hi: dict = {}
+    superlinear_hi: list = []
+    sf_hi_name = ""
+    if os.environ.get("SPARK_GRAFT_SF_SWEEP", "1") != "0":
+        hi_dir = os.environ.get("SPARK_GRAFT_SF_HI_DIR") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "testdata_sf1", "sf1"
+        )
+        try:
+            base_v = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+            hi_v = float(hi_dir.rstrip("/").rsplit("sf", 1)[-1])
+        except ValueError:
+            base_v = hi_v = 0.0
+        if (
+            os.path.isdir(hi_dir)
+            and os.path.abspath(hi_dir) != os.path.abspath(sf_dir)
+            and hi_v > base_v > 0.0
+        ):
+            sf_hi_name = hi_dir.rstrip("/").rsplit("sf", 1)[-1]
+            os.environ["SPARK_GRAFT_CACHE"] = "1"
+            os.environ.pop("SPARK_GRAFT_COLD_FANOUT", None)
+            for t in catalog.TABLES:
+                try:
+                    catalog.load(spark, hi_dir, t).count()
+                except Exception as exc:  # noqa: BLE001
+                    print(f"bench: hi-sf warmup failed for {t}: {exc}",
+                          file=sys.stderr)
+            sweep_hi = sweep(hi_dir)
+            floor = max(calib_start, calib_end)
+            ratio = math.log(hi_v / base_v)
+            for n, t_hi in sweep_hi.items():
+                t_base = times.get(n)
+                if not (isinstance(t_hi, float) and isinstance(t_base, float)):
+                    continue
+                adj_hi = max(t_hi - floor, 0.005)
+                adj_base = max(t_base - floor, 0.005)
+                g = round(math.log(adj_hi / adj_base) / ratio, 3)
+                growth_hi[n] = g
+                if g > 1.1 and t_hi > 0.5:
+                    superlinear_hi.append(n)
+            superlinear_hi.sort()
+
     def total_ok(sweep_out: dict) -> float:
         return round(sum(v for v in sweep_out.values() if isinstance(v, float)), 4)
 
@@ -402,6 +451,15 @@ def main() -> None:
         payload["lo_queries"] = sweep_lo
         payload["growth_exponent"] = growth
         payload["superlinear"] = superlinear
+    if sweep_hi:
+        payload["sf_hi"] = (
+            float(sf_hi_name)
+            if sf_hi_name.replace(".", "").isdigit()
+            else sf_hi_name
+        )
+        payload["hi_queries"] = sweep_hi
+        payload["growth_exponent_hi"] = growth_hi
+        payload["superlinear_hi"] = superlinear_hi
     if noisy_host:
         payload["flags_suppressed_by_noise"] = suppressed
     if errors:
@@ -425,10 +483,8 @@ def main() -> None:
         k: v
         for k, v in payload.items()
         if k not in ("queries", "uncached_queries", "lo_queries",
-                     "growth_exponent")
+                     "growth_exponent", "hi_queries", "growth_exponent_hi")
     }
-    if "superlinear" in payload:
-        summary["superlinear"] = payload["superlinear"]
     summary["full"] = "BENCH_full.json"
     with_queries = dict(summary)
     with_queries["queries"] = times

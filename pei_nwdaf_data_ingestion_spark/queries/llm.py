@@ -996,11 +996,13 @@ def _ivf_centroid_rows(
     floor() agrees cross-engine; integer `div` would not - Spark
     truncates toward zero, DuckDB floors).
 
-    Cached per (application, table): an IVF index is built once and probed
-    many times in any real deployment, and the build is fully
+    Cached per (application, table, K): an IVF index is built once and
+    probed many times in any real deployment, and the build is fully
     deterministic, so re-running Lloyd on every query invocation would
-    only re-derive the identical K x dim table."""
-    cache_key = (spark.sparkContext.applicationId, sf)
+    only re-derive the identical K x dim table.  K is part of the key
+    because dedup_semdedup's quantizer scales K with corpus size while
+    the ANN probes pin K=16 - the two must never share a cache row."""
+    cache_key = (spark.sparkContext.applicationId, sf, k_cells)
     cent_rows = _IVF_CENTROIDS.get(cache_key)
     if cent_rows is None:
         # deterministic init: K lowest vec_ids (stable across runs/engines)
@@ -1037,7 +1039,7 @@ def _ivf_index(
     (The Lloyd iterations inside _ivf_centroid_rows still call _ivf_assign
     directly - their assignments change per round and must NOT be
     cached.)"""
-    key = (spark.sparkContext.applicationId, sf)
+    key = (spark.sparkContext.applicationId, sf, len(cent_rows))
     df = _IVF_INDEX_CACHE.get(key)
     if df is None:
         df = _ivf_assign(vecs, _ivf_cents_df(spark, cent_rows)).localCheckpoint(
@@ -1400,11 +1402,15 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     only WITHIN clusters) - the embedding dual of the LSH stop-band
     story: dedup_embed_cosine's label-blocked pairwise is lossless but
     quadratic per block, while this caps every pairwise comparison
-    inside a k-means cell.  At 100 TB K scales as N/target_cell_size,
-    so per-cell work stays bounded AND the cell join key stays
-    high-cardinality; here K=16 reuses sim_ivf_topk's cached
-    deterministic index build (one build, many consumers - exactly how
-    a production pipeline amortizes the quantizer).
+    inside a k-means cell.  K scales as N/target_cell_size (K =
+    max(16, N/128), round 9): per-cell work stays BOUNDED as the
+    corpus grows - fixed K would make the within-cell pairwise
+    quadratic again at 10x the data - and the cell join key stays
+    high-cardinality.  At every oracle-compared scale (<= 2048
+    vectors) the floor gives K=16, so this reuses sim_ivf_topk's
+    cached deterministic index build (one build, many consumers -
+    exactly how a production pipeline amortizes the quantizer) and
+    the static oracle CTE chain replays the identical cells.
 
     Per vector: keep=1 iff no earlier (lower vec_id) same-cell vector
     has cosine >= 0.35 (threshold per dedup_embed_cosine's fixture
@@ -1413,12 +1419,15 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     family here uses) and max_cos = the strongest same-cell affinity.
     Fully DuckDB-oracled via the shared IVF CTE chain - cells,
     pairwise cosines, survivor labels all hash-checked."""
-    k_cells, tau = 16, 0.35
+    tau = 0.35
     e = load(spark, sf, "embeddings")
     v = F.col("embedding").cast("array<double>")
     vecs = e.filter(
         (F.col("vec_id") != 0) & F.col("embedding").isNotNull()
     ).select("vec_id", "label", v.alias("v"), _vq_col(v).alias("vq"))
+    # one metadata-cheap count sizes the quantizer; at production scale
+    # N is known from the table catalog and the count disappears
+    k_cells = max(16, vecs.count() // 128)
     cent_rows = _ivf_centroid_rows(spark, sf, vecs, k_cells)
     idx = _ivf_index(spark, sf, vecs, cent_rows).select("vec_id", "cell", "v")
     x, y = idx.alias("x"), idx.alias("y")
