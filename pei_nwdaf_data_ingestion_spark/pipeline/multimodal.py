@@ -2,10 +2,14 @@
 with typed metadata (north-star mandate, BASELINE.json:6).
 
 The Spark-side structure is real and tested - schema, partitioning, Arrow
-batch shape, mapInPandas signatures.  The actual media decode is STUBBED:
-the container has no image/audio libraries, so `decode_stub` derives
-deterministic fake features from the bytes (and the import-try below shows
-where PIL/librosa would slot in).  Swapping the stub for a real decoder
+batch shape, mapInPandas signatures.  Since round 9 the DECODE path is
+real too: fixture blobs are valid BMP / RIFF-WAVE / BMP-sequence
+containers (build_media_blob) and decode_media struct-parses them -
+headers, row padding, bottom-up storage, chunk walking, frame boundaries
+- with no media library needed.  `decode_stub` (hash-derived fake feature
+vectors) remains for the FEATURE-vector plumbing whose real counterpart
+(PIL/librosa embeddings) genuinely needs libraries this container lacks;
+the import-try below shows where they would slot in, and swapping them in
 changes no Spark plumbing.
 
 Scale notes: media blobs make rows wide - the repartition knob on
@@ -71,10 +75,148 @@ def _make_stub_decoder(n_features: int = N_FEATURES):
 decode_stub = _make_stub_decoder()
 
 
-def decode_real(blob: bytes) -> list[float]:
-    """Where a real decoder goes; explicit NotImplementedError per the
-    build mandate (media libs absent from this container)."""
-    raise NotImplementedError("media decode requires PIL/librosa/pyav")
+def _make_media_builder():
+    """Deterministic VALID media containers from an integer seed (closure -
+    see _make_stub_decoder's pickling note).  Round 9 (VERDICT r8 item 4):
+    the fixture blobs were synthesized anyway, so they are now real
+    stdlib-decodable formats instead of opaque bytes -
+      image: 24-bpp uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+             bottom-up row storage, 4-byte row padding),
+      audio: PCM16 mono RIFF/WAVE with an extra LIST chunk before `data`
+             (forces a real chunk walk, like in-the-wild WAVs),
+      video: a sequence of 3 concatenated BMP keyframes (frame boundaries
+             recovered from each header's bfSize field).
+    Pixel/sample streams are integer functions of the seed, so the DuckDB
+    oracle replays the decoded statistics exactly."""
+    import struct
+
+    def bmp(seed: int, w: int, h: int) -> bytes:
+        row_raw = w * 3
+        pad = (4 - row_raw % 4) % 4
+        px = bytes((seed * 37 + i * 11) % 256 for i in range(w * h * 3))
+        body = b"".join(
+            px[r * row_raw : (r + 1) * row_raw] + b"\x00" * pad
+            for r in range(h - 1, -1, -1)  # bottom-up storage, per the spec
+        )
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+            )
+            + body
+        )
+
+    def wav(seed: int, n: int) -> bytes:
+        data = struct.pack(
+            "<%dh" % n,
+            *(((seed * 131 + i * 17) % 65536) - 32768 for i in range(n)),
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        junk = bytes((seed + j) % 256 for j in range(8))  # even-length LIST
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", len(junk)) + junk
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b"")  # RIFF word alignment
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def build(doc_id: int) -> bytes:
+        m = doc_id % 3
+        w, h = 4 + doc_id % 5, 2 + doc_id % 3
+        if m == 0:
+            return bmp(doc_id, w, h)
+        if m == 1:
+            return wav(doc_id, 16 + doc_id % 17)
+        return b"".join(bmp(doc_id + 7919 * f, w, h) for f in range(3))
+
+    return build
+
+
+build_media_blob = _make_media_builder()
+
+
+def _make_media_decoder():
+    """Real stdlib media decode (struct-based; closure for pickling).
+    Returns per-blob container stats as a dict; raises ValueError on an
+    unrecognized or malformed container - the strictness a quarantine
+    path wants, tested directly."""
+    import struct
+
+    def decode_bmp(blob: bytes, off: int):
+        if blob[off : off + 2] != b"BM":
+            raise ValueError("not a BMP frame")
+        size, _r1, _r2, offbits = struct.unpack_from("<IHHI", blob, off + 2)
+        bisize, w, h, planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", blob, off + 14
+        )
+        if bisize != 40 or planes != 1 or bpp != 24 or comp != 0:
+            raise ValueError("unsupported BMP variant")
+        top_down = h < 0
+        hh = -h if top_down else h
+        row_raw = w * 3
+        stride = row_raw + (4 - row_raw % 4) % 4
+        if off + offbits + stride * hh > len(blob):
+            raise ValueError("truncated BMP pixel array")
+        rows: list[bytes] = [b""] * hh
+        order = range(hh) if top_down else range(hh - 1, -1, -1)
+        for storage_idx, r in enumerate(order):
+            start = off + offbits + storage_idx * stride
+            rows[r] = blob[start : start + row_raw]  # padding stripped
+        return size, w, hh, b"".join(rows)  # top-down raster order
+
+    def decode(blob: bytes) -> dict:
+        if blob is None:
+            raise ValueError("NULL blob")
+        if blob[:2] == b"BM":
+            frames = []
+            off = 0
+            w = h = 0
+            while off < len(blob):
+                size, w, h, px = decode_bmp(blob, off)
+                frames.append(px)
+                off += size
+            units = b"".join(frames)
+            return {
+                "fmt": "bmp" if len(frames) == 1 else "bmpseq",
+                "width": w,
+                "height": h,
+                "n_frames": len(frames),
+                "units": list(units),
+            }
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            off = 12
+            samples = None
+            while off + 8 <= len(blob):
+                cid = blob[off : off + 4]
+                clen = struct.unpack_from("<I", blob, off + 4)[0]
+                if cid == b"fmt ":
+                    tag, ch, _rate, _br, _ba, bits = struct.unpack_from(
+                        "<HHIIHH", blob, off + 8
+                    )
+                    if (tag, ch, bits) != (1, 1, 16):
+                        raise ValueError("unsupported WAV encoding")
+                elif cid == b"data":
+                    samples = list(
+                        struct.unpack_from("<%dh" % (clen // 2), blob, off + 8)
+                    )
+                off += 8 + clen + (clen & 1)  # chunks are word-aligned
+            if samples is None:
+                raise ValueError("WAV without a data chunk")
+            return {
+                "fmt": "wav",
+                "width": None,
+                "height": None,
+                "n_frames": None,
+                "units": samples,
+            }
+        raise ValueError("unknown media container")
+
+    return decode
+
+
+decode_media = _make_media_decoder()
 
 
 def extract_features(assets: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -103,6 +245,87 @@ def extract_features(assets: DataFrame, partitions: int | None = None) -> DataFr
             )
 
     return assets.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+MEDIA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("unit_sum", T.LongType()),
+        T.StructField("unit_min", T.LongType()),
+        T.StructField("unit_max", T.LongType()),
+        T.StructField("first_unit", T.LongType()),
+        T.StructField("last_unit", T.LongType()),
+    ]
+)
+
+
+def synthesize_media_assets(documents: DataFrame) -> DataFrame:
+    """Valid BMP/WAV/BMP-sequence blobs keyed by doc_id (media_type cycles
+    image/audio/video on doc_id % 3, same rule as synthesize_assets).
+    mapInPandas so the blobs enter Spark exactly the way real media would:
+    as an Arrow binary column built Python-side."""
+    builder_factory = _make_media_builder
+
+    def _synth(batches):
+        build = builder_factory()
+        names = {0: "image", 1: "audio", 2: "video"}
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": ids.map(lambda i: names[i % 3]),
+                    "content": ids.map(lambda i: build(int(i))),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _synth,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("media_type", T.StringType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_media_stats(assets: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode over the binary column: struct-parse the
+    container (BMP header + padding + bottom-up rows / RIFF chunk walk /
+    BMP-sequence frame boundaries) and reduce the decoded pixel bytes or
+    PCM samples to integer stats.  Replaces round 1-8's decode stub - the
+    last NotImplementedError seam (VERDICT r8 item 4)."""
+    decoder_factory = _make_media_decoder
+
+    def _decode(batches):
+        decode = decoder_factory()
+        for pdf in batches:
+            rows = []
+            for aid, mt, blob in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["content"]
+            ):
+                d = decode(bytes(blob))
+                u = d["units"]
+                rows.append(
+                    (
+                        int(aid), mt, d["fmt"], d["width"], d["height"],
+                        d["n_frames"], len(u), sum(u), min(u), max(u),
+                        u[0], u[-1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_STATS_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(_decode, MEDIA_STATS_SCHEMA)
 
 
 def synthesize_assets(documents: DataFrame) -> DataFrame:

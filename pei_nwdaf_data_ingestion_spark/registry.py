@@ -180,10 +180,13 @@ ADDED_IN_ROUND: dict[str, int] = {
 # the ANN oracles' probe CTEs, with the matching Spark-side guards in
 # sim_cosine_topk / sim_mmr_rerank - fixture results unchanged, the probe
 # row is never NULL there, but code+oracle both moved).
-# Budget check: 11 pins < the driver's ~50-slot window (the remaining
-# ~39 slots still drain the stalest unpinned ids).
+# multimodal_decode gained a full DuckDB oracle in round 9 (real BMP/WAV
+# decode replaced the stub) - its first hash signal must land this round.
+# Budget check: 12 pins < the driver's ~50-slot window (the remaining
+# ~38 slots still drain the stalest unpinned ids).
 _CHANGED_ROUND = 9
 _CHANGED_THIS_ROUND = [
+    "multimodal_decode",
     # hot-bucket star respell (plan-only, result-identical; re-hash)
     "dedup_minhash_lsh",
     "dedup_two_stage",

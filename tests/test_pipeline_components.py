@@ -396,6 +396,93 @@ class TestPiiScrub:
         assert (agg.e, agg.p, agg.i) == (0, 0, 0)
 
 
+class TestMediaDecode:
+    """The round-9 real decode path (pipeline/multimodal.build_media_blob
+    + decode_media): struct-level container parsing, pinned on hand-checked
+    seeds so a decoder that merely re-derives stats from doc_id formulas
+    (instead of parsing bytes) or skips the bottom-up row un-reversal
+    cannot pass."""
+
+    def test_bmp_roundtrip_restores_raster_order(self):
+        from pei_nwdaf_data_ingestion_spark.pipeline.multimodal import (
+            build_media_blob,
+            decode_media,
+        )
+
+        seed = 9  # image (9 % 3 == 0): w = 4 + 9%5 = 8, h = 2 + 9%3 = 2
+        blob = build_media_blob(seed)
+        assert blob[:2] == b"BM"
+        d = decode_media(blob)
+        assert (d["fmt"], d["width"], d["height"], d["n_frames"]) == ("bmp", 8, 2, 1)
+        want = [(seed * 37 + i * 11) % 256 for i in range(8 * 2 * 3)]
+        # exact unit stream in TOP-DOWN raster order: the file stores rows
+        # bottom-up, so a decoder that skips the un-reversal returns the
+        # same multiset in a different order and fails on units[0]
+        assert d["units"] == want
+        assert d["units"][0] == (seed * 37) % 256
+
+    def test_bmp_row_padding_stripped(self):
+        from pei_nwdaf_data_ingestion_spark.pipeline.multimodal import (
+            build_media_blob,
+            decode_media,
+        )
+
+        seed = 6  # w = 4 + 6%5 = 5 -> row_raw 15, pad 1 (non-4-multiple)
+        d = decode_media(build_media_blob(seed))
+        assert d["width"] == 5
+        assert len(d["units"]) == 5 * d["height"] * 3
+        assert d["units"] == [
+            (seed * 37 + i * 11) % 256 for i in range(5 * d["height"] * 3)
+        ]
+
+    def test_wav_chunk_walk_skips_list_chunk(self):
+        from pei_nwdaf_data_ingestion_spark.pipeline.multimodal import (
+            build_media_blob,
+            decode_media,
+        )
+
+        seed = 7  # audio (7 % 3 == 1): n = 16 + 7%17 = 23 samples
+        blob = build_media_blob(seed)
+        assert blob[:4] == b"RIFF" and b"LIST" in blob
+        d = decode_media(blob)
+        assert d["fmt"] == "wav" and d["width"] is None
+        assert d["units"] == [
+            ((seed * 131 + i * 17) % 65536) - 32768 for i in range(23)
+        ]
+
+    def test_video_frame_boundaries(self):
+        from pei_nwdaf_data_ingestion_spark.pipeline.multimodal import (
+            build_media_blob,
+            decode_media,
+        )
+
+        seed = 5  # video (5 % 3 == 2): w = 9, h = 4, 3 frames
+        d = decode_media(build_media_blob(seed))
+        assert (d["fmt"], d["n_frames"]) == ("bmpseq", 3)
+        per_frame = d["width"] * d["height"] * 3
+        assert len(d["units"]) == 3 * per_frame
+        for f in range(3):
+            fs = seed + 7919 * f
+            assert d["units"][f * per_frame] == (fs * 37) % 256
+            assert (
+                d["units"][(f + 1) * per_frame - 1]
+                == (fs * 37 + (per_frame - 1) * 11) % 256
+            )
+
+    def test_malformed_blobs_rejected(self):
+        from pei_nwdaf_data_ingestion_spark.pipeline.multimodal import (
+            build_media_blob,
+            decode_media,
+        )
+
+        with pytest.raises(ValueError):
+            decode_media(b"GIF89a not a supported container")
+        with pytest.raises(ValueError):
+            decode_media(build_media_blob(9)[:40])  # truncated pixel array
+        with pytest.raises(ValueError):
+            decode_media(None)
+
+
 class TestMultimodal:
     def test_decode_stub_deterministic(self):
         a = decode_stub(b"hello")
