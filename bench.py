@@ -99,6 +99,11 @@ HEADLINE = [
     "text_pii_scrub",
     "dedup_semdedup",
     "pipeline_importance_dsir",
+    # round-9 additions: the corpus-rewrite paragraph dedup (chunk explode
+    # + hash-keyed winner join + per-doc ordered rebuild) and the domain
+    # reweighting step (token explode + vocabulary-bounded chain)
+    "text_paragraph_dedup",
+    "pipeline_mixture_doremi",
 ]
 
 

@@ -2303,6 +2303,67 @@ def text_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE text IS NOT NULL) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           floor(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                 / nullif(CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 0)
+                 * 10000.0 + 0.5) / 10000.0 AS fertility,
+           floor(sum(length(text))
+                 / nullif(CAST(sum(len(regexp_extract_all(text,
+                     '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE), 0)
+                 * 10000.0 + 0.5) / 10000.0 AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def pipeline_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-ish tokens per
+    whitespace word and characters per token - the numbers that size a
+    tokenizer's cost and bias across languages BEFORE a pretraining run
+    (fertility >> 1 on a language means its documents consume
+    proportionally more sequence budget per word; the standard
+    multilingual-tokenizer fairness metric, e.g. Rust et al. 2021 'How
+    Good is Your Tokenizer?').  Same regex token rule as
+    text_token_count_bpe; pure map-side counts into one combinable
+    per-lang agg - zero joins, one shuffle of 5 rows, unchanged at
+    100 TB."""
+    d = load(spark, sf, "documents")
+    words = F.size(F.split("text", " "))
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+    )
+    g = d.groupBy("lang").agg(
+        F.count(F.when(F.col("text").isNotNull(), 1)).alias("n_docs"),
+        F.sum(words).alias("n_words"),
+        F.sum(bpe).alias("n_bpe_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    safe_words = F.when(F.col("n_words") == 0, None).otherwise(F.col("n_words"))
+    safe_bpe = F.when(F.col("n_bpe_tokens") == 0, None).otherwise(
+        F.col("n_bpe_tokens")
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        pround(F.col("n_bpe_tokens") / safe_words.cast("double"), 4).alias(
+            "fertility"
+        ),
+        pround(F.col("n_chars") / safe_bpe.cast("double"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 # marker vocabularies for the language-ID heuristic: disjoint subsets of the
 # fixture vocabulary so per-doc scores actually vary (the fixture's text is
 # synthetic; what's under test is the scoring operator, not linguistics)
@@ -2400,6 +2461,102 @@ def text_chunking(spark: SparkSession, sf: str) -> DataFrame:
         F.col("start").cast("long").alias("chunk_start"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@query(
+    "text_paragraph_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    occ AS (
+      SELECT doc_id, s.start,
+             array_to_string(list_slice(t, s.start, least(n, s.start + 9)), ' ') AS c,
+             doc_id * 100000 + s.start AS occ_key
+      FROM toks
+      JOIN LATERAL (SELECT unnest(range(1, n + 1, 10)) AS start) s ON true),
+    win AS (SELECT md5(c) AS h, min(occ_key) AS w FROM occ GROUP BY md5(c)),
+    k AS (
+      SELECT o.doc_id, o.start, o.c, (o.occ_key = win.w) AS keep
+      FROM occ o JOIN win ON md5(o.c) = win.h)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(length(coalesce(
+             string_agg(c, ' ' ORDER BY start) FILTER (WHERE keep), ''))
+             AS BIGINT) AS kept_len,
+           md5(coalesce(
+             string_agg(c, ' ' ORDER BY start) FILTER (WHERE keep), ''))
+             AS kept_md5
+    FROM k GROUP BY doc_id
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-level corpus-wide dedup with document REWRITE - the
+    CCNet / Dolma line-dedup stage (Wenzek et al. 2020 dedup lines
+    across shards before langid; Dolma's para_dedup): a repeated
+    paragraph survives only at its globally FIRST occurrence (lowest
+    (doc_id, position)); every other copy is cut and the document is
+    REBUILT from its surviving paragraphs in order.  This is the family
+    the per-document dedups cannot express: the unit removed is inside
+    the document, but the removal decision needs corpus-wide counts.
+    The fixture corpus has no newlines, so 'paragraph' = the
+    non-overlapping 10-token window (text_chunking's unit at stride =
+    size); a real corpus swaps the chunker for split-on-newline and
+    nothing else changes.
+
+    Plan: map-side chunk explode -> md5 -> groupBy(hash) min
+    (combinable partial agg; the argmin is the PACKED integer
+    doc_id * 100000 + start, the engine-portable argmin spelling -
+    bounded to docs under 100k tokens, fine for any pretraining corpus
+    where oversized docs are pre-split) -> hash-keyed equi-join of the
+    winner table back onto the occurrences (linear per occurrence even
+    on a boilerplate paragraph shared by millions of docs - AQE's
+    skew split handles a hot HASH key because this join's output is
+    1:1, unlike the pairwise joins the stop-band cap guards) -> per-doc
+    rebuild via null-skipping collect_list of (start, chunk) structs,
+    array_sort, concat.  kept_md5 hash-pins the rebuilt TEXT, not just
+    counts, so chunk order survives the shuffle."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+    occ = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(10))).alias("start"),
+        "t",
+    ).select(
+        "doc_id",
+        "start",
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("start"), F.lit(10))).alias("c"),
+        (F.col("doc_id") * 100000 + F.col("start")).alias("occ_key"),
+    )
+    win = occ.groupBy(F.md5("c").alias("h")).agg(F.min("occ_key").alias("w"))
+    j = occ.join(win, F.md5(occ["c"]) == win["h"]).select(
+        "doc_id",
+        "start",
+        "c",
+        (F.col("occ_key") == F.col("w")).alias("keep"),
+    )
+    agged = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(  # collect_list drops NULLs: kept chunks only
+                F.when(
+                    F.col("keep"), F.struct(F.col("start").alias("s"), F.col("c").alias("c"))
+                )
+            )
+        ).alias("ks"),
+    )
+    rebuilt = F.concat_ws(" ", F.transform("ks", lambda x: x["c"]))
+    return agged.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.length(rebuilt).cast("long").alias("kept_len"),
+        F.md5(rebuilt).alias("kept_md5"),
     )
 
 
@@ -2657,6 +2814,129 @@ def pipeline_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         "source",
         pround(F.lit(16.0) / k, 4).alias("mix_weight"),
+    )
+
+
+@query(
+    "pipeline_mixture_doremi",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    grp AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, token),
+    freq AS (SELECT token, CAST(sum(c) AS BIGINT) AS nf FROM grp GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM grp),
+    sc AS (
+      SELECT g.lang, g.c,
+             CAST(floor(-ln(f.nf / CAST(t.total AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS mn
+      FROM grp g JOIN freq f USING (token) CROSS JOIN tot t),
+    dom AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(c * mn) AS BIGINT) AS s
+      FROM sc GROUP BY lang),
+    davg AS (
+      SELECT lang, n_tokens,
+             CAST(floor(s / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS avg_nll_micro
+      FROM dom),
+    gavg AS (
+      SELECT CAST(floor(sum(s) / CAST(sum(n_tokens) AS DOUBLE)) AS BIGINT) AS g
+      FROM dom),
+    w AS (
+      SELECT d.lang, d.n_tokens, d.avg_nll_micro,
+             CAST(d.avg_nll_micro - g.g AS BIGINT) AS excess_micro,
+             CAST(floor(1000000.0
+                        * (4000000 + greatest(-2000000,
+                                              least(2000000,
+                                                    d.avg_nll_micro - g.g)))
+                        / 4000000.0) AS BIGINT) AS w_micro
+      FROM davg d CROSS JOIN gavg g),
+    tw AS (SELECT CAST(sum(w_micro) AS BIGINT) AS t FROM w)
+    SELECT lang, n_tokens, avg_nll_micro, excess_micro, w_micro,
+           CAST(floor(w_micro * 1000000.0 / CAST(tw.t AS DOUBLE)) AS BIGINT)
+             AS mix_micro
+    FROM w CROSS JOIN tw
+    """,
+)
+def pipeline_mixture_doremi(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture reweighting, DoReMi-flavored (Xie et al. 2023,
+    'DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining'): per-domain EXCESS loss against the corpus-wide
+    reference drives a multiplicative-weights update of the sampling
+    mixture - domains the reference model finds harder than average get
+    upweighted.  This is the mixing step BETWEEN importance scoring
+    (pipeline_importance_dsir) and stratified sampling
+    (pipeline_mix_sample) in a modern pretraining pipeline.  Honest
+    scope: the loss proxy is the corpus-unigram NLL
+    (text_perplexity_proxy's model, micro-nat integers) and the update
+    is ONE linearized multiplicative-weights step
+    w = 1 + eta * clip(excess), eta = 1/(4 nats), clipped at +-2 nats -
+    DoReMi's inner Group-DRO loop needs a trained proxy model; the
+    published update rule's data-plane arithmetic is what runs here,
+    and it runs in exact integers (micro-nats; every division is
+    floor-of-double, the engine-portable spelling).
+
+    Plan: one token explode feeds a combinable (lang, token) count;
+    the unigram model and totals derive FROM that aggregate (no second
+    corpus pass, unlike DSIR's two-consumer plan); everything after the
+    first agg is vocabulary-bounded, and the domain/global tables are
+    single-digit rows - broadcast cross joins, zero driver state."""
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    grp = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    grp = grp.localCheckpoint(eager=False)  # one explode, three consumers
+    freq = grp.groupBy("token").agg(F.sum("c").alias("nf"))
+    tot = grp.agg(F.sum("c").alias("total"))
+    mn = F.floor(
+        -F.log(F.col("nf") / F.col("total").cast("double")) * 1000000.0 + 0.5
+    ).cast("long")
+    sc = (
+        grp.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "c", mn.alias("mn"))
+    )
+    dom = sc.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("mn")).alias("s"),
+    )
+    davg = dom.select(
+        "lang",
+        "n_tokens",
+        F.floor(F.col("s") / F.col("n_tokens").cast("double"))
+        .cast("long")
+        .alias("avg_nll_micro"),
+        "s",
+    )
+    gavg = dom.agg(
+        F.floor(F.sum("s") / F.sum("n_tokens").cast("double"))
+        .cast("long")
+        .alias("g")
+    )
+    excess = F.col("avg_nll_micro") - F.col("g")
+    clipped = F.greatest(F.lit(-2000000), F.least(F.lit(2000000), excess))
+    w = davg.crossJoin(F.broadcast(gavg)).select(
+        "lang",
+        "n_tokens",
+        "avg_nll_micro",
+        excess.cast("long").alias("excess_micro"),
+        F.floor(F.lit(1000000.0) * (F.lit(4000000) + clipped) / F.lit(4000000.0))
+        .cast("long")
+        .alias("w_micro"),
+    )
+    tw = w.agg(F.sum("w_micro").alias("t"))
+    return w.crossJoin(F.broadcast(tw)).select(
+        "lang",
+        "n_tokens",
+        "avg_nll_micro",
+        "excess_micro",
+        "w_micro",
+        F.floor(F.col("w_micro") * 1000000.0 / F.col("t").cast("double"))
+        .cast("long")
+        .alias("mix_micro"),
     )
 
 

@@ -167,6 +167,9 @@ ADDED_IN_ROUND: dict[str, int] = {
     "sim_ivf_recall_audit": 8,
     "dedup_semdedup": 8,
     "pipeline_importance_dsir": 8,
+    "text_paragraph_dedup": 9,
+    "pipeline_mixture_doremi": 9,
+    "pipeline_tokenizer_fertility": 9,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -181,12 +184,18 @@ ADDED_IN_ROUND: dict[str, int] = {
 # sim_cosine_topk / sim_mmr_rerank - fixture results unchanged, the probe
 # row is never NULL there, but code+oracle both moved).
 # multimodal_decode gained a full DuckDB oracle in round 9 (real BMP/WAV
-# decode replaced the stub) - its first hash signal must land this round.
-# Budget check: 12 pins < the driver's ~50-slot window (the remaining
-# ~38 slots still drain the stalest unpinned ids).
+# decode replaced the stub) - its first hash signal must land this round -
+# and three new round-9 ids (paragraph dedup, DoReMi mixture, tokenizer
+# fertility) need their first signal.
+# Budget check: 15 pins < the driver's ~50-slot window (the remaining
+# ~35 slots still drain the stalest unpinned ids).
 _CHANGED_ROUND = 9
 _CHANGED_THIS_ROUND = [
     "multimodal_decode",
+    # new ids this round (pin makes CORRECTNESS_r09 inclusion deterministic)
+    "text_paragraph_dedup",
+    "pipeline_mixture_doremi",
+    "pipeline_tokenizer_fertility",
     # hot-bucket star respell (plan-only, result-identical; re-hash)
     "dedup_minhash_lsh",
     "dedup_two_stage",

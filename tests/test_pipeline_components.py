@@ -322,6 +322,120 @@ class TestImportanceDsir:
         assert ((m.selected == 1) == (m.w_micro > 0)).all()
 
 
+class TestParagraphDedup:
+    @pytest.fixture(scope="class")
+    def para_sf_dir(self, tmp_path_factory):
+        """Hand-built 10-token-chunk structure: X+Y / X+Z / fresh."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cx = " ".join(f"x{i}" for i in range(10))  # shared chunk
+        cy = " ".join(f"y{i}" for i in range(10))
+        cz = " ".join(f"z{i}" for i in range(10))
+        cw = " ".join(f"w{i}" for i in range(10))
+        rows = [
+            (1, f"{cx} {cy}", "en", "srcA"),
+            (2, f"{cx} {cz}", "en", "srcA"),  # loses its copy of X
+            (3, f"{cw}", "en", "srcB"),
+        ]
+        d = tmp_path_factory.mktemp("para")
+        ids, texts, langs, sources = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    def test_first_occurrence_wins_and_text_rebuilt(self, spark, para_sf_dir):
+        import hashlib
+
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        got = {
+            r["doc_id"]: r
+            for r in registry.QUERIES["text_paragraph_dedup"](
+                spark, para_sf_dir
+            ).collect()
+        }
+        cx = " ".join(f"x{i}" for i in range(10))
+        cy = " ".join(f"y{i}" for i in range(10))
+        cz = " ".join(f"z{i}" for i in range(10))
+        cw = " ".join(f"w{i}" for i in range(10))
+        # doc 1 owns chunk X (lowest doc_id): keeps everything
+        assert (got[1]["n_chunks"], got[1]["n_kept"]) == (2, 2)
+        assert got[1]["kept_md5"] == hashlib.md5(f"{cx} {cy}".encode()).hexdigest()
+        # doc 2 loses its copy of X, keeps Z, text rebuilt without X
+        assert (got[2]["n_chunks"], got[2]["n_kept"]) == (2, 1)
+        assert got[2]["kept_md5"] == hashlib.md5(cz.encode()).hexdigest()
+        assert got[2]["kept_len"] == len(cz)
+        # unique content untouched
+        assert (got[3]["n_chunks"], got[3]["n_kept"]) == (1, 1)
+        assert got[3]["kept_md5"] == hashlib.md5(cw.encode()).hexdigest()
+
+    def test_fixture_corpus_actually_deduplicates(self, spark):
+        """The sf0.01 near-dup clusters share 10-token chunks, so the rule
+        must bite (n_kept < n_chunks somewhere) while every doc row
+        survives with consistent counts."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        got = registry.QUERIES["text_paragraph_dedup"](
+            spark, "/root/testdata/sf0.01"
+        ).toPandas()
+        assert len(got) == 500 and got.doc_id.is_unique
+        assert (got.n_kept <= got.n_chunks).all()
+        assert (got.n_kept < got.n_chunks).any(), "rule vacuous on fixture"
+
+
+class TestMixtureDoremi:
+    def test_update_rule_invariants(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        got = registry.QUERIES["pipeline_mixture_doremi"](
+            spark, "/root/testdata/sf0.01"
+        ).toPandas()
+        n = len(got)
+        assert n >= 2
+        # one linearized MW step: w = 1e6 * (1 + clip(e)/4e6), so w is an
+        # increasing function of excess and bounded by the clip
+        assert (got.w_micro >= 500000).all() and (got.w_micro <= 1500000).all()
+        by_excess = got.sort_values("excess_micro")
+        assert by_excess.w_micro.is_monotonic_increasing
+        # normalized mixture sums to 1e6 up to per-domain floor loss
+        assert 1000000 - n <= got.mix_micro.sum() <= 1000000
+        # token-weighted excess is ~0 by construction of the reference
+        assert abs((got.excess_micro * got.n_tokens).sum()) <= got.n_tokens.sum()
+
+
+class TestTokenizerFertility:
+    def test_counts_and_ratios_consistent(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.01"
+        got = registry.QUERIES["pipeline_tokenizer_fertility"](spark, sf).toPandas()
+        per_doc = registry.QUERIES["text_token_count_bpe"](spark, sf).toPandas()
+        assert got.n_words.sum() == per_doc.n_ws_tokens.sum()
+        assert got.n_bpe_tokens.sum() == per_doc.n_bpe_tokens.sum()
+        assert (got.fertility >= 1.0).all()  # a word is >= 1 regex token
+        assert (got.chars_per_token > 0).all()
+        # ratio definition pinned against a hand recompute
+        r = got.iloc[0]
+        assert r.fertility == pytest.approx(
+            round(r.n_bpe_tokens / r.n_words, 4), abs=1e-4
+        )
+
+
 class TestSemDedup:
     def test_survivor_rule_invariants(self, spark):
         """Every non-probe vector appears exactly once; keep=0 iff a
