@@ -104,6 +104,11 @@ HEADLINE = [
     # reweighting step (token explode + vocabulary-bounded chain)
     "text_paragraph_dedup",
     "pipeline_mixture_doremi",
+    # round-9 session-2 additions: the seed-trained NB quality classifier
+    # (token-hash explode feeding the model agg AND the broadcast-scored
+    # re-join) and the first-owner trigram novelty curve
+    "pipeline_quality_classifier",
+    "text_ngram_novelty",
 ]
 
 

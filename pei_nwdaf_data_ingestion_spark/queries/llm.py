@@ -4401,3 +4401,230 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering + corpus novelty (round 9)
+# ---------------------------------------------------------------------------
+
+_QC_B = 256  # hashed unigram feature buckets for the quality classifier
+
+
+@query(
+    "pipeline_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT t.doc_id, t.lang, t.source,
+             CAST(('0x' || substr(md5(t.toks[r.i]), 1, 6)) AS BIGINT)
+               % {_QC_B} AS bucket
+      FROM t, LATERAL (SELECT unnest(range(1, len(t.toks) + 1)) AS i) r),
+    seed AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos_c,
+             CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT)
+               AS neg_c
+      FROM g WHERE source IN ('src0', 'src2') GROUP BY bucket),
+    tot AS (
+      SELECT coalesce(CAST(sum(pos_c) AS BIGINT), 0) AS pn,
+             coalesce(CAST(sum(neg_c) AS BIGINT), 0) AS nn
+      FROM seed),
+    w AS (
+      SELECT b.bucket,
+             CAST(floor(ln(((coalesce(seed.pos_c, 0) + 1) * (tot.nn + {_QC_B}))
+                   / CAST((coalesce(seed.neg_c, 0) + 1) * (tot.pn + {_QC_B})
+                          AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS w
+      FROM (SELECT unnest(range(0, {_QC_B})) AS bucket) b
+      LEFT JOIN seed USING (bucket), tot)
+    SELECT g.doc_id, g.lang,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(w.w) AS BIGINT) AS score_micro,
+           CAST(CASE WHEN sum(w.w) > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS predicted_hq
+    FROM g JOIN w USING (bucket)
+    GROUP BY g.doc_id, g.lang
+    """,
+)
+def pipeline_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering, the CCNet / GPT-3 / LLaMA curation
+    step (Wenzek et al. 2020 train a fastText classifier on Wikipedia-vs-
+    crawl; Brown et al. 2020 filter CommonCrawl by a quality classifier
+    trained on curated positives): train a Naive-Bayes linear model on
+    SEED-labeled documents (source='src0' plays the curated positive set,
+    'src2' the raw-crawl negative), then score EVERY document - the
+    train-on-a-slice / apply-to-the-corpus split that distinguishes this
+    from pipeline_importance_dsir's unsupervised importance ratio.
+
+    Features are md5-bucketed unigrams ({_QC_B} buckets, the
+    pipeline_feature_hashing discipline - vocabulary-free, fixed model
+    size); bucket weights are the NB log-odds
+    ln((pos+1)(N+B) / ((neg+1)(P+B))), add-one smoothed, floored to
+    integer micro-nats PER BUCKET (the js_divergence / DSIR discipline:
+    per-doc sums stay order-independent integers, bit-identical
+    cross-engine).  The weight table is built DENSE over all {_QC_B}
+    buckets, so a bucket unseen in training scores its smoothed prior
+    ln((N+B)/(P+B)) instead of silently dropping the token - and the
+    scoring join is a plain inner equi-join against a fixed-size dim.
+    The classifier bias folds into the keep threshold (score > 0).
+
+    Plan shape (the DSIR posture): one map-side token-hash explode feeds
+    the seed-count agg (<= {_QC_B} rows, combinable) and the scoring
+    join; the dense weight dim ({_QC_B} rows, corpus-size-independent)
+    BROADCASTS onto the gram stream; per-doc integer sums are the only
+    data-sized shuffle.  At 100 TB the trained model is persisted between
+    the two passes, exactly as the broadcast stands in for."""
+    d = load(spark, sf, "documents")
+    base = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("tk")
+    )
+    grams = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(tk, t -> CAST(conv(substring(md5(t), 1, 6),"
+                f" 16, 10) AS BIGINT) % {_QC_B})"
+            )
+        ).alias("bucket"),
+    )
+    seed = (
+        grams.filter(F.col("source").isin("src0", "src2"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("pos_c"),
+            F.sum(F.when(F.col("source") == "src2", 1).otherwise(0)).alias("neg_c"),
+        )
+    )
+    tot = seed.agg(
+        F.coalesce(F.sum("pos_c"), F.lit(0)).alias("pn"),
+        F.coalesce(F.sum("neg_c"), F.lit(0)).alias("nn"),
+    )
+    dense = spark.range(_QC_B).select(F.col("id").alias("bucket"))
+    w = (
+        dense.join(seed, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    ((F.coalesce("pos_c", F.lit(0)) + 1) * (F.col("nn") + _QC_B))
+                    / ((F.coalesce("neg_c", F.lit(0)) + 1) * (F.col("pn") + _QC_B))
+                    .cast("double")
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_toks"), F.sum("w").alias("score_micro"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            "score_micro",
+            F.when(F.col("score_micro") > 0, 1).otherwise(0).cast("int").alias(
+                "predicted_hq"
+            ),
+        )
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS trigrams
+      FROM t),
+    g AS (SELECT doc_id, unnest(trigrams) AS g FROM d),
+    first_seen AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+    per_doc AS (
+      SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT)
+               AS n_novel
+      FROM g JOIN first_seen f USING (g) GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_novel, 0) AS n_novel,
+           CAST(CASE WHEN p.n_grams IS NULL THEN 0
+                     ELSE floor(p.n_novel * 1000000.0 / p.n_grams) END
+                AS BIGINT) AS novelty_ppm
+    FROM d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram novelty against everything BEFORE it in corpus
+    order - the dataset-curation curve behind 'how much new text does
+    each increment add' decisions (the marginal-value dual of
+    text_heaps_law's vocabulary curve, at trigram grain): a document's
+    novelty is the fraction of its distinct trigrams whose globally
+    FIRST occurrence (lowest doc_id) is the document itself.  Late
+    boilerplate scores ~0; the first copy of a template scores high -
+    which is exactly the asymmetry dedup keep-rules exploit.
+
+    Plan: map-side distinct-trigram explode (the dedup_decontaminate
+    zip_with spelling - no per-element re-evaluation of the token
+    array) -> groupBy(gram) min(doc_id) (combinable partial agg - the
+    text_heaps_law first-seen discipline) -> hash equi-join back onto
+    the gram stream (1:1 per occurrence, AQE-splittable on hot
+    boilerplate grams) -> per-doc counts, LEFT-joined onto the doc base
+    so sub-3-token documents report 0 grams / 0 ppm instead of
+    vanishing (the decontaminate degenerate-corpus lesson)."""
+    d = load(spark, sf, "documents")
+    base = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    n2 = F.greatest(F.size(toks) - 2, F.lit(0))
+    trigrams = F.array_distinct(
+        F.zip_with(
+            F.zip_with(
+                F.slice(toks, 1, n2),
+                F.slice(toks, 2, n2),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ),
+            F.slice(toks, 3, n2),
+            lambda xy, z: F.concat_ws(" ", xy, z),
+        )
+    )
+    grams = base.select("doc_id", F.explode(trigrams).alias("g"))
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(F.col("n_grams").isNull(), F.lit(0))
+            .otherwise(F.floor(F.col("n_novel") * 1000000.0 / F.col("n_grams")))
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

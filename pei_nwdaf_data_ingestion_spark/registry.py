@@ -170,6 +170,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_paragraph_dedup": 9,
     "pipeline_mixture_doremi": 9,
     "pipeline_tokenizer_fertility": 9,
+    "pipeline_quality_classifier": 9,
+    "text_ngram_novelty": 9,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -187,8 +189,8 @@ ADDED_IN_ROUND: dict[str, int] = {
 # decode replaced the stub) - its first hash signal must land this round -
 # and three new round-9 ids (paragraph dedup, DoReMi mixture, tokenizer
 # fertility) need their first signal.
-# Budget check: 15 pins < the driver's ~50-slot window (the remaining
-# ~35 slots still drain the stalest unpinned ids).
+# Budget check: 17 pins < the driver's ~50-slot window (the remaining
+# ~33 slots still drain the stalest unpinned ids).
 _CHANGED_ROUND = 9
 _CHANGED_THIS_ROUND = [
     "multimodal_decode",
@@ -196,6 +198,8 @@ _CHANGED_THIS_ROUND = [
     "text_paragraph_dedup",
     "pipeline_mixture_doremi",
     "pipeline_tokenizer_fertility",
+    "pipeline_quality_classifier",
+    "text_ngram_novelty",
     # hot-bucket star respell (plan-only, result-identical; re-hash)
     "dedup_minhash_lsh",
     "dedup_two_stage",

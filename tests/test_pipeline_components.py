@@ -764,3 +764,150 @@ class TestProductQuantization:
         assert list(top.adc_dist) == sorted(top.adc_dist)
         again = registry.QUERIES["sim_pq_topk"](spark, sf).toPandas()
         assert top.equals(again)
+
+
+class TestQualityClassifier:
+    @pytest.fixture(scope="class")
+    def seed_sf_dir(self, tmp_path_factory):
+        """Disjoint seed vocabularies: src0 docs speak 'good*', src2 docs
+        speak 'bad*'; unlabeled src9 docs use one vocabulary each."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        good = " ".join(f"good{i}" for i in range(8))
+        bad = " ".join(f"bad{i}" for i in range(8))
+        rows = [
+            (1, good, "en", "src0"),
+            (2, good, "en", "src0"),
+            (3, bad, "en", "src2"),
+            (4, bad, "en", "src2"),
+            (5, good, "en", "src9"),  # unlabeled, positive vocabulary
+            (6, bad, "en", "src9"),  # unlabeled, negative vocabulary
+        ]
+        d = tmp_path_factory.mktemp("seed")
+        ids, texts, langs, sources = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    def test_seed_vocabularies_classify_unlabeled_docs(self, spark, seed_sf_dir):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        got = {
+            r["doc_id"]: r
+            for r in registry.QUERIES["pipeline_quality_classifier"](
+                spark, seed_sf_dir
+            ).collect()
+        }
+        assert len(got) == 6 and all(got[i]["n_toks"] == 8 for i in got)
+        # seeds score their own side (sanity: the model fits its data)
+        assert got[1]["predicted_hq"] == 1 and got[3]["predicted_hq"] == 0
+        # the point: UNLABELED docs inherit the seed vocabulary's verdict
+        assert got[5]["predicted_hq"] == 1
+        assert got[6]["predicted_hq"] == 0
+        # NB log-odds are symmetric here (balanced seeds, disjoint vocab)
+        assert got[5]["score_micro"] > 0 > got[6]["score_micro"]
+
+    def test_fixture_corpus_separates_seed_sources(self, spark):
+        """On the real fixture the model must at least rank its own
+        training sources correctly (mean src0 score > mean src2 score)
+        and emit both classes somewhere."""
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.01"
+        got = registry.QUERIES["pipeline_quality_classifier"](spark, sf).toPandas()
+        docs = load(spark, sf, "documents").select("doc_id", "source").toPandas()
+        m = got.merge(docs, on="doc_id")
+        assert len(got) == len(docs[docs.source.notna()])
+        pos = m[m.source == "src0"].score_micro.mean()
+        neg = m[m.source == "src2"].score_micro.mean()
+        assert pos > 0 > neg
+        assert set(m.predicted_hq.unique()) == {0, 1}
+        assert ((m.predicted_hq == 1) == (m.score_micro > 0)).all()
+
+
+class TestNgramNovelty:
+    @pytest.fixture(scope="class")
+    def nov_sf_dir(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [
+            (1, "a b c d", "en", "srcA"),  # trigrams abc, bcd - all novel
+            (2, "a b c d", "en", "srcA"),  # exact repeat - nothing novel
+            (3, "a b c x", "en", "srcA"),  # abc seen, bcx new - half novel
+            (4, "a b", "en", "srcB"),  # too short for a trigram
+        ]
+        d = tmp_path_factory.mktemp("nov")
+        ids, texts, langs, sources = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    def test_first_occurrence_owns_novelty(self, spark, nov_sf_dir):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        got = {
+            r["doc_id"]: r
+            for r in registry.QUERIES["text_ngram_novelty"](
+                spark, nov_sf_dir
+            ).collect()
+        }
+        assert (got[1]["n_grams"], got[1]["n_novel"], got[1]["novelty_ppm"]) == (
+            2, 2, 1000000,
+        )
+        assert (got[2]["n_grams"], got[2]["n_novel"], got[2]["novelty_ppm"]) == (
+            2, 0, 0,
+        )
+        assert (got[3]["n_grams"], got[3]["n_novel"], got[3]["novelty_ppm"]) == (
+            2, 1, 500000,
+        )
+        # sub-3-token doc reports zeros instead of vanishing
+        assert (got[4]["n_grams"], got[4]["n_novel"], got[4]["novelty_ppm"]) == (
+            0, 0, 0,
+        )
+
+    def test_novelty_conserves_the_global_distinct_gram_count(self, spark):
+        """Every distinct trigram is novel for exactly one document, so
+        sum(n_novel) == |global distinct trigrams| - the conservation law
+        that catches double-counted or dropped first owners."""
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = registry.QUERIES["text_ngram_novelty"](spark, sf).toPandas()
+        docs = load(spark, sf, "documents").toPandas()
+        grams = set()
+        for t in docs.text.dropna():
+            toks = t.split(" ")
+            grams.update(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+        assert got.n_novel.sum() == len(grams)
+        assert ((got.novelty_ppm >= 0) & (got.novelty_ppm <= 1000000)).all()
+        assert (got.n_novel <= got.n_grams).all()
