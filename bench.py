@@ -109,6 +109,9 @@ HEADLINE = [
     # re-join) and the first-owner trigram novelty curve
     "pipeline_quality_classifier",
     "text_ngram_novelty",
+    # first mapInPandas shape in the headline: real container decode to
+    # integer units + JVM-side signal windowing (the Python-path budget)
+    "multimodal_audio_vad",
 ]
 
 

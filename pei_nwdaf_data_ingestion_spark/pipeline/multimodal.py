@@ -328,6 +328,60 @@ def decode_media_stats(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_decode, MEDIA_STATS_SCHEMA)
 
 
+MEDIA_UNITS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("unit_idx", T.LongType()),
+        T.StructField("unit", T.LongType()),
+    ]
+)
+
+
+def decode_media_units(assets: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode to the per-UNIT grain: one output row per
+    decoded pixel byte (BMP/BMP-seq, raster order after bottom-up
+    un-reversal) or PCM sample (WAV, data-chunk order), indexed by its
+    position in the decoded stream.  This is the decode half of any
+    signal-level operator - the blob-to-samples 1->N expansion a feature
+    extractor performs - kept in Python only for the container parsing;
+    all signal processing (windowing, energy, histograms) happens on the
+    returned DataFrame JVM-side.  Rows carry no blob, so the expansion
+    shuffles integers, never media bytes."""
+    decoder_factory = _make_media_decoder
+
+    def _units(batches):
+        decode = decoder_factory()
+        for pdf in batches:
+            ids: list[int] = []
+            mts: list[str] = []
+            fmts: list[str] = []
+            idxs: list[int] = []
+            vals: list[int] = []
+            for aid, mt, blob in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["content"]
+            ):
+                d = decode(bytes(blob))
+                u = d["units"]
+                ids.extend([int(aid)] * len(u))
+                mts.extend([mt] * len(u))
+                fmts.extend([d["fmt"]] * len(u))
+                idxs.extend(range(len(u)))
+                vals.extend(u)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(mts, dtype="object"),
+                    "fmt": pd.Series(fmts, dtype="object"),
+                    "unit_idx": pd.Series(idxs, dtype="int64"),
+                    "unit": pd.Series(vals, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(_units, MEDIA_UNITS_SCHEMA)
+
+
 def synthesize_assets(documents: DataFrame) -> DataFrame:
     """Deterministic binary assets from the documents fixture (the container
     ships no media files): content = utf-8 bytes of the text, media_type

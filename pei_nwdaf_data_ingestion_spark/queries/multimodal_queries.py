@@ -203,3 +203,160 @@ def multimodal_dedup_bytes(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("cnt") * F.col("nbytes")).alias("bytes_total"),
         F.sum((F.col("cnt") - 1) * F.col("nbytes")).alias("bytes_reclaimable"),
     )
+
+
+@query(
+    "multimodal_audio_vad",
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id, 16 + doc_id % 17 AS n FROM documents WHERE doc_id % 3 = 1),
+    -- sample stream replays the WAV builder's PCM formula
+    -- (pipeline/multimodal.build_media_blob)
+    s AS (
+      SELECT doc_id, i.i AS idx,
+             ((doc_id * 131 + i.i * 17) % 65536) - 32768 AS v
+      FROM aud, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+    w AS (
+      SELECT doc_id, idx // 4 AS win, sum(abs(v)) AS energy
+      FROM s GROUP BY doc_id, idx // 4),
+    a AS (SELECT doc_id, win, energy, energy >= 65536 AS act FROM w),
+    isl AS (
+      SELECT doc_id, win,
+             win - row_number() OVER (PARTITION BY doc_id ORDER BY win)
+               AS island
+      FROM a WHERE act),
+    seg AS (
+      SELECT doc_id, island, CAST(count(*) AS BIGINT) AS seg_len
+      FROM isl GROUP BY doc_id, island),
+    pa AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(count(*) FILTER (WHERE act) AS BIGINT) AS n_active,
+             CAST(max(energy) AS BIGINT) AS max_energy
+      FROM a GROUP BY doc_id),
+    ps AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(max(seg_len) AS BIGINT) AS longest_segment
+      FROM seg GROUP BY doc_id)
+    SELECT pa.doc_id AS asset_id, pa.n_windows, pa.n_active,
+           coalesce(ps.n_segments, 0) AS n_segments,
+           coalesce(ps.longest_segment, 0) AS longest_segment,
+           pa.max_energy
+    FROM pa LEFT JOIN ps USING (doc_id)
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf: str) -> DataFrame:
+    """Energy-based voice-activity detection over REAL decoded PCM - the
+    speech-corpus curation primitive (silence trimming / speech-ratio QC
+    before ASR pseudo-labeling): decode the WAV data chunk to samples
+    (decode_media_units, the mapInPandas container parse), window the
+    sample stream (4 samples per window), mark a window active when its
+    sum(|sample|) clears the threshold (65536 = the uniform-PCM16
+    expectation, so activity is genuinely data-dependent), and reduce
+    activity runs to segments via gaps-and-islands.
+
+    Plan: the metadata filter (media_type = 'audio') prunes 2/3 of the
+    blobs BEFORE the decode ever sees them (parquet column/predicate
+    pushdown on the typed columns); the decode emits integer samples,
+    never bytes; windowing/energy is one combinable groupBy; the island
+    numbering is the win_gap_islands discipline - row_number over the
+    per-ASSET window (bounded partitions: an asset's windows, never the
+    corpus).  At 100 TB each blob decodes exactly once and everything
+    after the decode shuffles (asset_id, window) integers."""
+    from ..pipeline.multimodal import decode_media_units
+
+    assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
+        F.col("media_type") == "audio"
+    )
+    units = decode_media_units(assets)
+    w = units.groupBy(
+        "asset_id", F.expr("unit_idx div 4").alias("win")
+    ).agg(F.sum(F.abs("unit")).alias("energy"))
+    a = w.select(
+        "asset_id", "win", "energy", (F.col("energy") >= 65536).alias("act")
+    )
+    from pyspark.sql import Window as W
+
+    isl = a.filter("act").select(
+        "asset_id",
+        "win",
+        (
+            F.col("win")
+            - F.row_number().over(W.partitionBy("asset_id").orderBy("win"))
+        ).alias("island"),
+    )
+    seg = isl.groupBy("asset_id", "island").agg(
+        F.count("*").alias("seg_len")
+    )
+    pa = a.groupBy("asset_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.col("act").cast("long")).alias("n_active"),
+        F.max("energy").alias("max_energy"),
+    )
+    ps = seg.groupBy("asset_id").agg(
+        F.count("*").alias("n_segments"),
+        F.max("seg_len").alias("longest_segment"),
+    )
+    return pa.join(ps, "asset_id", "left").select(
+        "asset_id",
+        "n_windows",
+        "n_active",
+        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+        F.coalesce("longest_segment", F.lit(0)).alias("longest_segment"),
+        "max_energy",
+    )
+
+
+@query(
+    "multimodal_image_hist",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INTEGER) AS w,
+             CAST(2 + doc_id % 3 AS INTEGER) AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    -- pixel stream replays the BMP builder's byte formula; raster order
+    -- == builder order (the decoder un-reverses bottom-up storage, which
+    -- multimodal_decode's first_unit/last_unit already pin)
+    px AS (
+      SELECT doc_id, i.i % 3 AS ch,
+             ((doc_id * 37 + i.i * 11) % 256) // 32 AS bin
+      FROM img, LATERAL (SELECT unnest(range(0, w * h * 3)) AS i) i)
+    SELECT doc_id AS asset_id,
+           ['b', 'g', 'r'][CAST(ch + 1 AS INTEGER)] AS channel,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_px
+    FROM px GROUP BY doc_id, ch, bin
+    """,
+)
+def multimodal_image_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-channel 8-bin pixel histogram over REAL decoded BMP pixels -
+    the image-corpus QC primitive (near-constant/clipped-exposure
+    detection, channel-balance audits before vision pretraining):
+    decode the pixel bytes (decode_media_units), split the raster
+    stream into its B/G/R interleave (BMP stores BGR triplets, so
+    channel = unit_idx % 3), bucket intensities into 8 bins of 32, and
+    count.
+
+    Plan: metadata filter (media_type = 'image') prunes the decode to
+    1/3 of the blobs; one combinable (asset, channel, bin) hash agg
+    after the decode - bounded output (assets x 24 rows max), integer
+    end to end."""
+    from ..pipeline.multimodal import decode_media_units
+
+    assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    units = decode_media_units(assets)
+    channel = F.element_at(
+        F.array(F.lit("b"), F.lit("g"), F.lit("r")),
+        (F.col("unit_idx") % 3 + 1).cast("int"),
+    )
+    return (
+        units.groupBy(
+            "asset_id",
+            channel.alias("channel"),
+            F.expr("unit div 32").alias("bin"),
+        )
+        .agg(F.count("*").alias("n_px"))
+    )

@@ -172,6 +172,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "pipeline_tokenizer_fertility": 9,
     "pipeline_quality_classifier": 9,
     "text_ngram_novelty": 9,
+    "multimodal_audio_vad": 9,
+    "multimodal_image_hist": 9,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -189,8 +191,8 @@ ADDED_IN_ROUND: dict[str, int] = {
 # decode replaced the stub) - its first hash signal must land this round -
 # and three new round-9 ids (paragraph dedup, DoReMi mixture, tokenizer
 # fertility) need their first signal.
-# Budget check: 17 pins < the driver's ~50-slot window (the remaining
-# ~33 slots still drain the stalest unpinned ids).
+# Budget check: 19 pins < the driver's ~50-slot window (the remaining
+# ~31 slots still drain the stalest unpinned ids).
 _CHANGED_ROUND = 9
 _CHANGED_THIS_ROUND = [
     "multimodal_decode",
@@ -200,6 +202,8 @@ _CHANGED_THIS_ROUND = [
     "pipeline_tokenizer_fertility",
     "pipeline_quality_classifier",
     "text_ngram_novelty",
+    "multimodal_audio_vad",
+    "multimodal_image_hist",
     # hot-bucket star respell (plan-only, result-identical; re-hash)
     "dedup_minhash_lsh",
     "dedup_two_stage",

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from pei_nwdaf_data_ingestion_spark.pipeline.multimodal import (
     N_FEATURES,
+    build_media_blob,
     decode_stub,
     extract_features,
     synthesize_assets,
@@ -911,3 +912,125 @@ class TestNgramNovelty:
         assert got.n_novel.sum() == len(grams)
         assert ((got.novelty_ppm >= 0) & (got.novelty_ppm <= 1000000)).all()
         assert (got.n_novel <= got.n_grams).all()
+
+
+class TestMediaUnits:
+    def test_decode_units_replay_the_builders_streams(self, spark):
+        """decode_media_units must emit the builders' exact integer
+        streams in order: WAV samples from the data chunk, BMP pixels
+        in raster order (bottom-up storage un-reversed)."""
+        import pandas as pd
+
+        from pei_nwdaf_data_ingestion_spark.pipeline.multimodal import (
+            decode_media_units,
+        )
+
+        blobs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "asset_id": pd.Series([1, 3], dtype="int64"),
+                    "media_type": ["audio", "image"],
+                    "content": [build_media_blob(1), build_media_blob(3)],
+                }
+            )
+        )
+        got = decode_media_units(blobs).toPandas()
+        wav = got[got.asset_id == 1].sort_values("unit_idx")
+        n = 16 + 1 % 17
+        assert list(wav.unit) == [
+            ((1 * 131 + i * 17) % 65536) - 32768 for i in range(n)
+        ]
+        assert wav.fmt.unique().tolist() == ["wav"]
+        img = got[got.asset_id == 3].sort_values("unit_idx")
+        w, h = 4 + 3 % 5, 2 + 3 % 3
+        assert list(img.unit) == [
+            (3 * 37 + i * 11) % 256 for i in range(w * h * 3)
+        ]
+        assert img.fmt.unique().tolist() == ["bmp"]
+
+
+class TestAudioVad:
+    def test_vad_ledger_is_internally_consistent(self, spark):
+        """Conservation laws the segment logic must obey: active windows
+        partition exactly into segments (sum of segment lengths ==
+        n_active would need the per-segment frame; here: n_segments and
+        longest_segment bound each other against n_active), and the
+        threshold actually separates (some assets active, some windows
+        inactive)."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        got = registry.QUERIES["multimodal_audio_vad"](
+            spark, "/root/testdata/sf0.001"
+        ).toPandas()
+        assert len(got) > 0 and got.asset_id.is_unique
+        assert (got.n_active <= got.n_windows).all()
+        assert (got.longest_segment <= got.n_active).all()
+        # a segment holds >= 1 window; segments can't outnumber active
+        assert (got.n_segments <= got.n_active).all()
+        # zero active <=> zero segments (the LEFT-join coalesce path)
+        assert ((got.n_active == 0) == (got.n_segments == 0)).all()
+        # n_segments * longest >= n_active (pigeonhole on run lengths)
+        assert (got.n_segments * got.longest_segment >= got.n_active).all()
+        # the threshold must bite both ways somewhere on the fixture
+        assert (got.n_active < got.n_windows).any()
+        assert (got.n_active > 0).any()
+
+    def test_vad_matches_a_python_reference(self, spark):
+        """Full independent replay: decode nothing - recompute windows,
+        activity and islands from the builder's formula in plain Python
+        and compare every column."""
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["asset_id"]: r
+            for r in registry.QUERIES["multimodal_audio_vad"](spark, sf).collect()
+        }
+        docs = load(spark, sf, "documents").select("doc_id").toPandas()
+        for doc_id in docs.doc_id:
+            if doc_id % 3 != 1:
+                continue
+            n = 16 + doc_id % 17
+            v = [((doc_id * 131 + i * 17) % 65536) - 32768 for i in range(n)]
+            wins = [
+                sum(abs(x) for x in v[s : s + 4]) for s in range(0, n, 4)
+            ]
+            act = [e >= 65536 for e in wins]
+            segs = []
+            run = 0
+            for aa in act + [False]:
+                if aa:
+                    run += 1
+                elif run:
+                    segs.append(run)
+                    run = 0
+            r = got[doc_id]
+            assert r["n_windows"] == len(wins)
+            assert r["n_active"] == sum(act)
+            assert r["n_segments"] == len(segs)
+            assert r["longest_segment"] == (max(segs) if segs else 0)
+            assert r["max_energy"] == max(wins)
+
+
+class TestImageHist:
+    def test_hist_mass_and_support(self, spark):
+        """Per-asset histogram mass == w*h*3 decoded bytes; bins within
+        0..7; all three channels present with equal mass (the BGR
+        interleave splits the raster exactly in thirds)."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        got = registry.QUERIES["multimodal_image_hist"](
+            spark, "/root/testdata/sf0.001"
+        ).toPandas()
+        assert set(got.channel.unique()) == {"b", "g", "r"}
+        assert got.bin.between(0, 7).all()
+        mass = got.groupby("asset_id").n_px.sum()
+        for aid, m in mass.items():
+            w, h = 4 + aid % 5, 2 + aid % 3
+            assert m == w * h * 3, aid
+        ch_mass = got.groupby(["asset_id", "channel"]).n_px.sum().unstack()
+        assert (ch_mass.b == ch_mass.g).all() and (ch_mass.g == ch_mass.r).all()
