@@ -333,6 +333,7 @@ MEDIA_UNITS_SCHEMA = T.StructType(
         T.StructField("asset_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
         T.StructField("fmt", T.StringType()),
+        T.StructField("frame_idx", T.LongType()),
         T.StructField("unit_idx", T.LongType()),
         T.StructField("unit", T.LongType()),
     ]
@@ -346,9 +347,11 @@ def decode_media_units(assets: DataFrame) -> DataFrame:
     position in the decoded stream.  This is the decode half of any
     signal-level operator - the blob-to-samples 1->N expansion a feature
     extractor performs - kept in Python only for the container parsing;
-    all signal processing (windowing, energy, histograms) happens on the
-    returned DataFrame JVM-side.  Rows carry no blob, so the expansion
-    shuffles integers, never media bytes."""
+    all signal processing (windowing, energy, histograms, scene deltas)
+    happens on the returned DataFrame JVM-side.  Rows carry no blob, so
+    the expansion shuffles integers, never media bytes.  frame_idx comes
+    from the decoder's own frame boundaries (bfSize walking for BMP
+    sequences; 0 for single-frame/audio containers)."""
     decoder_factory = _make_media_decoder
 
     def _units(batches):
@@ -357,6 +360,7 @@ def decode_media_units(assets: DataFrame) -> DataFrame:
             ids: list[int] = []
             mts: list[str] = []
             fmts: list[str] = []
+            frames: list[int] = []
             idxs: list[int] = []
             vals: list[int] = []
             for aid, mt, blob in zip(
@@ -364,9 +368,12 @@ def decode_media_units(assets: DataFrame) -> DataFrame:
             ):
                 d = decode(bytes(blob))
                 u = d["units"]
+                nf = d["n_frames"] or 1
+                flen = len(u) // nf  # builder frames are equal-sized
                 ids.extend([int(aid)] * len(u))
                 mts.extend([mt] * len(u))
                 fmts.extend([d["fmt"]] * len(u))
+                frames.extend(i // flen for i in range(len(u)))
                 idxs.extend(range(len(u)))
                 vals.extend(u)
             yield pd.DataFrame(
@@ -374,6 +381,7 @@ def decode_media_units(assets: DataFrame) -> DataFrame:
                     "asset_id": pd.Series(ids, dtype="int64"),
                     "media_type": pd.Series(mts, dtype="object"),
                     "fmt": pd.Series(fmts, dtype="object"),
+                    "frame_idx": pd.Series(frames, dtype="int64"),
                     "unit_idx": pd.Series(idxs, dtype="int64"),
                     "unit": pd.Series(vals, dtype="int64"),
                 }

@@ -2438,3 +2438,117 @@ def scan_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("quality").isNull(), 1).otherwise(0)).alias("n_legacy"),
         F.sum(F.coalesce(F.col("quality"), F.lit(0))).alias("quality_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# community detection (round 9)
+# ---------------------------------------------------------------------------
+
+# packing base for the deterministic LPA mode: labels are node ids
+# (< ~1.2e6 incl. the part offset), so cnt * 4e6 + (4e6-1 - lbl) orders by
+# count first, then by SMALLEST label - one integer max() agg instead of
+# engine-specific argmax/struct-ordering semantics (the
+# sim_kmeans_lloyd_step packing discipline, inverted for a max)
+_LPA_PACK = 4_000_000
+
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT node,
+             CAST({_LPA_PACK - 1}
+                  - (max(cnt * {_LPA_PACK} + ({_LPA_PACK - 1} - lbl))
+                     % {_LPA_PACK}) AS BIGINT) AS lbl
+      FROM (
+        SELECT v.node, v.lbl, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+          SELECT e.dst AS node, p.lbl FROM edges e
+          JOIN {prev} p ON e.src = p.node
+          UNION ALL
+          SELECT node, lbl FROM {prev}
+        ) v GROUP BY v.node, v.lbl) c
+      GROUP BY node)"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH e0 AS ({_GRAPH_EDGES_SQL}),
+    edges AS (SELECT s AS src, p AS dst FROM e0
+              UNION ALL SELECT p, s FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS lbl
+           FROM edges),
+    {_lpa_iter_sql("l0", "l1")},
+    {_lpa_iter_sql("l1", "l2")},
+    {_lpa_iter_sql("l2", "l3")}
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN node >= 1000000 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_suppliers,
+           CAST(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_parts
+    FROM l3 GROUP BY lbl
+    ORDER BY n_nodes DESC, community
+    LIMIT 20
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Three synchronous label-propagation rounds (LPA, Raghavan et al.
+    2007) over the bidirected link graph - the linear-time community
+    detector (vs dedup_cluster_components' exact connected components,
+    which ignores edge density; LPA's mode vote follows the DENSE
+    regions).  Every node starts as its own label; each round it adopts
+    the most frequent label among its neighbors PLUS itself (the
+    self-vote damps the label oscillation synchronous LPA exhibits on
+    bipartite graphs), ties to the smallest label.
+
+    Determinism: the mode is one integer max() over packed
+    cnt * {_LPA_PACK} + ({_LPA_PACK - 1} - lbl) keys - count-desc then
+    label-asc, no struct ordering, no RNG, bit-identical cross-engine.
+    Plan shape: per round, one hash join of labels onto the
+    lineage-truncated adjacency index (_edge_index - built once per
+    app, shared with PageRank) + two combinable aggs ((node, lbl)
+    counts, then the packed max per node).  All shuffles are keyed on
+    node ids; at 100x the edge set each round scales linearly and the
+    final community rollup is a tiny hash agg.  Hot hub nodes are an
+    input-side skew (AQE splits the join); the vote agg is map-side
+    combinable so no single task ever owns a hub's full message list."""
+    ed, _deg = _edge_index(spark, sf)
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    lbl = nodes.select("node", F.col("node").cast("long").alias("lbl"))
+    for _ in range(3):
+        msgs = (
+            ed.join(lbl, ed["src"] == lbl["node"])
+            .select(F.col("dst").alias("node"), "lbl")
+            .unionAll(lbl.select("node", "lbl"))
+        )
+        c = msgs.groupBy("node", "lbl").agg(F.count("*").alias("cnt"))
+        lbl = (
+            c.groupBy("node")
+            .agg(
+                F.max(
+                    F.col("cnt") * _LPA_PACK
+                    + (F.lit(_LPA_PACK - 1) - F.col("lbl"))
+                ).alias("pk")
+            )
+            .select(
+                "node",
+                (F.lit(_LPA_PACK - 1) - F.col("pk") % _LPA_PACK)
+                .cast("long")
+                .alias("lbl"),
+            )
+        )
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(
+                F.when(F.col("node") >= _PART_NODE_OFFSET, 0).otherwise(1)
+            ).alias("n_suppliers"),
+            F.sum(
+                F.when(F.col("node") >= _PART_NODE_OFFSET, 1).otherwise(0)
+            ).alias("n_parts"),
+        )
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+        .limit(20)
+    )

@@ -360,3 +360,68 @@ def multimodal_image_hist(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_px"))
     )
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INTEGER) AS w,
+             CAST(2 + doc_id % 3 AS INTEGER) AS h
+      FROM documents WHERE doc_id % 3 = 2),
+    -- per-frame pixel streams replay the BMP-sequence builder's formula
+    -- (frame f is seeded doc_id + 7919 * f)
+    fm AS (
+      SELECT doc_id, f.f AS frame_idx,
+             CAST(sum(((doc_id + 7919 * f.f) * 37 + i.i * 11) % 256) * 1000
+                  // (w * h * 3) AS BIGINT) AS mean_milli
+      FROM vid,
+           LATERAL (SELECT unnest(range(0, 3)) AS f) f,
+           LATERAL (SELECT unnest(range(0, w * h * 3)) AS i) i
+      GROUP BY doc_id, f.f, w, h)
+    SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           mean_milli,
+           abs(mean_milli - lag(mean_milli) OVER w) AS delta_milli,
+           CAST(CASE WHEN abs(mean_milli - lag(mean_milli) OVER w) >= 10000
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_cut
+    FROM fm
+    WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Scene-cut detection over decoded video keyframes - the video-corpus
+    segmentation primitive (shot boundaries before frame sampling /
+    captioning): decode each BMP-sequence to per-frame pixel streams
+    (decode_media_units carries the decoder's OWN frame boundaries, from
+    bfSize chunk walking), reduce each frame to an integer mean
+    intensity, and flag frames whose mean jumps >= 10 intensity units
+    (10000 milli) from the previous frame.
+
+    Plan: metadata filter prunes the decode to video blobs; one
+    combinable (asset, frame) agg collapses the pixel stream to 3 rows
+    per asset BEFORE the lag window touches anything (the window sees
+    frames, never pixels - at 100 TB the frame ledger is ~a millionth of
+    the decoded stream); lag over the per-asset frame order is the
+    win_lag_lead discipline (bounded partitions).  delta_milli is NULL
+    on each asset's first frame - there is no previous scene - and NULL
+    never flags a cut."""
+    from ..pipeline.multimodal import decode_media_units
+    from pyspark.sql import Window as W
+
+    assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
+        F.col("media_type") == "video"
+    )
+    units = decode_media_units(assets)
+    fm = units.groupBy("asset_id", "frame_idx").agg(
+        F.expr("sum(unit) * 1000 div count(*)").alias("mean_milli")
+    )
+    w = W.partitionBy("asset_id").orderBy("frame_idx")
+    delta = F.abs(F.col("mean_milli") - F.lag("mean_milli").over(w))
+    return fm.select(
+        "asset_id",
+        "frame_idx",
+        "mean_milli",
+        delta.alias("delta_milli"),
+        F.when(delta >= 10000, 1).otherwise(0).cast("int").alias("is_cut"),
+    )

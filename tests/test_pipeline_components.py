@@ -1034,3 +1034,140 @@ class TestImageHist:
             assert m == w * h * 3, aid
         ch_mass = got.groupby(["asset_id", "channel"]).n_px.sum().unstack()
         assert (ch_mass.b == ch_mass.g).all() and (ch_mass.g == ch_mass.r).all()
+
+
+class TestSceneCuts:
+    def test_scene_cuts_match_a_python_replay(self, spark):
+        """Independent full replay of the frame means / deltas / cut flags
+        from the BMP-sequence builder's pixel formula."""
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r["asset_id"], r["frame_idx"]): r
+            for r in registry.QUERIES["multimodal_scene_cuts"](spark, sf).collect()
+        }
+        docs = load(spark, sf, "documents").select("doc_id").toPandas()
+        n_checked = 0
+        for doc_id in docs.doc_id:
+            if doc_id % 3 != 2:
+                continue
+            w, h = 4 + doc_id % 5, 2 + doc_id % 3
+            n = w * h * 3
+            means = [
+                sum(((doc_id + 7919 * f) * 37 + i * 11) % 256 for i in range(n))
+                * 1000
+                // n
+                for f in range(3)
+            ]
+            for f in range(3):
+                r = got[(doc_id, f)]
+                assert r["mean_milli"] == means[f]
+                if f == 0:
+                    assert r["delta_milli"] is None and r["is_cut"] == 0
+                else:
+                    d = abs(means[f] - means[f - 1])
+                    assert r["delta_milli"] == d
+                    assert r["is_cut"] == (1 if d >= 10000 else 0)
+                n_checked += 1
+        assert n_checked > 0
+        # the threshold must separate on the fixture: cuts exist, and so
+        # do non-cut transitions
+        cuts = [r["is_cut"] for k, r in got.items() if k[1] > 0]
+        assert 0 < sum(cuts) < len(cuts)
+
+
+class TestLabelPropagation:
+    @pytest.fixture(scope="class")
+    def lpa_sf_dir(self, tmp_path_factory):
+        """Two disjoint bicliques: suppliers {1,2} x parts {10,11} and
+        supplier {3} x part {12}."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        edges = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 12)]
+        d = tmp_path_factory.mktemp("lpa")
+        s, p = zip(*edges)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_suppkey": pa.array(s, pa.int64()),
+                    "l_partkey": pa.array(p, pa.int64()),
+                }
+            ),
+            d / "lineitem.parquet",
+        )
+        return str(d)
+
+    @staticmethod
+    def _lpa_reference(edges, rounds=3):
+        """Plain-Python synchronous LPA with self-vote and min tie-break."""
+        from collections import Counter, defaultdict
+
+        adj = defaultdict(set)
+        for s, p in edges:
+            adj[s].add(p + 1_000_000)
+            adj[p + 1_000_000].add(s)
+        lbl = {n: n for n in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for n in adj:
+                votes = Counter(lbl[m] for m in adj[n])
+                votes[lbl[n]] += 1
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[n] = best[0]
+            lbl = nxt
+        return lbl
+
+    def test_two_components_converge_to_min_labels(self, spark, lpa_sf_dir):
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        registry.load_all()
+        corpus_ops._EDGE_INDEX.clear()  # keyed on (app, sf): tmp dir differs
+        got = registry.QUERIES["graph_label_propagation"](
+            spark, lpa_sf_dir
+        ).toPandas()
+        edges = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 12)]
+        ref = self._lpa_reference(edges)
+        from collections import Counter
+
+        sizes = Counter(ref.values())
+        exp = sorted(
+            ((lbl, n) for lbl, n in sizes.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        assert [(r.community, r.n_nodes) for r in got.itertuples()] == exp
+        assert (got.n_suppliers + got.n_parts == got.n_nodes).all()
+
+    def test_fixture_communities_follow_reference_sim(self, spark):
+        """The sf0.001 co-purchase graph, LPA'd in plain Python, must
+        produce the exact top-20 ledger the Spark plan emits."""
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        corpus_ops._EDGE_INDEX.clear()
+        got = registry.QUERIES["graph_label_propagation"](spark, sf).toPandas()
+        li = load(spark, sf, "lineitem").select("l_suppkey", "l_partkey").toPandas()
+        edges = sorted({(int(s), int(p)) for s, p in zip(li.l_suppkey, li.l_partkey)})
+        ref = self._lpa_reference(edges)
+        from collections import Counter, defaultdict
+
+        per = defaultdict(lambda: [0, 0, 0])
+        for node, lbl in ref.items():
+            per[lbl][0] += 1
+            per[lbl][1] += 1 if node < 1_000_000 else 0
+            per[lbl][2] += 1 if node >= 1_000_000 else 0
+        exp = sorted(
+            ((lbl, v[0], v[1], v[2]) for lbl, v in per.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:20]
+        assert [
+            (r.community, r.n_nodes, r.n_suppliers, r.n_parts)
+            for r in got.itertuples()
+        ] == exp
