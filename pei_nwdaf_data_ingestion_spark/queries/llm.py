@@ -4628,3 +4628,118 @@ def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
             .alias("novelty_ppm"),
         )
     )
+
+
+def _ivf_nprobe_curve_oracle(topk: int = 10, probes: tuple = (1, 2, 4, 6)) -> str:
+    # same build CTEs + brute-force reference as _ivf_recall_oracle; the
+    # probe's cells are RANKED once (prank) and each curve point scans the
+    # rk <= nprobe prefix
+    cos = (
+        f"{_sql_dot('v.e', 'p.p')}"
+        f" / (sqrt({_sql_dot('v.e', 'v.e')}) * sqrt({_sql_dot('p.p', 'p.p')}))"
+    )
+    sq = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> (p.pq[i] - c.c[i]) * (p.pq[i] - c.c[i])))"
+    )
+    ivf_blocks = ",\n    ".join(
+        f"ivf{np} AS (SELECT vec_id FROM scan WHERE cell IN"
+        f" (SELECT cell FROM prank WHERE rk <= {np})"
+        f" ORDER BY cos DESC, vec_id LIMIT {topk})"
+        for np in probes
+    )
+    rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({np} AS BIGINT) AS nprobe,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM exact e JOIN ivf{np} i USING (vec_id))
+                AS BIGINT) AS n_common,
+           CAST((SELECT count(*) FROM exact) -
+                (SELECT count(*) FROM exact e JOIN ivf{np} i USING (vec_id))
+                AS BIGINT) AS n_missed,
+           CAST(((SELECT count(*) FROM exact e JOIN ivf{np} i USING (vec_id))
+                 * 1000000)
+                // nullif((SELECT count(*) FROM exact), 0)
+                AS BIGINT) AS recall_micro"""
+        for np in probes
+    )
+    return f"""
+    WITH {_ivf_oracle_ctes()},
+    prank AS (
+      SELECT c.cell, row_number() OVER (ORDER BY {sq}, c.cell) AS rk
+      FROM cent2 c, probe p),
+    scan AS (
+      SELECT a.cell, v.vec_id, {cos} AS cos
+      FROM assigned a JOIN v USING (vec_id), probe p),
+    exact AS (
+      SELECT v.vec_id FROM v, probe p
+      ORDER BY {cos} DESC, v.vec_id LIMIT {topk}),
+    {ivf_blocks}
+    {rows}
+    """
+
+
+@query("sim_ivf_nprobe_curve", oracle=_ivf_nprobe_curve_oracle())
+def sim_ivf_nprobe_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall-vs-nprobe tuning curve for the IVF ANN path: recall@10
+    against the exact brute force at nprobe in {1, 2, 4, 6} - the
+    measurement that DECIDES the (k_cells, nprobe) operating point
+    before anyone trusts "nprobe/K of the data" at 100 TB
+    (sim_ivf_recall_audit measures the chosen point; this measures the
+    curve the choice came from, completing the audit family: LSH has
+    its banding audit, IVF its operating point AND its curve).
+
+    One index build (the cached deterministic k-means shared with
+    sim_ivf_topk / dedup_semdedup), one cosine projection over the
+    corpus; each curve point filters to the rk <= nprobe prefix of the
+    probe's cell ranking - at scale each point is partition pruning at
+    a different width over the SAME scan, never a rebuild.  Probe-less
+    corpus (empty tables, NULL probe embedding): four rows of zero
+    counts with NULL recall (0/0 undefined), exactly as the oracle's
+    scalar subqueries degrade."""
+    k_cells, topk, probes = 16, 10, (1, 2, 4, 6)
+    e = load(spark, sf, "embeddings")
+    if _probe_or_none(e) is None:
+        return spark.createDataFrame(
+            [(int(np), 0, 0, 0, None) for np in probes],
+            "nprobe long, n_exact long, n_common long, n_missed long,"
+            " recall_micro long",
+        )
+    v = F.col("embedding").cast("array<double>")
+    vecs = e.filter(
+        (F.col("vec_id") != 0) & F.col("embedding").isNotNull()
+    ).select("vec_id", "label", v.alias("v"), _vq_col(v).alias("vq"))
+    cent_rows = _ivf_centroid_rows(spark, sf, vecs, k_cells)
+    p, ranked = _ivf_probe_cells(e, cent_rows, k_cells)  # full cell ranking
+    idx = _ivf_index(spark, sf, vecs, cent_rows).select("vec_id", "cell", "v")
+    p_lit = F.array(*[F.lit(float(x)) for x in p])
+    scan = idx.select(
+        "vec_id", "cell", _cos_or_null(F.col("v"), p_lit).alias("_cos")
+    )
+    exact = sim_cosine_topk(spark, sf).select("vec_id")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    points = []
+    for np_ in probes:
+        top = (
+            scan.filter(F.col("cell").isin(ranked[:np_]))
+            .orderBy(F.desc("_cos"), F.asc("vec_id"))
+            .limit(topk)
+            .select("vec_id")
+        )
+        nc = exact.join(top, "vec_id").agg(F.count("*").alias("n_common"))
+        points.append(
+            n_exact.crossJoin(F.broadcast(nc)).select(
+                F.lit(np_).cast("long").alias("nprobe"), "n_exact", "n_common"
+            )
+        )
+    out = points[0]
+    for pt in points[1:]:
+        out = out.unionAll(pt)
+    return out.select(
+        "nprobe",
+        "n_exact",
+        "n_common",
+        (F.col("n_exact") - F.col("n_common")).alias("n_missed"),
+        F.expr(
+            "CAST((n_common * 1000000) div nullif(n_exact, 0) AS BIGINT)"
+        ).alias("recall_micro"),
+    )

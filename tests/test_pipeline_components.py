@@ -1171,3 +1171,28 @@ class TestLabelPropagation:
             (r.community, r.n_nodes, r.n_suppliers, r.n_parts)
             for r in got.itertuples()
         ] == exp
+
+
+class TestNprobeCurve:
+    def test_curve_is_monotone_and_anchored_to_the_audit(self, spark):
+        """Recall@k cannot decrease as the probe scans more cells (each
+        prefix is a superset), and the curve's nprobe=6 point must equal
+        sim_ivf_recall_audit's single measured operating point - the two
+        queries share the index build, so disagreement means drift."""
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        curve = (
+            registry.QUERIES["sim_ivf_nprobe_curve"](spark, sf)
+            .toPandas()
+            .sort_values("nprobe")
+        )
+        assert list(curve.nprobe) == [1, 2, 4, 6]
+        assert curve.recall_micro.is_monotonic_increasing
+        assert (curve.n_common + curve.n_missed == curve.n_exact).all()
+        audit = registry.QUERIES["sim_ivf_recall_audit"](spark, sf).toPandas()
+        assert (
+            curve[curve.nprobe == 6].recall_micro.iloc[0]
+            == audit.recall_micro.iloc[0]
+        )
