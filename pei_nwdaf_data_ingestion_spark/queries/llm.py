@@ -4743,3 +4743,101 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf: str) -> DataFrame:
             "CAST((n_common * 1000000) div nullif(n_exact, 0) AS BIGINT)"
         ).alias("recall_micro"),
     )
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+    g AS (
+      SELECT doc_id, toks[r.i] AS w1, toks[r.i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) r),
+    big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+            FROM g GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM g GROUP BY w1),
+    uni AS (SELECT w2, CAST(count(*) AS BIGINT) AS nu FROM g GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM g),
+    nll AS (
+      SELECT g.doc_id,
+             CAST(floor(-ln(0.75 * (big.n12 / CAST(ctx.n1 AS DOUBLE))
+                            + 0.25 * (uni.nu / CAST(tot.tt AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS micro_nll
+      FROM g
+      JOIN big USING (w1, w2)
+      JOIN ctx USING (w1)
+      JOIN uni USING (w2)
+      CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor((sum(micro_nll) / 1000000.0 / count(*)) * 10000.0 + 0.5)
+             / 10000.0 AS avg_nll,
+           floor(exp(sum(micro_nll) / 1000000.0 / count(*)) * 100.0 + 0.5)
+             / 100.0 AS ppl
+    FROM nll GROUP BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity per document - the model-class
+    step from text_perplexity_proxy's unigram toward CCNet's 5-gram
+    KenLM filter (Wenzek et al. 2020): P(w2|w1) = 0.75 * ML(w2|w1)
+    + 0.25 * P_uni(w2), the Jelinek-Mercer mixture, so an unseen-in-
+    context-but-common token is cheap while a genuinely rare token
+    stays expensive - repetitive boilerplate now scores LOW (its
+    bigrams are predictable) where the unigram proxy cannot see order
+    at all.
+
+    Cross-engine float discipline (the win_ewma_smooth rule): the
+    mixture is two exact-integer ratios combined with identical
+    literals in identical order, one IEEE op per step; the NLL is then
+    floored to integer micro-nats per gram BEFORE the per-doc sum
+    (order-independent integers, the perplexity-proxy rule).
+
+    Plan: ONE bigram explode (lazily localCheckpoint-materialized -
+    four consumers: bigram/context/unigram models + scoring join, the
+    doremi one-explode discipline); the three model tables are
+    vocabulary-bounded, far smaller than the gram stream, so the
+    scoring side is three hash equi-joins that AQE broadcast-sizes at
+    fixture scale and shuffle-partitions at 100 TB (the bigram
+    vocabulary outgrows any broadcast; its join key (w1, w2) is
+    high-cardinality and skew-benign)."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    base = d.filter(F.col("text").isNotNull() & (F.size(toks) >= 2)).select(
+        "doc_id", toks.alias("tk")
+    )
+    n1 = F.size("tk") - 1
+    pairs = F.zip_with(
+        F.slice("tk", 1, n1),
+        F.slice("tk", 2, n1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    g = (
+        base.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .localCheckpoint(eager=False)  # one explode, four consumers
+    )
+    big = g.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    ctx = g.groupBy("w1").agg(F.count("*").alias("n1"))
+    uni = g.groupBy("w2").agg(F.count("*").alias("nu"))
+    tot = g.agg(F.count("*").alias("tt"))
+    p_mix = (
+        F.lit(0.75) * (F.col("n12") / F.col("n1").cast("double"))
+        + F.lit(0.25) * (F.col("nu") / F.col("tt").cast("double"))
+    )
+    micro = F.floor(-F.log(p_mix) * 1000000.0 + F.lit(0.5)).cast("long")
+    nll = (
+        g.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", micro.alias("micro_nll"))
+    )
+    avg_nll = F.sum("micro_nll") / F.lit(1e6) / F.count("*")
+    return nll.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        pround(avg_nll, 4).alias("avg_nll"),
+        pround(F.exp(avg_nll), 2).alias("ppl"),
+    )

@@ -177,6 +177,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "multimodal_scene_cuts": 9,
     "graph_label_propagation": 9,
     "sim_ivf_nprobe_curve": 9,
+    "text_bigram_perplexity": 9,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -194,8 +195,8 @@ ADDED_IN_ROUND: dict[str, int] = {
 # decode replaced the stub) - its first hash signal must land this round -
 # and three new round-9 ids (paragraph dedup, DoReMi mixture, tokenizer
 # fertility) need their first signal.
-# Budget check: 22 pins < the driver's ~50-slot window (the remaining
-# ~28 slots still drain the stalest unpinned ids).
+# Budget check: 23 pins < the driver's ~50-slot window (the remaining
+# ~27 slots still drain the stalest unpinned ids).
 _CHANGED_ROUND = 9
 _CHANGED_THIS_ROUND = [
     "multimodal_decode",
@@ -210,6 +211,7 @@ _CHANGED_THIS_ROUND = [
     "multimodal_scene_cuts",
     "graph_label_propagation",
     "sim_ivf_nprobe_curve",
+    "text_bigram_perplexity",
     # hot-bucket star respell (plan-only, result-identical; re-hash)
     "dedup_minhash_lsh",
     "dedup_two_stage",

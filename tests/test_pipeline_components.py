@@ -1196,3 +1196,73 @@ class TestNprobeCurve:
             curve[curve.nprobe == 6].recall_micro.iloc[0]
             == audit.recall_micro.iloc[0]
         )
+
+
+class TestBigramPerplexity:
+    @pytest.fixture(scope="class")
+    def order_sf_dir(self, tmp_path_factory):
+        """Same token MULTISET, different order: a unigram model cannot
+        tell these apart, a bigram model must."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [
+            (1, "a b a b a b a b", "en", "srcA"),  # perfectly alternating
+            (2, "a a a a b b b b", "en", "srcA"),  # same multiset, blocked
+        ]
+        d = tmp_path_factory.mktemp("order")
+        ids, texts, langs, sources = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    def test_bigram_model_sees_order_where_unigram_cannot(
+        self, spark, order_sf_dir
+    ):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        bi = {
+            r["doc_id"]: r
+            for r in registry.QUERIES["text_bigram_perplexity"](
+                spark, order_sf_dir
+            ).collect()
+        }
+        uni = {
+            r["doc_id"]: r
+            for r in registry.QUERIES["text_perplexity_proxy"](
+                spark, order_sf_dir
+            ).collect()
+        }
+        # unigram proxy: identical multiset -> identical perplexity
+        assert uni[1]["ppl"] == uni[2]["ppl"]
+        # bigram model: the alternating doc's transitions are the corpus
+        # majority, the blocked doc pays for its rare self-transitions
+        assert bi[1]["ppl"] != bi[2]["ppl"]
+        assert bi[1]["n_bigrams"] == bi[2]["n_bigrams"] == 7
+
+    def test_fixture_ledger_consistent(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = registry.QUERIES["text_bigram_perplexity"](spark, sf).toPandas()
+        docs = load(spark, sf, "documents").toPandas()
+        exp = {
+            int(r.doc_id): len(r.text.split(" ")) - 1
+            for r in docs.itertuples()
+            if r.text is not None and len(r.text.split(" ")) >= 2
+        }
+        assert dict(zip(got.doc_id, got.n_bigrams)) == exp
+        assert (got.ppl > 0).all() and (got.avg_nll > 0).all()
