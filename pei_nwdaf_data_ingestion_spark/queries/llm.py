@@ -4841,3 +4841,120 @@ def text_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         pround(avg_nll, 4).alias("avg_nll"),
         pround(F.exp(avg_nll), 2).alias("ppl"),
     )
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS vg
+      FROM documents
+      WHERE text IS NOT NULL AND text <> ''),
+    s AS (
+      SELECT doc_id, n_words, n_sentences,
+             greatest(vg, n_words) AS n_syllables,
+             n_words * 1000 // n_sentences AS wps_milli
+      FROM b),
+    r AS (
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             206835 - (1015 * wps_milli) // 1000
+                    - (84600 * (n_syllables * 1000 // n_words)) // 1000
+               AS fre_milli,
+             (390 * wps_milli) // 1000
+               + (11800 * (n_syllables * 1000 // n_words)) // 1000 - 15590
+               AS fk_grade_milli
+      FROM s)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(fre_milli AS BIGINT) AS fre_milli,
+           CAST(fk_grade_milli AS BIGINT) AS fk_grade_milli,
+           CASE WHEN fre_milli >= 90000 THEN 'very_easy'
+                WHEN fre_milli >= 60000 THEN 'standard'
+                WHEN fre_milli >= 30000 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM r
+    """,
+)
+def text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document - the
+    readability axis of pretraining-data quality scoring (used alongside
+    the Gopher rules / quality classifier to pick a corpus's difficulty
+    mix, and by curriculum ordering as a pacing signal).  Syllables are
+    the standard regex proxy - vowel GROUPS ([aeiouy]+) in the lowered
+    text, floored to one per word (every English word has >= 1 syllable;
+    scripts without Latin vowels degrade to exactly the floor, keeping
+    the score defined on any corpus slice).  Sentences are terminal-
+    punctuation runs ([.!?]+), floored to 1 so headline-like fragments
+    score as one sentence instead of dividing by zero.
+
+    Cross-engine exactness: both ratios are integer milli-units
+    (x * 1000 div y - the events_power_analysis recipe); the Flesch
+    coefficients (206.835, 1.015, 84.6 / 0.39, 11.8, 15.59) are applied
+    as integer milli-multiplies with a single flooring div each, so
+    fre_milli / fk_grade_milli are bit-identical on any engine - no
+    float ever appears.  All operands of every div are positive (the
+    subtractions come last), so floor-vs-trunc division semantics can
+    never diverge.
+
+    Plan: pure map-side column math over one documents scan - two
+    regexp_extract_all counts + one split, zero shuffle, zero UDF;
+    linear at any scale and pushdown-friendly (only doc_id/text read)."""
+    d = load(spark, sf, "documents")
+    base = d.filter(F.col("text").isNotNull() & (F.col("text") != "")).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+        )
+        .cast("long")
+        .alias("vg"),
+    )
+    s = base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        F.greatest("vg", "n_words").alias("n_syllables"),
+        F.expr("n_words * 1000 div n_sentences").alias("wps_milli"),
+    )
+    spw_milli = "(n_syllables * 1000 div n_words)"
+    r = s.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            f"206835 - (1015 * wps_milli) div 1000"
+            f" - (84600 * {spw_milli}) div 1000"
+        )
+        .cast("long")
+        .alias("fre_milli"),
+        F.expr(
+            f"(390 * wps_milli) div 1000"
+            f" + (11800 * {spw_milli}) div 1000 - 15590"
+        )
+        .cast("long")
+        .alias("fk_grade_milli"),
+    )
+    return r.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "fre_milli",
+        "fk_grade_milli",
+        F.when(F.col("fre_milli") >= 90000, "very_easy")
+        .when(F.col("fre_milli") >= 60000, "standard")
+        .when(F.col("fre_milli") >= 30000, "difficult")
+        .otherwise("very_difficult")
+        .alias("band"),
+    )
