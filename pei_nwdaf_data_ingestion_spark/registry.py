@@ -178,6 +178,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "graph_label_propagation": 9,
     "sim_ivf_nprobe_curve": 9,
     "text_bigram_perplexity": 9,
+    "text_readability": 9,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
