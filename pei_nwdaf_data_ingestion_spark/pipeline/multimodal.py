@@ -6,11 +6,16 @@ batch shape, mapInPandas signatures.  Since round 9 the DECODE path is
 real too: fixture blobs are valid BMP / RIFF-WAVE / BMP-sequence
 containers (build_media_blob) and decode_media struct-parses them -
 headers, row padding, bottom-up storage, chunk walking, frame boundaries
-- with no media library needed.  `decode_stub` (hash-derived fake feature
-vectors) remains for the FEATURE-vector plumbing whose real counterpart
-(PIL/librosa embeddings) genuinely needs libraries this container lacks;
-the import-try below shows where they would slot in, and swapping them in
-changes no Spark plumbing.
+- with no media library needed.  Since round 10 the FEATURE-vector path
+is real as well: extract_features derives its 8 floats from the decoded
+pixel/sample stream (an 8-bin intensity histogram in integer
+milli-fractions, every unit normalized to the 0..255 byte scale), so the
+vectors are content statistics, not hashes - identical content gives
+identical vectors, near-identical content gives near-identical vectors,
+and the whole path is DuckDB-oracled (multimodal_feature_vectors).
+LEARNED embeddings (CLIP/wav2vec) would need model libraries this
+container lacks; they would slot in at the same closure with no Spark
+plumbing change - the import-try below marks the seam.
 
 Scale notes: media blobs make rows wide - the repartition knob on
 extract_features keeps Arrow batches bounded; feature extraction is
@@ -45,39 +50,58 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_type", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("sha256", T.StringType()),
+        T.StructField("n_units", T.LongType()),
         T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 
 
-def _make_stub_decoder(n_features: int = N_FEATURES):
-    """Factory so the decoder is a *closure* (pickled by value): the consumer
-    may build its SparkSession from a cwd where this package isn't
+def _make_feature_extractor(n_features: int = N_FEATURES):
+    """Factory so the extractor is a *closure* (pickled by value): the
+    consumer may build its SparkSession from a cwd where this package isn't
     importable, so nothing shipped to Python workers may be a module-level
-    symbol of this package (cloudpickle would serialize it by reference)."""
+    symbol of this package (cloudpickle would serialize it by reference).
 
-    def decode(blob: bytes) -> list[float]:
-        if blob is None:
+    The features are REAL content statistics over the decoded unit stream
+    (decode_media's pixels / PCM samples): every unit is normalized to the
+    0..255 byte scale (pixels already are; PCM16 maps via (v+32768)//256,
+    exact integer), then the vector is the n_features-bin intensity
+    histogram in integer MILLI-fractions (count*1000 floor-div n_units).
+    Integer-exact end to end, so the vector replays bit-identically in a
+    SQL oracle; modality-uniform, so image/audio/video vectors live in one
+    ANN index.  A learned embedding (PIL+CLIP, librosa+wav2vec) would
+    replace only this closure.  Returns (n_units, vector); malformed
+    containers return None - the quarantine contract (decode_media
+    raises ValueError on them)."""
+    from struct import error as struct_error
+
+    decode = _make_media_decoder()
+    width = 256 // n_features
+
+    def features(blob: bytes) -> tuple[int, list[float]] | None:
+        try:
+            d = decode(bytes(blob))
+        except (ValueError, TypeError, IndexError, struct_error):
             return None
-        h = hashlib.sha256(blob).digest()
-        return [
-            int.from_bytes(h[i * 4 : i * 4 + 4], "big") / 2**32
-            for i in range(n_features)
-        ]
+        u = d["units"]
+        if not u:
+            return None
+        counts = [0] * n_features
+        if d["fmt"] == "wav":
+            for v in u:
+                counts[((v + 32768) // 256) // width] += 1
+        else:
+            for v in u:
+                counts[v // width] += 1
+        n = len(u)
+        return n, [float(c * 1000 // n) for c in counts]
 
-    return decode
-
-
-#: Deterministic fake "decoded features" from raw bytes.  A real
-#: implementation would decode pixels/samples here (PIL, librosa, pyav);
-#: the stub hashes fixed-stride byte windows into [0, 1) floats so output
-#: is reproducible and shaped like a real feature vector.
-decode_stub = _make_stub_decoder()
+    return features
 
 
 def _make_media_builder():
     """Deterministic VALID media containers from an integer seed (closure -
-    see _make_stub_decoder's pickling note).  Round 9 (VERDICT r8 item 4):
+    see _make_feature_extractor's pickling note).  Round 9 (VERDICT r8 item 4):
     the fixture blobs were synthesized anyway, so they are now real
     stdlib-decodable formats instead of opaque bytes -
       image: 24-bpp uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
@@ -218,9 +242,19 @@ def _make_media_decoder():
 
 decode_media = _make_media_decoder()
 
+#: Real content-statistics feature vector from raw media bytes (8-bin
+#: normalized-intensity histogram in milli-fractions; None on malformed
+#: containers).  Replaced round 1-9's sha256-derived `decode_stub` - the
+#: last fake in the multimodal path (VERDICT r9 item 3).
+extract_media_features = _make_feature_extractor()
+
 
 def extract_features(assets: DataFrame, partitions: int | None = None) -> DataFrame:
-    """mapInPandas feature extraction over binary assets.
+    """mapInPandas feature extraction over binary assets: REAL decode
+    (BMP/WAV/BMP-seq container parse) reduced to an 8-dim content-statistics
+    vector per blob (see _make_feature_extractor); `features` is NULL for
+    blobs that fail to decode - the quarantine column a curation pipeline
+    filters or routes on.
 
     Input schema: asset_id long, media_type string, content binary (+ any
     metadata columns, preserved nowhere - select them separately and join
@@ -228,10 +262,12 @@ def extract_features(assets: DataFrame, partitions: int | None = None) -> DataFr
     """
     if partitions:
         assets = assets.repartition(partitions)
+    extractor_factory = _make_feature_extractor
 
     def _extract(batches):
+        extract = extractor_factory()
         for pdf in batches:
-            feats = pdf["content"].map(decode_stub)
+            decoded = pdf["content"].map(extract)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -240,7 +276,8 @@ def extract_features(assets: DataFrame, partitions: int | None = None) -> DataFr
                     "sha256": pdf["content"].map(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
-                    "features": feats,
+                    "n_units": decoded.map(lambda r: r[0] if r else 0).astype("int64"),
+                    "features": decoded.map(lambda r: r[1] if r else None),
                 }
             )
 

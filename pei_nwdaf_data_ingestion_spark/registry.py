@@ -179,53 +179,20 @@ ADDED_IN_ROUND: dict[str, int] = {
     "sim_ivf_nprobe_curve": 9,
     "text_bigram_perplexity": 9,
     "text_readability": 9,
+    "multimodal_feature_vectors": 10,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
 # the driver's ~50-query sampling window regardless of staleness, but ONLY
 # until a CORRECTNESS file of that round exists (after that the derived
 # staleness ordering takes over; a permanent pin would waste window slots
-# every later round).  Round 9: the hot-bucket star stage respell
-# (groupBy-min + broadcast join back instead of Window.partitionBy(band),
-# VERDICT r8 item 2 - result-identical by construction, plan changed) and
-# the probe-NULL guard (ADVICE r8: 'AND embedding IS NOT NULL' added to
-# the ANN oracles' probe CTEs, with the matching Spark-side guards in
-# sim_cosine_topk / sim_mmr_rerank - fixture results unchanged, the probe
-# row is never NULL there, but code+oracle both moved).
-# multimodal_decode gained a full DuckDB oracle in round 9 (real BMP/WAV
-# decode replaced the stub) - its first hash signal must land this round -
-# and three new round-9 ids (paragraph dedup, DoReMi mixture, tokenizer
-# fertility) need their first signal.
-# Budget check: 23 pins < the driver's ~50-slot window (the remaining
-# ~27 slots still drain the stalest unpinned ids).
-_CHANGED_ROUND = 9
+# every later round).  Round 10: one new id - multimodal_feature_vectors
+# (real content-statistics vectors through extract_features, replacing the
+# round 1-9 sha256 decode_stub; VERDICT r9 item 3) - needs its first hash
+# signal this round.  Budget check: 1 pin << the driver's ~50-slot window.
+_CHANGED_ROUND = 10
 _CHANGED_THIS_ROUND = [
-    "multimodal_decode",
-    # new ids this round (pin makes CORRECTNESS_r09 inclusion deterministic)
-    "text_paragraph_dedup",
-    "pipeline_mixture_doremi",
-    "pipeline_tokenizer_fertility",
-    "pipeline_quality_classifier",
-    "text_ngram_novelty",
-    "multimodal_audio_vad",
-    "multimodal_image_hist",
-    "multimodal_scene_cuts",
-    "graph_label_propagation",
-    "sim_ivf_nprobe_curve",
-    "text_bigram_perplexity",
-    # hot-bucket star respell (plan-only, result-identical; re-hash)
-    "dedup_minhash_lsh",
-    "dedup_two_stage",
-    "dedup_cluster_components",
-    "dedup_canonical_select",
-    # probe-NULL guard: oracle probe CTEs + Spark-side guards
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_ivf_quantized_topk",
-    "sim_ivf_recall_audit",
-    "sim_pq_topk",
-    "sim_mmr_rerank",
-    "dedup_semdedup",
+    "multimodal_feature_vectors",
 ]
 
 
