@@ -116,6 +116,21 @@ HEADLINE = [
     # index + two combinable aggs (the iterative-algorithm budget, with
     # pagerank)
     "graph_label_propagation",
+    # round-10 additions (VERDICT r9 item 4): perf telemetry for the
+    # decode/curve family - the mapInPandas container decode at three
+    # grains (stats, image histogram, video scene cuts), the r10 real
+    # feature-vector extraction, the nprobe recall curve (its uncached
+    # number includes the full IVF index build - the caches are cleared),
+    # the bigram-LM chain, the zero-shuffle readability scan, and the
+    # 5-row fertility agg
+    "multimodal_decode",
+    "multimodal_image_hist",
+    "multimodal_scene_cuts",
+    "multimodal_feature_vectors",
+    "sim_ivf_nprobe_curve",
+    "text_bigram_perplexity",
+    "text_readability",
+    "pipeline_tokenizer_fertility",
 ]
 
 
@@ -152,6 +167,41 @@ def time_calibration(spark, runs: int = 3) -> float:
         spark.range(0, 4_000_000, 1, 8).agg({"id": "sum"}).write.format(
             "noop"
         ).mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def time_calibration_heavy(spark, runs: int = 3) -> float:
+    """Second calibration shape (VERDICT r9 item 7): the tiny scan probe
+    prices the SCHEDULER, not the JVM - round 9's driver box ran 8 heavy
+    shapes 1.5-1.8x over their ratchet minima while the probe beat its
+    own best (vs_ratchet 0.778), so sustained_slowdown never tripped.
+    This shape prices what heavy queries actually stress - per-row array
+    allocation, a 64-term codegen fold, partial aggregation - so GC/JIT/
+    memory pressure moves it the way it moves real queries.  Constant
+    work, no I/O; still a HOST property, never a plan property."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 200_000, 1, 8)
+            .select(
+                F.aggregate(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(63)),
+                        lambda i: (F.col("id") % 997 + i) * 1.0001,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                ).alias("v")
+            )
+            .agg({"v": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
 
@@ -241,6 +291,7 @@ def main() -> None:
         return min(hi_time, t2) if isinstance(t2, float) else hi_time
 
     calib_start = time_calibration(spark)
+    calib_heavy_start = time_calibration_heavy(spark)
     times = sweep()
 
     # second sweep against plain cold parquet scans (catalog.load checks the
@@ -276,6 +327,7 @@ def main() -> None:
                   file=sys.stderr)
     uncached = sweep()
     calib_end = time_calibration(spark)
+    calib_heavy_end = time_calibration_heavy(spark)
 
     # multi-scale growth sweep (VERDICT r7 item 1): re-time every headline
     # shape WARM at a 10x-smaller scale factor and report the per-query
@@ -369,6 +421,7 @@ def main() -> None:
     sweep_hi: dict = {}
     growth_hi: dict = {}
     superlinear_hi: list = []
+    growth_watch_hi: dict = {}
     sf_hi_name = ""
     if os.environ.get("SPARK_GRAFT_SF_SWEEP", "1") != "0":
         hi_dir = os.environ.get("SPARK_GRAFT_SF_HI_DIR") or os.path.join(
@@ -431,13 +484,28 @@ def main() -> None:
                 adj_base = max(t_base - floor, 0.005)
                 g = round(math.log(adj_hi / adj_base) / ratio, 3)
                 growth_hi[n] = g
-                if g > 1.1 and t_hi > 0.5:
+                # the hi decade is where growth verdicts are supposed to be
+                # DECIDED, so every exponent > 1.1 gets a confirming
+                # re-measure regardless of absolute time (VERDICT r9 item 5:
+                # the old `t_hi > 0.5` pre-gate silently exempted sub-0.5 s
+                # shapes - win_time_range_frame sat at 1.234 unconfirmed).
+                # A confirmed exponent then lands in `superlinear_hi` when
+                # its absolute time is out of the host-jitter floor, or in
+                # the `growth_watch_hi` ledger when it is still sub-0.5 s -
+                # watched, never silently dropped.
+                if g > 1.1:
                     t_best = confirm_growth_time(n, t_hi, hi_dir)
                     adj_hi = max(t_best - floor, 0.005)
                     g = round(math.log(adj_hi / adj_base) / ratio, 3)
                     growth_hi[n] = g
-                    if g > 1.1 and t_best > 0.5:
-                        superlinear_hi.append(n)
+                    if g > 1.1:
+                        if t_best > 0.5:
+                            superlinear_hi.append(n)
+                        else:
+                            growth_watch_hi[n] = {
+                                "exponent": g,
+                                "t_hi": round(t_best, 4),
+                            }
             superlinear_hi.sort()
 
     def total_ok(sweep_out: dict) -> float:
@@ -489,7 +557,14 @@ def main() -> None:
     # reads as "noisy run", never as a regression.
     calibration = max(calib_start, calib_end)
     calib_bound = ratchet.get("_calibration_bound")
-    noisy_host = isinstance(calib_bound, (int, float)) and calibration > calib_bound
+    calib_heavy = max(calib_heavy_start, calib_heavy_end)
+    calib_heavy_bound = ratchet.get("_calibration_heavy_bound")
+    noisy_host = (
+        isinstance(calib_bound, (int, float)) and calibration > calib_bound
+    ) or (
+        isinstance(calib_heavy_bound, (int, float))
+        and calib_heavy > calib_heavy_bound
+    )
     # relative calibration (VERDICT r8 item 6): the absolute bound catches
     # spikes; a UNIFORMLY loaded or cache-cold box passes it while every
     # query reads 1.3-1.7x its idle-box ratchet.  Comparing the probes to
@@ -502,10 +577,23 @@ def main() -> None:
         if isinstance(calib_best, (int, float)) and calib_best > 0
         else None
     )
+    # the HEAVY probe (r9 item 7) is the one that senses GC/JIT/memory
+    # pressure; either probe family sustained above ~1.3x its own idle
+    # best means the run's per-query upticks price the host, not plans
+    calib_heavy_best = ratchet.get("_calibration_heavy_best")
+    calib_heavy_vs_ratchet = (
+        round(min(calib_heavy_start, calib_heavy_end) / calib_heavy_best, 3)
+        if isinstance(calib_heavy_best, (int, float)) and calib_heavy_best > 0
+        else None
+    )
     sustained_slowdown = (
         isinstance(calib_best, (int, float))
         and calib_best > 0
         and min(calib_start, calib_end) > 1.3 * calib_best
+    ) or (
+        isinstance(calib_heavy_best, (int, float))
+        and calib_heavy_best > 0
+        and min(calib_heavy_start, calib_heavy_end) > 1.3 * calib_heavy_best
     )
     if noisy_host:
         suppressed = {
@@ -524,6 +612,10 @@ def main() -> None:
             "start": calib_start,
             "end": calib_end,
             "bound": calib_bound,
+            "heavy_start": calib_heavy_start,
+            "heavy_end": calib_heavy_end,
+            "heavy_bound": calib_heavy_bound,
+            "heavy_vs_ratchet": calib_heavy_vs_ratchet,
             "noisy_host": noisy_host,
             "vs_ratchet": calib_vs_ratchet,
             "sustained_slowdown": sustained_slowdown,
@@ -548,6 +640,7 @@ def main() -> None:
         payload["hi_queries"] = sweep_hi
         payload["growth_exponent_hi"] = growth_hi
         payload["superlinear_hi"] = superlinear_hi
+        payload["growth_watch_hi"] = growth_watch_hi
         payload["hi_skipped"] = HI_SWEEP_SKIP
     if noisy_host:
         payload["flags_suppressed_by_noise"] = suppressed
