@@ -4848,10 +4848,21 @@ def text_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             -- whitespace-robust token count (ADVICE r9): split on runs of
+             -- space/tab/newline and drop empty tokens, so consecutive /
+             -- leading / trailing separators never count as words; the
+             -- identical spelling runs on the Spark side
+             CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
              CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
                   AS BIGINT) AS n_sentences,
-             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             -- case-fold via translate (ADVICE r9): Java full case mapping
+             -- and utf8proc simple mapping can disagree on special-casing
+             -- codepoints (e.g. U+0130); translate is char-for-char with
+             -- no locale on both engines, and only ASCII letters matter to
+             -- the [aeiouy] vowel scan
+             CAST(len(regexp_extract_all(
+                    translate(text, 'AEIOUY', 'aeiouy'), '[aeiouy]+'))
                   AS BIGINT) AS vg
       FROM documents
       WHERE text IS NOT NULL AND text <> ''),
@@ -4859,7 +4870,8 @@ def text_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, n_words, n_sentences,
              greatest(vg, n_words) AS n_syllables,
              n_words * 1000 // n_sentences AS wps_milli
-      FROM b),
+      FROM b
+      WHERE n_words > 0),
     r AS (
       SELECT doc_id, n_words, n_sentences, n_syllables,
              206835 - (1015 * wps_milli) // 1000
@@ -4883,13 +4895,18 @@ def text_readability(spark: SparkSession, sf: str) -> DataFrame:
     """Flesch reading-ease + Flesch-Kincaid grade per document - the
     readability axis of pretraining-data quality scoring (used alongside
     the Gopher rules / quality classifier to pick a corpus's difficulty
-    mix, and by curriculum ordering as a pacing signal).  Syllables are
-    the standard regex proxy - vowel GROUPS ([aeiouy]+) in the lowered
-    text, floored to one per word (every English word has >= 1 syllable;
-    scripts without Latin vowels degrade to exactly the floor, keeping
-    the score defined on any corpus slice).  Sentences are terminal-
-    punctuation runs ([.!?]+), floored to 1 so headline-like fragments
-    score as one sentence instead of dividing by zero.
+    mix, and by curriculum ordering as a pacing signal).  Words are
+    non-empty runs between [ \\t\\n]+ separators (empty tokens from
+    consecutive/leading/trailing whitespace never count; docs with zero
+    words have no defined readability and are filtered - ADVICE r9).
+    Syllables are the standard regex proxy - vowel GROUPS ([aeiouy]+)
+    after an A-Z->a-z translate (char-for-char on both engines, immune
+    to Java-vs-utf8proc special-casing like U+0130 - ADVICE r9), floored
+    to one per word (every English word has >= 1 syllable; scripts
+    without Latin vowels degrade to exactly the floor, keeping the score
+    defined on any corpus slice).  Sentences are terminal-punctuation
+    runs ([.!?]+), floored to 1 so headline-like fragments score as one
+    sentence instead of dividing by zero.
 
     Cross-engine exactness: both ratios are integer milli-units
     (x * 1000 div y - the events_power_analysis recipe); the Flesch
@@ -4906,20 +4923,35 @@ def text_readability(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     base = d.filter(F.col("text").isNotNull() & (F.col("text") != "")).select(
         "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        # whitespace-robust (ADVICE r9): split on [ \t\n]+ runs, drop empty
+        # tokens - consecutive/leading/trailing separators never count
+        F.size(
+            F.filter(
+                F.split("text", "[ \t\n]+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("n_words"),
         F.greatest(
             F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
             F.lit(1),
         )
         .cast("long")
         .alias("n_sentences"),
+        # translate, not lower (ADVICE r9): char-for-char, no locale, no
+        # Java-vs-utf8proc special-casing divergence; only ASCII vowels
+        # matter to the scan
         F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+            F.regexp_extract_all(
+                F.translate("text", "AEIOUY", "aeiouy"),
+                F.lit("[aeiouy]+"),
+                F.lit(0),
+            )
         )
         .cast("long")
         .alias("vg"),
     )
-    s = base.select(
+    s = base.filter(F.col("n_words") > 0).select(
         "doc_id",
         "n_words",
         "n_sentences",

@@ -189,10 +189,14 @@ ADDED_IN_ROUND: dict[str, int] = {
 # every later round).  Round 10: one new id - multimodal_feature_vectors
 # (real content-statistics vectors through extract_features, replacing the
 # round 1-9 sha256 decode_stub; VERDICT r9 item 3) - needs its first hash
-# signal this round.  Budget check: 1 pin << the driver's ~50-slot window.
+# signal this round.  text_readability's word/vowel spellings hardened per
+# ADVICE r9 (whitespace-robust token count, translate-based case fold,
+# zero-word docs filtered) - code+oracle both moved, re-hash.
+# Budget check: 2 pins << the driver's ~50-slot window.
 _CHANGED_ROUND = 10
 _CHANGED_THIS_ROUND = [
     "multimodal_feature_vectors",
+    "text_readability",
 ]
 
 
