@@ -372,6 +372,7 @@ MEDIA_UNITS_SCHEMA = T.StructType(
         T.StructField("fmt", T.StringType()),
         T.StructField("frame_idx", T.LongType()),
         T.StructField("unit_idx", T.LongType()),
+        T.StructField("frame_unit_idx", T.LongType()),
         T.StructField("unit", T.LongType()),
     ]
 )
@@ -388,7 +389,9 @@ def decode_media_units(assets: DataFrame) -> DataFrame:
     happens on the returned DataFrame JVM-side.  Rows carry no blob, so
     the expansion shuffles integers, never media bytes.  frame_idx comes
     from the decoder's own frame boundaries (bfSize walking for BMP
-    sequences; 0 for single-frame/audio containers)."""
+    sequences; 0 for single-frame/audio containers); frame_unit_idx is
+    the unit's position WITHIN its frame (== unit_idx for single-frame
+    containers) - the order key a per-frame fingerprint needs."""
     decoder_factory = _make_media_decoder
 
     def _units(batches):
@@ -399,6 +402,7 @@ def decode_media_units(assets: DataFrame) -> DataFrame:
             fmts: list[str] = []
             frames: list[int] = []
             idxs: list[int] = []
+            fidxs: list[int] = []
             vals: list[int] = []
             for aid, mt, blob in zip(
                 pdf["asset_id"], pdf["media_type"], pdf["content"]
@@ -412,6 +416,7 @@ def decode_media_units(assets: DataFrame) -> DataFrame:
                 fmts.extend([d["fmt"]] * len(u))
                 frames.extend(i // flen for i in range(len(u)))
                 idxs.extend(range(len(u)))
+                fidxs.extend(i % flen for i in range(len(u)))
                 vals.extend(u)
             yield pd.DataFrame(
                 {
@@ -420,6 +425,7 @@ def decode_media_units(assets: DataFrame) -> DataFrame:
                     "fmt": pd.Series(fmts, dtype="object"),
                     "frame_idx": pd.Series(frames, dtype="int64"),
                     "unit_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_unit_idx": pd.Series(fidxs, dtype="int64"),
                     "unit": pd.Series(vals, dtype="int64"),
                 }
             )

@@ -381,6 +381,239 @@ def multimodal_audio_vad(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_zcr",
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id, 16 + doc_id % 17 AS n FROM documents WHERE doc_id % 3 = 1),
+    -- sample stream replays the WAV builder's PCM formula
+    -- (pipeline/multimodal.build_media_blob)
+    s AS (
+      SELECT doc_id, i.i AS idx,
+             ((doc_id * 131 + i.i * 17) % 65536) - 32768 AS v
+      FROM aud, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+    l AS (
+      SELECT doc_id, idx, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY idx) AS pv
+      FROM s),
+    c AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(count(*) FILTER (WHERE pv IS NOT NULL
+                                     AND (pv < 0) <> (v < 0)) AS BIGINT)
+               AS n_crossings,
+             CAST(sum(abs(v)) AS BIGINT) AS abs_sum
+      FROM l GROUP BY doc_id)
+    SELECT doc_id AS asset_id, n_samples, n_crossings,
+           n_crossings * 1000 // (n_samples - 1) AS zcr_milli,
+           abs_sum * 1000 // n_samples AS mean_abs_milli
+    FROM c
+    """,
+)
+def multimodal_audio_zcr(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-crossing rate over REAL decoded PCM - the classic
+    voiced/unvoiced + speech/music discriminator that pairs with energy
+    (multimodal_audio_vad) in every speech-corpus QC stack: low ZCR +
+    high energy = voiced speech, high ZCR + low energy = fricatives or
+    noise; the (zcr, energy) pair is the cheapest feature a curation
+    pipeline computes before anything model-based.  A crossing is a sign
+    flip between consecutive samples (negative vs non-negative - zero
+    counts as positive, the usual convention, identical on both sides);
+    the rate is crossings per transition in integer milli (n_samples >= 2
+    always: the WAV builder emits >= 16 samples, so the divisor is never
+    zero).  mean_abs_milli (mean |amplitude|, milli) rides along so one
+    scan yields the whole (zcr, level) QC pair.
+
+    Plan: metadata filter prunes the decode to audio blobs; the lag runs
+    per-ASSET ordered by sample index (win_lag_lead discipline - bounded
+    partitions, an asset's samples, never the corpus), then one
+    combinable per-asset agg.  Integer end to end, zero joins."""
+    from ..pipeline.multimodal import decode_media_units
+    from pyspark.sql import Window as W
+
+    assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
+        F.col("media_type") == "audio"
+    )
+    units = decode_media_units(assets)
+    w = W.partitionBy("asset_id").orderBy("unit_idx")
+    l_ = units.select(
+        "asset_id",
+        "unit",
+        F.lag("unit").over(w).alias("pv"),
+    )
+    crossing = (
+        F.col("pv").isNotNull()
+        & ((F.col("pv") < 0) != (F.col("unit") < 0))
+    ).cast("long")
+    c = l_.groupBy("asset_id").agg(
+        F.count("*").alias("n_samples"),
+        F.sum(crossing).alias("n_crossings"),
+        F.sum(F.abs("unit")).alias("abs_sum"),
+    )
+    return c.select(
+        "asset_id",
+        "n_samples",
+        "n_crossings",
+        F.expr("n_crossings * 1000 div (n_samples - 1)").alias("zcr_milli"),
+        F.expr("abs_sum * 1000 div n_samples").alias("mean_abs_milli"),
+    )
+
+
+@query(
+    "multimodal_image_entropy",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             (4 + doc_id % 5) * (2 + doc_id % 3) * 3 AS n
+      FROM documents WHERE doc_id % 3 = 0),
+    -- pixel stream replays the BMP builder's byte formula
+    px AS (
+      SELECT doc_id, ((doc_id * 37 + i.i * 11) % 256) // 32 AS bin
+      FROM img, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+    c AS (
+      SELECT doc_id, bin, count(*) AS cnt FROM px GROUP BY doc_id, bin),
+    t AS (
+      SELECT doc_id, sum(cnt) AS n_px, count(*) AS n_bins_used,
+             max(cnt) AS max_cnt
+      FROM c GROUP BY doc_id)
+    SELECT c.doc_id AS asset_id,
+           CAST(t.n_px AS BIGINT) AS n_px,
+           CAST(t.n_bins_used AS BIGINT) AS n_bins_used,
+           CAST(t.max_cnt * 1000 // t.n_px AS BIGINT) AS max_bin_milli,
+           floor((-sum((cnt * 1.0 / n_px) * ln(cnt * 1.0 / n_px)))
+                 * 10000.0 + 0.5) / 10000.0 AS entropy_nats
+    FROM c JOIN t USING (doc_id)
+    GROUP BY c.doc_id, t.n_px, t.n_bins_used, t.max_cnt
+    """,
+)
+def multimodal_image_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Intensity-entropy QC over REAL decoded pixels - the flat/clipped
+    image detector of a vision-pretraining curation pass: near-zero
+    entropy (or max_bin_milli near 1000) means a constant/banner/solid
+    image that contributes nothing to training; the dataset-card number
+    alongside the channel histograms (multimodal_image_hist).  Entropy is
+    Shannon over the asset's 8-bin intensity distribution in nats,
+    pround-ed to 4 decimals (text_source_entropy's recipe: ln on exact
+    integer ratios evaluated identically on both engines, the ulp noise
+    of the <= 8-term sum absorbed by the shared rounding formula);
+    max_bin_milli (dominant-bin mass, integer milli) is the exact-integer
+    clipping signal.
+
+    Plan: metadata filter prunes the decode to image blobs; one
+    combinable (asset, bin) hash agg collapses the pixel stream, then a
+    per-asset agg over <= 8 rows - the entropy arithmetic never sees
+    pixels, only bin counts.  At 100 TB the post-decode ledger is
+    O(assets x 8)."""
+    from ..pipeline.multimodal import decode_media_units
+    from ..functions import pround
+
+    assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    units = decode_media_units(assets)
+    c = units.groupBy(
+        "asset_id", F.expr("unit div 32").alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("asset_id")
+    p = F.col("cnt") * 1.0 / F.sum("cnt").over(w)
+    return (
+        c.select(
+            "asset_id",
+            F.sum("cnt").over(w).alias("n_px"),
+            F.count("*").over(w).alias("n_bins_used"),
+            F.max("cnt").over(w).alias("max_cnt"),
+            (p * F.log(p)).alias("plogp"),
+        )
+        .groupBy("asset_id", "n_px", "n_bins_used", "max_cnt")
+        .agg(pround(-F.sum("plogp"), 4).alias("entropy_nats"))
+        .select(
+            "asset_id",
+            "n_px",
+            "n_bins_used",
+            F.expr("max_cnt * 1000 div n_px").alias("max_bin_milli"),
+            "entropy_nats",
+        )
+    )
+
+
+@query(
+    "multimodal_duplicate_frames",
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id,
+             (4 + doc_id % 5) * (2 + doc_id % 3) * 3 AS flen
+      FROM documents WHERE doc_id % 3 = 2),
+    -- per-frame pixel streams replay the BMP-sequence builder's formula
+    -- (frame f is seeded doc_id + 7919 * f)
+    fp AS (
+      SELECT doc_id, f.f AS frame_idx, flen,
+             sum((((doc_id + 7919 * f.f) * 37 + i.i * 11) % 256)
+                 * (i.i + 1) % 1000003) AS fp
+      FROM vid,
+           LATERAL (SELECT unnest(range(0, 3)) AS f) f,
+           LATERAL (SELECT unnest(range(0, flen)) AS i) i
+      GROUP BY doc_id, f.f, flen),
+    owners AS (
+      SELECT fp, flen, count(DISTINCT doc_id) AS n_assets
+      FROM fp GROUP BY fp, flen)
+    SELECT fp.doc_id AS asset_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(DISTINCT fp.fp) AS BIGINT) AS n_distinct_frames,
+           CAST(count(*) - count(DISTINCT fp.fp) AS BIGINT)
+             AS n_internal_dups,
+           CAST(count(*) FILTER (WHERE o.n_assets > 1) AS BIGINT)
+             AS n_shared_frames
+    FROM fp JOIN owners o ON fp.fp = o.fp AND fp.flen = o.flen
+    GROUP BY fp.doc_id
+    """,
+)
+def multimodal_duplicate_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyframe-level video dedup report - the freeze-frame / shared-
+    footage detector of a video-corpus curation pass (static scenes
+    inflate token budgets; cross-video shared keyframes mark re-uploads
+    and near-dup clips, the video analogue of multimodal_dedup_bytes):
+    every decoded frame is reduced to an order-SENSITIVE integer
+    fingerprint (sum of unit*(pos+1) mod 1000003 over the frame's
+    in-frame positions - exact arithmetic, so both engines agree
+    bit-for-bit), frames are matched on (fingerprint, frame size), and
+    each asset reports its internal duplicate count and how many of its
+    frames appear in at least one OTHER asset.
+
+    Plan: metadata filter prunes the decode to video blobs; one
+    combinable (asset, frame) agg collapses pixels to fingerprints (3
+    rows/asset - only fingerprints shuffle, never pixels); the sharing
+    check is one hash agg over the fingerprint ledger + a 1:1 join back
+    - the inverted-index dedup shape, never pairwise.  Fixture note:
+    the builder's pixel space is mod-256, so frames of assets whose
+    (seed mod 256, frame size) coincide are genuinely byte-identical -
+    20 shared frames at sf0.01, nearly all frames twinned at sf0.1;
+    both engines replay the same reality and the counts hash-match."""
+    from ..pipeline.multimodal import decode_media_units
+
+    assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
+        F.col("media_type") == "video"
+    )
+    units = decode_media_units(assets)
+    fp = units.groupBy("asset_id", "frame_idx").agg(
+        F.sum(
+            F.expr("unit * (frame_unit_idx + 1) % 1000003")
+        ).alias("fp"),
+        F.count("*").alias("flen"),
+    )
+    owners = fp.groupBy("fp", "flen").agg(
+        F.countDistinct("asset_id").alias("n_assets")
+    )
+    j = fp.join(owners, ["fp", "flen"])
+    return j.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("fp").alias("n_distinct_frames"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_internal_dups"),
+        F.sum((F.col("n_assets") > 1).cast("long")).alias("n_shared_frames"),
+    )
+
+
+@query(
     "multimodal_image_hist",
     oracle="""
     WITH img AS (

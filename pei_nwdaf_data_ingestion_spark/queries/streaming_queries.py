@@ -1166,3 +1166,27 @@ def stream_countmin_merge(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("est_n") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+@query("stream_media_decode")
+def stream_media_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL media decode running INSIDE Structured Streaming - the
+    ingest-time posture of multimodal_decode (r10: the reference ingests
+    continuously, receiver.py:354-458, and a media-corpus pipeline decodes
+    on arrival, not in a nightly batch): documents stream in, blobs are
+    synthesized (the stand-in for a binary Kafka payload or object-store
+    pointer fetch), and the SAME mapInPandas stages the batch path uses -
+    synthesize_media_assets + decode_media_stats, stateless, so they run
+    unchanged on an unbounded stream - reduce each container to its typed
+    integer stats inside each micro-batch.  No state, no watermark: decode
+    is embarrassingly parallel, exactly the operator whose streaming and
+    batch plans should be THE SAME CODE (the streaming=batch library rule,
+    README).  Batch-dual equality against multimodal_decode's full result
+    is asserted in tests/test_streaming.py."""
+    from ..pipeline.multimodal import decode_media_stats, synthesize_media_assets
+
+    docs = _documents_stream(spark, sf).select("doc_id")
+    stats = decode_media_stats(synthesize_media_assets(docs))
+    name = "stream_media_decode_out"
+    _drain(stats, name)
+    return spark.table(name)

@@ -180,6 +180,10 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_bigram_perplexity": 9,
     "text_readability": 9,
     "multimodal_feature_vectors": 10,
+    "multimodal_audio_zcr": 10,
+    "multimodal_image_entropy": 10,
+    "multimodal_duplicate_frames": 10,
+    "stream_media_decode": 10,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -191,12 +195,23 @@ ADDED_IN_ROUND: dict[str, int] = {
 # round 1-9 sha256 decode_stub; VERDICT r9 item 3) - needs its first hash
 # signal this round.  text_readability's word/vowel spellings hardened per
 # ADVICE r9 (whitespace-robust token count, translate-based case fold,
-# zero-word docs filtered) - code+oracle both moved, re-hash.
-# Budget check: 2 pins << the driver's ~50-slot window.
+# zero-word docs filtered) - code+oracle both moved, re-hash.  Three more
+# r10 signal-level QC ids (audio ZCR, image entropy, duplicate frames)
+# need first signals, and decode_media_units gained a frame_unit_idx
+# column - result-identical for its r9 consumers (VAD / histogram /
+# scene cuts) but the code under them moved, so they re-hash too.
+# Budget check: 8 pins << the driver's ~50-slot window.
 _CHANGED_ROUND = 10
 _CHANGED_THIS_ROUND = [
     "multimodal_feature_vectors",
     "text_readability",
+    "multimodal_audio_zcr",
+    "multimodal_image_entropy",
+    "multimodal_duplicate_frames",
+    # decode_media_units schema extension (result-identical; re-hash)
+    "multimodal_audio_vad",
+    "multimodal_image_hist",
+    "multimodal_scene_cuts",
 ]
 
 

@@ -911,3 +911,20 @@ def test_inactivity_flush_recovers_from_checkpoint_restart(spark, tmp_path):
     _phased_copy(staging, live, "half=b1")
     run(live, sink, ckpt)
     assert emitted(sink) == reference
+
+
+def test_stream_media_decode_matches_batch_dual(spark):
+    """The streaming decode is the SAME stateless mapInPandas stages as the
+    batch path, so the drained result must equal multimodal_decode's full
+    batch output row-for-row (r10 streaming dual of the real decode)."""
+    from pei_nwdaf_data_ingestion_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, registry.QUERIES["stream_media_decode"](spark, sf).collect())
+    )
+    want = sorted(
+        map(tuple, registry.QUERIES["multimodal_decode"](spark, sf).collect())
+    )
+    assert got == want and len(got) > 0
