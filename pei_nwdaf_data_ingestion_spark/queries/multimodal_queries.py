@@ -614,6 +614,124 @@ def multimodal_duplicate_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_ahash_neardup",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             (4 + doc_id % 5) * (2 + doc_id % 3) * 3 AS n
+      FROM documents WHERE doc_id % 3 = 0),
+    -- pixel stream replays the BMP builder's byte formula
+    px AS (
+      SELECT doc_id, i.i AS idx, (doc_id * 37 + i.i * 11) % 256 AS v, n
+      FROM img, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+    m AS (
+      SELECT doc_id, sum(v) // max(n) AS mean_v FROM px GROUP BY doc_id),
+    h AS (
+      SELECT px.doc_id,
+             sum(CASE WHEN px.v > m.mean_v AND px.idx < 16
+                      THEN 1 << CAST(px.idx AS INTEGER) ELSE 0 END) AS ah
+      FROM px JOIN m ON px.doc_id = m.doc_id
+      GROUP BY px.doc_id),
+    b AS (SELECT doc_id, CAST(ah AS BIGINT) AS ah,
+                 ah // 256 AS hi, ah % 256 AS lo FROM h),
+    cand AS (
+      SELECT a.doc_id AS da, c.doc_id AS db, a.ah AS pa, c.ah AS pb
+      FROM b a JOIN b c ON a.hi = c.hi AND a.doc_id < c.doc_id
+      UNION
+      SELECT a.doc_id, c.doc_id, a.ah, c.ah
+      FROM b a JOIN b c ON a.lo = c.lo AND a.doc_id < c.doc_id)
+    SELECT CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= 3
+    GROUP BY 1
+    """,
+)
+def multimodal_ahash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Average-hash near-dup detection over REAL decoded pixels - the
+    image-dedup classic (aHash: bit i = pixel_i brighter than the image
+    mean) that dedup_phash_hamming's banding machinery was built for,
+    now running on actual raster data instead of a text-parity stand-in:
+    a 16-bit aHash from the first 16 raster pixels vs the asset's mean
+    intensity (integer floor mean - tiny fixture images skip the 8x8
+    downsample a production aHash starts with; pixel selection and mean
+    are exact integers, so both engines agree bit-for-bit), then the
+    SAME two-byte banding self-join + bit_count(xor) verify, output as
+    the verified-candidate histogram by Hamming distance.
+
+    Plan: metadata filter prunes the decode to image blobs; two
+    combinable per-asset aggs (mean, then hash bits - only 16 of the
+    pixels contribute bits but the mean sees them all); the candidate
+    stage is two equi self-joins on a byte key (256 buckets, hash-
+    partitioned, never all-pairs) - at 100 TB the banding join touches
+    only 8-byte hashes, the decoded pixels never leave their scan
+    stage; a billion-image corpus widens to the production 64-bit hash
+    with 4x16-bit bands (65k buckets + the hot-bucket cap discipline of
+    dedup_minhash_lsh) - the 16-bit spelling is sized to the fixture's
+    pixel budget, not a design limit.  Fixture note: assets whose
+    builder seeds coincide mod 256
+    have byte-identical pixels, so distance-0 pairs are real duplicate
+    images, not hash collisions."""
+    from ..pipeline.multimodal import decode_media_units
+
+    assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    units = decode_media_units(assets)
+    m = units.groupBy("asset_id").agg(
+        F.expr("sum(unit) div count(*)").alias("mean_v")
+    )
+    h = (
+        units.join(m, "asset_id")
+        .groupBy("asset_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN unit > mean_v AND unit_idx < 16"
+                    " THEN shiftleft(1, cast(unit_idx AS int)) ELSE 0 END"
+                )
+            ).alias("ah")
+        )
+    )
+    b = h.select(
+        "asset_id",
+        "ah",
+        F.expr("ah div 256").alias("hi"),
+        (F.col("ah") % 256).alias("lo"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pair_cols = [
+        F.col("a.asset_id").alias("da"),
+        F.col("c.asset_id").alias("db"),
+        F.col("a.ah").alias("pa"),
+        F.col("c.ah").alias("pb"),
+    ]
+    cand = (
+        a.join(
+            c,
+            (F.col("a.hi") == F.col("c.hi"))
+            & (F.col("a.asset_id") < F.col("c.asset_id")),
+        )
+        .select(*pair_cols)
+        .union(
+            a.join(
+                c,
+                (F.col("a.lo") == F.col("c.lo"))
+                & (F.col("a.asset_id") < F.col("c.asset_id")),
+            ).select(*pair_cols)
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cand.select(ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
     "multimodal_image_hist",
     oracle="""
     WITH img AS (

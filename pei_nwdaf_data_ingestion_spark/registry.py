@@ -184,6 +184,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "multimodal_image_entropy": 10,
     "multimodal_duplicate_frames": 10,
     "stream_media_decode": 10,
+    "multimodal_ahash_neardup": 10,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -208,6 +209,7 @@ _CHANGED_THIS_ROUND = [
     "multimodal_audio_zcr",
     "multimodal_image_entropy",
     "multimodal_duplicate_frames",
+    "multimodal_ahash_neardup",
     # decode_media_units schema extension (result-identical; re-hash)
     "multimodal_audio_vad",
     "multimodal_image_hist",
