@@ -4990,3 +4990,91 @@ def text_readability(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("very_difficult")
         .alias("band"),
     )
+
+
+@query(
+    "text_ccnet_buckets",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM tok),
+    nll AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             sum(CAST(floor(-ln(freq.n / CAST(tot.total AS DOUBLE))
+                            * 1000000.0 + 0.5) AS BIGINT)) AS sum_micro
+      FROM tok JOIN freq USING (token) CROSS JOIN tot
+      GROUP BY doc_id),
+    keyed AS (
+      SELECT d.doc_id, d.lang, n.n_tokens,
+             CAST(n.sum_micro * 1000 // n.n_tokens AS BIGINT) AS nll_nano
+      FROM nll n JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, n_tokens, nll_nano,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY nll_nano, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM keyed
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus bucketing: per LANGUAGE, rank
+    documents by LM perplexity and cut the ranking into terciles - 'head'
+    (closest to the reference distribution) feeds high-quality pretraining
+    mixes, 'tail' is quarantined or down-weighted (the CCNet pipeline's
+    central quality gate, applied per-language so low-resource languages
+    are never crowded out by the majority language's scale).
+
+    The LM is text_perplexity_proxy's unigram model with the identical
+    tokenization (single-space split, empties kept), so the two operators
+    agree on every document's score: token NLLs quantized to integral
+    micro-nats before the per-doc sum (order-independent integer math),
+    then the per-doc ordering key nll_nano = sum_micro * 1000 div n_tokens
+    - an all-positive integer div, identical under floor and truncation
+    semantics, so Spark and DuckDB can never disagree on the ranking.
+    doc_id is the total-order tiebreak; ntile(3) is SQL-standard on both
+    engines (first (count mod 3) buckets take the extra row).
+
+    Plan: one token explode + two hash aggs + a vocabulary-bounded
+    broadcast join (the frequency side never grows past the vocabulary),
+    a 1:1 join back to documents for lang, then ONE window sort per
+    language partition.  At 100 TB the per-language full sort is the one
+    non-scalable stage (few languages = few giant partitions); the scale
+    spelling replaces exact ntile with approx_percentile tercile cut
+    points per language (two tiny broadcast rows per language, map-side
+    bucketing) at the cost of oracle-exactness - this spelling is the
+    hash-checkable dual."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    tot = tok.agg(F.count("*").alias("total"))
+    micro = F.floor(
+        -F.log(F.col("n") / F.col("total").cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    nll = (
+        tok.join(F.broadcast(freq.crossJoin(F.broadcast(tot))), "token")
+        .select("doc_id", micro.alias("micro_nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("micro_nll").alias("sum_micro"),
+        )
+    )
+    keyed = nll.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("sum_micro * 1000 div n_tokens").cast("long").alias("nll_nano"),
+    )
+    w = Window.partitionBy("lang").orderBy("nll_nano", "doc_id")
+    t = F.ntile(3).over(w)
+    return keyed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "nll_nano",
+        F.when(t == 1, "head")
+        .when(t == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

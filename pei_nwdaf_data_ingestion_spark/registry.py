@@ -185,6 +185,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "multimodal_duplicate_frames": 10,
     "stream_media_decode": 10,
     "multimodal_ahash_neardup": 10,
+    "text_ccnet_buckets": 10,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -214,6 +215,7 @@ _CHANGED_THIS_ROUND = [
     "multimodal_audio_vad",
     "multimodal_image_hist",
     "multimodal_scene_cuts",
+    "text_ccnet_buckets",
 ]
 
 

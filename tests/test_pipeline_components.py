@@ -1340,3 +1340,40 @@ class TestBigramPerplexity:
         }
         assert dict(zip(got.doc_id, got.n_bigrams)) == exp
         assert (got.ppl > 0).all() and (got.avg_nll > 0).all()
+
+
+class TestCcnetBuckets:
+    """text_ccnet_buckets: per-language perplexity terciles (CCNet gate)."""
+
+    def test_terciles_balanced_and_ordered(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = registry.QUERIES["text_ccnet_buckets"](spark, sf).toPandas()
+        assert set(got.bucket) <= {"head", "middle", "tail"}
+        for lang, grp in got.groupby("lang"):
+            sizes = grp.bucket.value_counts()
+            # ntile(3): bucket sizes within a language differ by at most 1
+            assert sizes.max() - sizes.min() <= 1, lang
+            # ranking property: every head doc scores <= every tail doc
+            # (ties at a boundary make the comparison equal, never greater)
+            by = {b: g.nll_nano for b, g in grp.groupby("bucket")}
+            if "head" in by and "tail" in by:
+                assert by["head"].max() <= by["tail"].min(), lang
+
+    def test_agrees_with_perplexity_proxy_ranking(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = registry.QUERIES["text_ccnet_buckets"](spark, sf).toPandas()
+        ppl = registry.QUERIES["text_perplexity_proxy"](spark, sf).toPandas()
+        merged = got.merge(ppl[["doc_id", "ppl"]], on="doc_id")
+        for lang, grp in merged.groupby("lang"):
+            if len(grp) < 3:
+                continue
+            # ppl is rounded to 2dp, so the minimum can tie across the
+            # head boundary - assert SOME minimal-ppl doc landed in head
+            best = grp[grp.ppl == grp.ppl.min()]
+            assert (best.bucket == "head").any(), lang
