@@ -3403,3 +3403,131 @@ def graph_two_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_two_hop"), F.asc("s"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-trend decomposition (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "time_stl_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, cents,
+             sum(cents) OVER fr AS sum7,
+             count(*) OVER fr AS cnt7
+      FROM daily
+      WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    t AS (
+      SELECT event_type, day, cents,
+             CASE WHEN cnt7 = 7 THEN
+               CAST(floor(CAST(sum7 * 1000 AS DOUBLE) / 7.0) AS BIGINT)
+             END AS trend_milli
+      FROM w),
+    dt AS (
+      SELECT event_type, day, cents, trend_milli,
+             cents * 1000 - trend_milli AS detr_milli,
+             dayofweek(CAST(day AS DATE)) AS dow
+      FROM t),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(floor(CAST(sum(detr_milli) AS DOUBLE)
+                        / count(detr_milli)) AS BIGINT) AS seasonal_milli
+      FROM dt WHERE detr_milli IS NOT NULL GROUP BY 1, 2)
+    SELECT dt.event_type, dt.day, dt.cents, dt.trend_milli,
+           seas.seasonal_milli,
+           dt.detr_milli - seas.seasonal_milli AS resid_milli
+    FROM dt LEFT JOIN seas
+      ON dt.event_type = seas.event_type AND dt.dow = seas.dow
+    """,
+)
+def time_stl_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical seasonal-trend decomposition (the moving-average STL
+    variant: trend = centered 7-day moving average, seasonal = day-of-week
+    mean of the detrended series, residual = remainder) of each event
+    type's daily value series - the standard pre-step for anomaly
+    detection and forecasting on business metrics (residuals are what a
+    z-score alarm should watch, not the raw seasonal series).
+
+    Cross-engine exactness: the ONLY float aggregation is the initial
+    daily sum(value), immediately quantized to integer cents (the house
+    floor(x*100+0.5) spelling); everything downstream is integer
+    milli-cent arithmetic.  Both flooring divisions are spelled
+    floor(CAST(int AS DOUBLE) / n) on BOTH engines - never integer `div`,
+    because detrended values go NEGATIVE and Spark's div truncates while
+    DuckDB's // floors (the pipeline_importance_dsir lesson).  Edge days
+    (first/last 3 per series) get NULL trend/residual rather than a
+    partial-window estimate biased toward the series interior.  Day-of-
+    week labels differ across engines (Spark 1-7 vs DuckDB 0-6) but the
+    mapping is a bijection of the same date, so the GROUPS are identical
+    and the label never leaves the plan.
+
+    Plan: one data-volume shuffle (the daily agg, map-side combinable),
+    then windows over ~days-per-type rows partitioned by event_type -
+    parallel across types, bounded per partition (a year is 365 rows);
+    the seasonal table is <= 7 x |types| rows, broadcast back.  At
+    100 TB the daily agg dominates and stays fully distributed; nothing
+    downstream ever sees raw events."""
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.floor(F.sum("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(fr).alias("sum7"),
+        F.count("*").over(fr).alias("cnt7"),
+    )
+    t = w.select(
+        "event_type",
+        "day",
+        "cents",
+        F.when(
+            F.col("cnt7") == 7,
+            F.floor((F.col("sum7") * 1000).cast("double") / 7.0).cast("long"),
+        ).alias("trend_milli"),
+    )
+    dt = t.select(
+        "event_type",
+        "day",
+        "cents",
+        "trend_milli",
+        (F.col("cents") * 1000 - F.col("trend_milli")).alias("detr_milli"),
+        F.dayofweek(F.to_date("day")).alias("dow"),
+    )
+    seas = (
+        dt.filter(F.col("detr_milli").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            F.floor(
+                F.sum("detr_milli").cast("double") / F.count("detr_milli")
+            )
+            .cast("long")
+            .alias("seasonal_milli")
+        )
+    )
+    return dt.join(F.broadcast(seas), ["event_type", "dow"], "left").select(
+        "event_type",
+        "day",
+        "cents",
+        "trend_milli",
+        "seasonal_milli",
+        (F.col("detr_milli") - F.col("seasonal_milli")).alias("resid_milli"),
+    )

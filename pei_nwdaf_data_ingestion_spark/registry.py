@@ -186,6 +186,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "stream_media_decode": 10,
     "multimodal_ahash_neardup": 10,
     "text_ccnet_buckets": 10,
+    "time_stl_decompose": 10,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -216,6 +217,7 @@ _CHANGED_THIS_ROUND = [
     "multimodal_image_hist",
     "multimodal_scene_cuts",
     "text_ccnet_buckets",
+    "time_stl_decompose",
 ]
 
 

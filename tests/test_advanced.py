@@ -1910,3 +1910,33 @@ class TestDegenerateEmbeddingsParity:
         spark_pdf = registry.QUERIES[name](spark, tiny_sf_dir).toPandas()
         oracle_pdf = tiny_ddb.execute(registry.ORACLES[name]).fetchdf()
         assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+class TestStlDecompose:
+    """time_stl_decompose: additive identity + edge-day NULL trend."""
+
+    def test_components_sum_to_series(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = registry.QUERIES["time_stl_decompose"](spark, sf).toPandas()
+        inner = got[got.trend_milli.notna()]
+        assert len(inner) > 0
+        # exact integer identity: cents*1000 = trend + seasonal + residual
+        recon = inner.trend_milli + inner.seasonal_milli + inner.resid_milli
+        assert (recon == inner.cents * 1000).all()
+
+    def test_edge_days_have_null_trend(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = registry.QUERIES["time_stl_decompose"](spark, sf).toPandas()
+        for et, grp in got.groupby("event_type"):
+            grp = grp.sort_values("day").reset_index(drop=True)
+            if len(grp) >= 7:
+                # first/last 3 days lack a full centered window
+                assert grp.trend_milli.iloc[:3].isna().all(), et
+                assert grp.trend_milli.iloc[-3:].isna().all(), et
+                assert grp.trend_milli.iloc[3:-3].notna().all(), et
