@@ -5078,3 +5078,95 @@ def text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@query(
+    "text_keyness_logodds",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    st AS (SELECT source, token, count(*) AS a FROM tok GROUP BY 1, 2),
+    stot AS (SELECT source, count(*) AS atot FROM tok GROUP BY 1),
+    ct AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+    ctot AS (SELECT count(*) AS t FROM tok),
+    k AS (
+      SELECT st.source, st.token, st.a, ct.n - st.a AS b,
+             CAST(floor(
+               (ln((st.a + 1.0) / (stot.atot - st.a + 1.0))
+                - ln((ct.n - st.a + 1.0)
+                     / (ctot.t - stot.atot - (ct.n - st.a) + 1.0)))
+               * 1000000.0 + 0.5) AS BIGINT) AS keyness_micro
+      FROM st JOIN stot USING (source) JOIN ct USING (token)
+      CROSS JOIN ctot),
+    r AS (
+      SELECT source, token, a AS cnt_in, b AS cnt_out, keyness_micro,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY keyness_micro DESC, token) AS BIGINT) AS rnk
+      FROM k)
+    SELECT source, token, cnt_in, cnt_out, keyness_micro, rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def text_keyness_logodds(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinctive-term discovery per source: smoothed log-odds-ratio of
+    each token's usage inside a source vs the rest of the corpus (the
+    'Fightin' Words' keyness statistic with Haldane +1 smoothing), top 5
+    terms per source.  This is the corpus-comparison primitive behind
+    domain tagging, crawl-source characterization, and contamination
+    triage ('what vocabulary makes this source different?') - frequency
+    alone ranks stopwords, keyness ranks what is OVER-represented.
+
+    Cross-engine exactness: both odds ratios are rationals of exact
+    BIGINT counts; the integer adds/subtracts happen FIRST (left-
+    associated, exact), each ratio incurs exactly one IEEE division,
+    the two ln() calls and one subtraction are spelled with identical
+    literals and association on both engines (one rounding per op, same
+    op sequence - the win_ewma_smooth recipe), then a single micro-unit
+    floor.  Ordering: keyness DESC with token ASC tiebreak - binary
+    string collation on both engines - and row_number() cast to BIGINT
+    for the driver's dtype-strict compare.
+
+    Plan: one token explode feeding four hash aggs (all map-side
+    combinable); the per-source totals and the scalar corpus total are
+    tiny broadcasts; the token-frequency side is vocabulary-bounded -
+    broadcast here, and at 100 TB (where the vocabulary can outgrow a
+    broadcast) it becomes a sort-merge join co-partitioned on token
+    with the (source, token) counts, still never touching raw rows
+    twice.  The final window sorts <= vocabulary rows per source."""
+    d = load(spark, sf, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("a"))
+    stot = tok.groupBy("source").agg(F.count("*").alias("atot"))
+    ct = tok.groupBy("token").agg(F.count("*").alias("n"))
+    ctot = tok.agg(F.count("*").alias("t"))
+    k = (
+        st.join(F.broadcast(stot), "source")
+        .join(F.broadcast(ct), "token")
+        .crossJoin(F.broadcast(ctot))
+    )
+    in_odds = (F.col("a") + F.lit(1.0)) / (
+        F.col("atot") - F.col("a") + F.lit(1.0)
+    )
+    out_odds = (F.col("n") - F.col("a") + F.lit(1.0)) / (
+        F.col("t") - F.col("atot") - (F.col("n") - F.col("a")) + F.lit(1.0)
+    )
+    scored = k.select(
+        "source",
+        "token",
+        F.col("a").alias("cnt_in"),
+        (F.col("n") - F.col("a")).alias("cnt_out"),
+        F.floor((F.log(in_odds) - F.log(out_odds)) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("keyness_micro"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("keyness_micro"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "source", "token", "cnt_in", "cnt_out", "keyness_micro", "rnk"
+        )
+    )

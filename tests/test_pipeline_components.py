@@ -1377,3 +1377,68 @@ class TestCcnetBuckets:
             # head boundary - assert SOME minimal-ppl doc landed in head
             best = grp[grp.ppl == grp.ppl.min()]
             assert (best.bucket == "head").any(), lang
+
+
+class TestKeynessLogodds:
+    """text_keyness_logodds: smoothed log-odds keyness, top-5 per source."""
+
+    def test_topk_shape_and_overrepresentation(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = registry.QUERIES["text_keyness_logodds"](spark, sf).toPandas()
+        for src, grp in got.groupby("source"):
+            assert sorted(grp.rnk) == list(range(1, len(grp) + 1)), src
+            assert len(grp) <= 5
+            # ranks follow keyness descending
+            ordered = grp.sort_values("rnk")
+            assert (ordered.keyness_micro.diff().dropna() <= 0).all(), src
+
+    @pytest.fixture(scope="class")
+    def marker_sf_dir(self, tmp_path_factory):
+        """One source hammers a marker token the other never uses; the
+        marker must win that source's keyness ranking outright.  (The
+        sf0.001 corpus showed that +1 smoothing on singleton counts can
+        legitimately rank a common token above a rare over-represented
+        one, so the unambiguous pin needs a constructed corpus.)"""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        filler = "the of and to in"
+        rows = [
+            (1, ("zebra " * 20 + filler).strip(), "en", "srcX"),
+            (2, filler + " " + filler, "en", "srcY"),
+            (3, filler + " " + filler, "en", "srcY"),
+        ]
+        d = tmp_path_factory.mktemp("keyness")
+        ids, texts, langs, sources = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    def test_marker_token_wins_its_source(self, spark, marker_sf_dir):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        got = registry.QUERIES["text_keyness_logodds"](
+            spark, marker_sf_dir
+        ).toPandas()
+        top = got[(got.source == "srcX") & (got.rnk == 1)].iloc[0]
+        assert top.token == "zebra"
+        assert top.cnt_in == 20 and top.cnt_out == 0
+        assert top.keyness_micro > 0
+        # the filler tokens are UNDER-represented in srcX (negative
+        # keyness) and can never outrank the marker
+        filler = got[(got.source == "srcX") & (got.token != "zebra")]
+        assert (filler.keyness_micro < top.keyness_micro).all()
