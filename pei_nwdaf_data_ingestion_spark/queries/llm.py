@@ -5170,3 +5170,69 @@ def text_keyness_logodds(spark: SparkSession, sf: str) -> DataFrame:
             "source", "token", "cnt_in", "cnt_out", "keyness_micro", "rnk"
         )
     )
+
+
+@query(
+    "text_oov_rate",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token,
+               row_number() OVER (ORDER BY n DESC, token) AS rk
+        FROM freq)
+      WHERE rk <= 64)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+           CAST(count(*) FILTER (WHERE v.token IS NULL) * 1000 // count(*)
+                AS BIGINT) AS oov_milli
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-64 corpus
+    vocabulary (count desc, token asc tiebreak - a deterministic stand-in
+    for a trained tokenizer's vocab) and report each document's
+    out-of-vocabulary token count and rate.  This is the sizing loop for
+    real tokenizers - OOV/byte-fallback rate as a function of vocabulary
+    size decides vocab budget, and per-doc OOV is a quality flag (docs
+    that are mostly OOV against a corpus-wide vocab are boilerplate,
+    another language, or junk; complements pipeline_tokenizer_fertility,
+    which measures tokens-per-word of a FIXED tokenizer).
+
+    Cross-engine exactness: counts are exact integers end-to-end and the
+    rate is an all-positive integer milli div (floor = truncation).  The
+    vocabulary ranking tiebreaks on the token itself (binary collation
+    both engines), so rank 64's boundary is deterministic.
+
+    Plan: one explode -> vocabulary-bounded hash agg; the global top-64
+    ranking runs on the AGGREGATED frequency table (vocabulary-sized,
+    never the token stream - the win_ntile lesson does not apply to a
+    64-row limit over an agg); the 64-row vocab broadcasts into a
+    left join against the token stream (hash lookup, no shuffle of the
+    stream beyond the per-doc agg it already needs).  At 100 TB the
+    frequency agg is map-side combinable and everything after it is
+    bounded by the vocabulary."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    vocab = (
+        freq.orderBy(F.desc("n"), F.asc("token"))
+        .limit(64)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "token", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) * 1000"
+            " div count(*) AS BIGINT)"
+        ).alias("oov_milli"),
+    )

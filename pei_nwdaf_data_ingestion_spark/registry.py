@@ -188,6 +188,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_ccnet_buckets": 10,
     "time_stl_decompose": 10,
     "text_keyness_logodds": 10,
+    "text_oov_rate": 10,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -203,10 +204,10 @@ ADDED_IN_ROUND: dict[str, int] = {
 # r10 signal-level QC ids (audio ZCR, image entropy, duplicate frames)
 # need first signals, and decode_media_units gained a frame_unit_idx
 # column - result-identical for its r9 consumers (VAD / histogram /
-# scene cuts) but the code under them moved, so they re-hash too.  Three
-# session-2 r10 ids (CCNet terciles, STL decomposition, log-odds keyness)
-# need first signals.
-# Budget check: 12 pins << the driver's ~50-slot window.
+# scene cuts) but the code under them moved, so they re-hash too.  Four
+# session-2 r10 ids (CCNet terciles, STL decomposition, log-odds keyness,
+# OOV-rate audit) need first signals.
+# Budget check: 13 pins << the driver's ~50-slot window.
 _CHANGED_ROUND = 10
 _CHANGED_THIS_ROUND = [
     "multimodal_feature_vectors",
@@ -222,6 +223,7 @@ _CHANGED_THIS_ROUND = [
     "text_ccnet_buckets",
     "time_stl_decompose",
     "text_keyness_logodds",
+    "text_oov_rate",
 ]
 
 

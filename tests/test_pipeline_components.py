@@ -1442,3 +1442,39 @@ class TestKeynessLogodds:
         # keyness) and can never outrank the marker
         filler = got[(got.source == "srcX") & (got.token != "zebra")]
         assert (filler.keyness_micro < top.keyness_micro).all()
+
+
+class TestOovRate:
+    """text_oov_rate: vocabulary-coverage audit vs top-64 corpus vocab."""
+
+    def test_matches_hand_count(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = registry.QUERIES["text_oov_rate"](spark, sf).toPandas()
+        docs = load(spark, sf, "documents").toPandas()
+        import collections
+
+        freq = collections.Counter(
+            t
+            for r in docs.itertuples()
+            if r.text is not None
+            for t in r.text.split(" ")
+        )
+        vocab = {
+            t
+            for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :64
+            ]
+        }
+        for r in docs.itertuples():
+            if r.text is None:
+                continue
+            toks = r.text.split(" ")
+            row = got[got.doc_id == r.doc_id].iloc[0]
+            n_oov = sum(1 for t in toks if t not in vocab)
+            assert row.n_tokens == len(toks)
+            assert row.n_oov == n_oov, r.doc_id
+            assert row.oov_milli == n_oov * 1000 // len(toks)
