@@ -3409,10 +3409,11 @@ def graph_two_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
 # Seasonal-trend decomposition (round 10)
 # ---------------------------------------------------------------------------
 
-
-@query(
-    "time_stl_decompose",
-    oracle="""
+# Shared CTE chain: daily integer cents -> centered 7-day MA trend ->
+# detrended -> day-of-week seasonal means.  time_stl_decompose and
+# events_seasonality_strength interpolate this into their oracles so the
+# two can never drift apart.
+_STL_CTES = """
     WITH daily AS (
       SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
              CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS cents
@@ -3439,41 +3440,19 @@ def graph_two_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
       SELECT event_type, dow,
              CAST(floor(CAST(sum(detr_milli) AS DOUBLE)
                         / count(detr_milli)) AS BIGINT) AS seasonal_milli
-      FROM dt WHERE detr_milli IS NOT NULL GROUP BY 1, 2)
-    SELECT dt.event_type, dt.day, dt.cents, dt.trend_milli,
-           seas.seasonal_milli,
-           dt.detr_milli - seas.seasonal_milli AS resid_milli
-    FROM dt LEFT JOIN seas
-      ON dt.event_type = seas.event_type AND dt.dow = seas.dow
-    """,
-)
-def time_stl_decompose(spark: SparkSession, sf: str) -> DataFrame:
-    """Classical seasonal-trend decomposition (the moving-average STL
-    variant: trend = centered 7-day moving average, seasonal = day-of-week
-    mean of the detrended series, residual = remainder) of each event
-    type's daily value series - the standard pre-step for anomaly
-    detection and forecasting on business metrics (residuals are what a
-    z-score alarm should watch, not the raw seasonal series).
+      FROM dt WHERE detr_milli IS NOT NULL GROUP BY 1, 2),
+    joined AS (
+      SELECT dt.event_type, dt.day, dt.cents, dt.trend_milli,
+             seas.seasonal_milli, dt.detr_milli,
+             dt.detr_milli - seas.seasonal_milli AS resid_milli
+      FROM dt LEFT JOIN seas
+        ON dt.event_type = seas.event_type AND dt.dow = seas.dow)
+"""
 
-    Cross-engine exactness: the ONLY float aggregation is the initial
-    daily sum(value), immediately quantized to integer cents (the house
-    floor(x*100+0.5) spelling); everything downstream is integer
-    milli-cent arithmetic.  Both flooring divisions are spelled
-    floor(CAST(int AS DOUBLE) / n) on BOTH engines - never integer `div`,
-    because detrended values go NEGATIVE and Spark's div truncates while
-    DuckDB's // floors (the pipeline_importance_dsir lesson).  Edge days
-    (first/last 3 per series) get NULL trend/residual rather than a
-    partial-window estimate biased toward the series interior.  Day-of-
-    week labels differ across engines (Spark 1-7 vs DuckDB 0-6) but the
-    mapping is a bijection of the same date, so the GROUPS are identical
-    and the label never leaves the plan.
 
-    Plan: one data-volume shuffle (the daily agg, map-side combinable),
-    then windows over ~days-per-type rows partitioned by event_type -
-    parallel across types, bounded per partition (a year is 365 rows);
-    the seasonal table is <= 7 x |types| rows, broadcast back.  At
-    100 TB the daily agg dominates and stays fully distributed; nothing
-    downstream ever sees raw events."""
+def _stl_joined(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark dual of _STL_CTES: the fully-joined decomposition frame with
+    detr_milli retained for downstream aggregation."""
     ev = load(spark, sf, "events")
     daily = ev.groupBy(
         "event_type",
@@ -3483,11 +3462,7 @@ def time_stl_decompose(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    fr = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-3, 3)
-    )
+    fr = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     w = daily.select(
         "event_type",
         "day",
@@ -3529,5 +3504,135 @@ def time_stl_decompose(spark: SparkSession, sf: str) -> DataFrame:
         "cents",
         "trend_milli",
         "seasonal_milli",
+        "detr_milli",
         (F.col("detr_milli") - F.col("seasonal_milli")).alias("resid_milli"),
+    )
+
+
+@query(
+    "time_stl_decompose",
+    oracle=_STL_CTES
+    + """
+    SELECT event_type, day, cents, trend_milli, seasonal_milli, resid_milli
+    FROM joined
+    """,
+)
+def time_stl_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical seasonal-trend decomposition (the moving-average STL
+    variant: trend = centered 7-day moving average, seasonal = day-of-week
+    mean of the detrended series, residual = remainder) of each event
+    type's daily value series - the standard pre-step for anomaly
+    detection and forecasting on business metrics (residuals are what a
+    z-score alarm should watch, not the raw seasonal series).
+
+    Cross-engine exactness: the ONLY float aggregation is the initial
+    daily sum(value), immediately quantized to integer cents (the house
+    floor(x*100+0.5) spelling); everything downstream is integer
+    milli-cent arithmetic.  Both flooring divisions are spelled
+    floor(CAST(int AS DOUBLE) / n) on BOTH engines - never integer `div`,
+    because detrended values go NEGATIVE and Spark's div truncates while
+    DuckDB's // floors (the pipeline_importance_dsir lesson).  Edge days
+    (first/last 3 per series) get NULL trend/residual rather than a
+    partial-window estimate biased toward the series interior.  Day-of-
+    week labels differ across engines (Spark 1-7 vs DuckDB 0-6) but the
+    mapping is a bijection of the same date, so the GROUPS are identical
+    and the label never leaves the plan.
+
+    Plan: one data-volume shuffle (the daily agg, map-side combinable),
+    then windows over ~days-per-type rows partitioned by event_type -
+    parallel across types, bounded per partition (a year is 365 rows);
+    the seasonal table is <= 7 x |types| rows, broadcast back.  At
+    100 TB the daily agg dominates and stays fully distributed; nothing
+    downstream ever sees raw events."""
+    return _stl_joined(spark, sf).select(
+        "event_type",
+        "day",
+        "cents",
+        "trend_milli",
+        "seasonal_milli",
+        "resid_milli",
+    )
+
+
+@query(
+    "events_seasonality_strength",
+    oracle=_STL_CTES
+    + """
+    , c AS (
+      SELECT event_type,
+             CAST(floor(CAST(detr_milli AS DOUBLE) / 1000.0) AS BIGINT)
+               AS detr_c,
+             CAST(floor(CAST(resid_milli AS DOUBLE) / 1000.0) AS BIGINT)
+               AS resid_c
+      FROM joined WHERE resid_milli IS NOT NULL),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(detr_c * detr_c) AS BIGINT) AS ss_detrended,
+             CAST(sum(resid_c * resid_c) AS BIGINT) AS ss_resid
+      FROM c GROUP BY 1)
+    SELECT event_type, n_days, ss_detrended, ss_resid,
+           CASE WHEN ss_detrended > 0 THEN
+             CAST(greatest(0, 1000 - floor(
+               CAST(ss_resid AS DOUBLE) * 1000.0
+               / CAST(ss_detrended AS DOUBLE))) AS BIGINT)
+           END AS strength_milli
+    FROM s
+    """,
+)
+def events_seasonality_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonality-strength diagnostic per event type: Hyndman's
+    variance-ratio measure strength = max(0, 1 - Var(residual) /
+    Var(detrended)) over the STL components (time_stl_decompose's exact
+    frame - the two operators share one CTE chain / builder, so they can
+    never drift).  Near 1000 milli = the day-of-week pattern explains
+    almost all detrended variation (schedule alarms on residuals);
+    near 0 = no weekly seasonality (an STL-based alarm adds nothing over
+    a plain z-score).  The feature-selection gate in front of every
+    seasonal forecaster.
+
+    Cross-engine exactness: components are re-quantized from milli-cents
+    to whole CENTS via floor(CAST AS DOUBLE / 1000.0) (negative-safe on
+    both engines), so the sums of squares are exact BIGINT - at sf1 the
+    largest |detr_c| is ~4e7, squared 1.6e15, x365 days ~= 6e17 < 2^63;
+    beyond that scale the squares promote to DECIMAL(38) on the Spark
+    side and HUGEINT already on DuckDB's.  The single strength division
+    runs in double on two identically-rounded BIGINT->DOUBLE casts, then
+    one floor.  Sums of squares around the mean are NOT needed: the
+    residual/detrended series are already mean-centered by construction
+    (trend and seasonal subtraction), so raw sums of squares ARE the
+    variance numerators up to the common 1/n.
+
+    Plan: everything time_stl_decompose does plus one more map-side-
+    combinable hash agg to <= |event types| rows; no new shuffle of
+    data-volume rows."""
+    j = _stl_joined(spark, sf).filter(F.col("resid_milli").isNotNull())
+    c = j.select(
+        "event_type",
+        F.floor(F.col("detr_milli").cast("double") / 1000.0)
+        .cast("long")
+        .alias("detr_c"),
+        F.floor(F.col("resid_milli").cast("double") / 1000.0)
+        .cast("long")
+        .alias("resid_c"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("detr_c") * F.col("detr_c")).alias("ss_detrended"),
+        F.sum(F.col("resid_c") * F.col("resid_c")).alias("ss_resid"),
+    )
+    ratio = F.floor(
+        F.col("ss_resid").cast("double")
+        * 1000.0
+        / F.col("ss_detrended").cast("double")
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        "ss_detrended",
+        "ss_resid",
+        F.when(
+            F.col("ss_detrended") > 0,
+            F.greatest(F.lit(0), F.lit(1000) - ratio).cast("long"),
+        ).alias("strength_milli"),
     )

@@ -189,6 +189,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "time_stl_decompose": 10,
     "text_keyness_logodds": 10,
     "text_oov_rate": 10,
+    "events_seasonality_strength": 10,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -204,10 +205,10 @@ ADDED_IN_ROUND: dict[str, int] = {
 # r10 signal-level QC ids (audio ZCR, image entropy, duplicate frames)
 # need first signals, and decode_media_units gained a frame_unit_idx
 # column - result-identical for its r9 consumers (VAD / histogram /
-# scene cuts) but the code under them moved, so they re-hash too.  Four
+# scene cuts) but the code under them moved, so they re-hash too.  Five
 # session-2 r10 ids (CCNet terciles, STL decomposition, log-odds keyness,
-# OOV-rate audit) need first signals.
-# Budget check: 13 pins << the driver's ~50-slot window.
+# OOV-rate audit, seasonality strength) need first signals.
+# Budget check: 14 pins << the driver's ~50-slot window.
 _CHANGED_ROUND = 10
 _CHANGED_THIS_ROUND = [
     "multimodal_feature_vectors",
@@ -224,6 +225,7 @@ _CHANGED_THIS_ROUND = [
     "time_stl_decompose",
     "text_keyness_logodds",
     "text_oov_rate",
+    "events_seasonality_strength",
 ]
 
 

@@ -1940,3 +1940,36 @@ class TestStlDecompose:
                 assert grp.trend_milli.iloc[:3].isna().all(), et
                 assert grp.trend_milli.iloc[-3:].isna().all(), et
                 assert grp.trend_milli.iloc[3:-3].notna().all(), et
+
+
+class TestSeasonalityStrength:
+    """events_seasonality_strength: variance-ratio over the STL frame."""
+
+    def test_reconstructs_from_stl_output(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        stl = registry.QUERIES["time_stl_decompose"](spark, sf).toPandas()
+        got = registry.QUERIES["events_seasonality_strength"](
+            spark, sf
+        ).toPandas()
+        import math
+
+        inner = stl[stl.resid_milli.notna()]
+        for et, grp in inner.groupby("event_type"):
+            detr = grp.cents * 1000 - grp.trend_milli
+            dc = (detr / 1000.0).apply(math.floor)
+            rc = (grp.resid_milli / 1000.0).apply(math.floor)
+            row = got[got.event_type == et].iloc[0]
+            assert row.n_days == len(grp)
+            assert row.ss_detrended == int((dc * dc).sum())
+            assert row.ss_resid == int((rc * rc).sum())
+            if row.ss_detrended > 0:
+                exp = max(
+                    0,
+                    1000
+                    - math.floor(row.ss_resid * 1000.0 / row.ss_detrended),
+                )
+                assert row.strength_milli == exp
+                assert 0 <= row.strength_milli <= 1000
