@@ -131,6 +131,12 @@ HEADLINE = [
     "text_bigram_perplexity",
     "text_readability",
     "pipeline_tokenizer_fertility",
+    # round-10 session-2 additions: the two explode-heavy corpus-
+    # comparison shapes - CCNet terciles (explode + vocab broadcast +
+    # per-language window sort) and log-odds keyness (one explode feeding
+    # four combinable aggs + vocab-bounded join + per-source top-5)
+    "text_ccnet_buckets",
+    "text_keyness_logodds",
 ]
 
 
