@@ -3636,3 +3636,113 @@ def events_seasonality_strength(spark: SparkSession, sf: str) -> DataFrame:
             F.greatest(F.lit(0), F.lit(1000) - ratio).cast("long"),
         ).alias("strength_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH j AS (
+      SELECT n.n_name, o.o_orderkey,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_totalprice IS NOT NULL),
+    r AS (
+      SELECT n_name, cents,
+             CAST(row_number() OVER (
+               PARTITION BY n_name ORDER BY cents, o_orderkey) AS BIGINT)
+               AS i
+      FROM j),
+    s AS (
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(sum(i * cents) AS BIGINT) AS s1
+      FROM r GROUP BY 1)
+    SELECT n_name, n_orders, sum_cents,
+           CAST(floor(CAST(2 * s1 - (n_orders + 1) * sum_cents AS DOUBLE)
+                      * 1000000.0
+                      / CAST(n_orders * sum_cents AS DOUBLE) + 0.5)
+                AS BIGINT) AS gini_micro
+    FROM s
+    WHERE sum_cents > 0
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of order values per nation - the inequality/
+    concentration statistic behind revenue-concentration dashboards and
+    data-curation balance audits (text_source_concentration's HHI
+    measures market share of few big players; Gini measures the whole
+    distribution's skew).  Uses the rank-based identity
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over x sorted
+    ascending, which needs ONE ranking window and ONE aggregation -
+    never the O(n^2) pairwise |x_i - x_j| definition.
+
+    Cross-engine exactness: each order value quantizes to integer cents
+    PER ROW (one double multiply, no float aggregation anywhere), ranks
+    tiebreak on o_orderkey (ties in x leave sum(i*x) invariant under
+    permutation, so the tiebreak is for determinism, not correctness),
+    and both accumulators are exact BIGINT (sf1: sum(i*cents) ~ 3.6e16
+    per nation, two orders of magnitude under 2^63; DECIMAL(38)
+    promotion documented beyond sf10).  NULL order values are filtered
+    BEFORE ranking on both engines - Spark sorts NULL first and DuckDB
+    last, so a NULL surviving into the window would shift every rank.
+    The single Gini division runs in double on identically-rounded
+    BIGINT casts with the house floor(x+0.5); the numerator
+    2*sum(i*x) - (n+1)*sum(x) is >= 0 by the Chebyshev sum inequality,
+    so round-half-up never straddles zero.
+
+    Plan: two broadcast joins (customer is 10x smaller than orders,
+    nation is 25 rows) shuffle nothing but the orders scan, then one
+    window sort per nation partition and a combinable agg.  At 100 TB
+    the per-nation sort is the bounded stage (|orders|/25 rows each);
+    a low-cardinality group key with bigger groups would switch to the
+    two-phase distributed rank (per-partition pre-agg + offset join,
+    the functions.global_rank recipe)."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    j = (
+        o.filter(F.col("o_totalprice").isNotNull())
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "o_orderkey")
+    r = j.select(
+        "n_name",
+        "cents",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    s = r.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum(F.col("i") * F.col("cents")).alias("s1"),
+    )
+    num = (F.lit(2) * F.col("s1")
+           - (F.col("n_orders") + F.lit(1)) * F.col("sum_cents"))
+    den = F.col("n_orders") * F.col("sum_cents")
+    return s.filter(F.col("sum_cents") > 0).select(
+        "n_name",
+        "n_orders",
+        "sum_cents",
+        F.floor(
+            num.cast("double") * 1000000.0 / den.cast("double") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    )

@@ -190,6 +190,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_keyness_logodds": 10,
     "text_oov_rate": 10,
     "events_seasonality_strength": 10,
+    "agg_gini_concentration": 10,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -205,10 +206,11 @@ ADDED_IN_ROUND: dict[str, int] = {
 # r10 signal-level QC ids (audio ZCR, image entropy, duplicate frames)
 # need first signals, and decode_media_units gained a frame_unit_idx
 # column - result-identical for its r9 consumers (VAD / histogram /
-# scene cuts) but the code under them moved, so they re-hash too.  Five
+# scene cuts) but the code under them moved, so they re-hash too.  Six
 # session-2 r10 ids (CCNet terciles, STL decomposition, log-odds keyness,
-# OOV-rate audit, seasonality strength) need first signals.
-# Budget check: 14 pins << the driver's ~50-slot window.
+# OOV-rate audit, seasonality strength, Gini concentration) need first
+# signals.
+# Budget check: 15 pins << the driver's ~50-slot window.
 _CHANGED_ROUND = 10
 _CHANGED_THIS_ROUND = [
     "multimodal_feature_vectors",
@@ -226,6 +228,7 @@ _CHANGED_THIS_ROUND = [
     "text_keyness_logodds",
     "text_oov_rate",
     "events_seasonality_strength",
+    "agg_gini_concentration",
 ]
 
 

@@ -1973,3 +1973,38 @@ class TestSeasonalityStrength:
                 )
                 assert row.strength_milli == exp
                 assert 0 <= row.strength_milli <= 1000
+
+
+class TestGiniConcentration:
+    """agg_gini_concentration: rank-based Gini vs the pairwise definition."""
+
+    def test_matches_pairwise_definition(self, spark):
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = registry.QUERIES["agg_gini_concentration"](spark, sf).toPandas()
+        orders = load(spark, sf, "orders").toPandas()
+        cust = load(spark, sf, "customer").toPandas()
+        nation = load(spark, sf, "nation").toPandas()
+        import math
+
+        j = (
+            orders[orders.o_totalprice.notna()]
+            .merge(cust, left_on="o_custkey", right_on="c_custkey")
+            .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        )
+        j["cents"] = (j.o_totalprice * 100.0 + 0.5).apply(math.floor)
+        for name, grp in j.groupby("n_name"):
+            x = sorted(grp.cents)
+            n, sx = len(x), sum(x)
+            if sx <= 0:
+                continue
+            # O(n^2) ground truth: G = sum|xi - xj| / (2 n^2 mean)
+            pair = sum(abs(a - b) for a in x for b in x)
+            g_exact = pair / (2.0 * n * n * (sx / n))
+            row = got[got.n_name == name].iloc[0]
+            assert row.n_orders == n and row.sum_cents == sx
+            assert abs(row.gini_micro / 1e6 - g_exact) < 1e-4, name
+            assert 0 <= row.gini_micro < 1_000_000
