@@ -175,6 +175,28 @@ def _read(spark: SparkSession, path: str, table: str) -> DataFrame:
     return df
 
 
+# Size gate for broadcasting a FACT-PROPORTIONAL table (customer, orders,
+# ...) as a join build side.  Bounded dims (region/nation, trained codebooks,
+# rule tables) may broadcast unconditionally; anything that grows with the
+# corpus must pass this gate, because F.broadcast OVERRIDES Spark's own size
+# checks and at 100x the hinted side becomes a multi-GB pin in every
+# executor (VERDICT r10 item 2).  Same rationale and default as the ppjoin /
+# minhash build-side gates (queries/llm.py _PPJOIN_BROADCAST_BYTES).
+FACT_BROADCAST_BYTES = 256 << 20
+
+
+def gated_broadcast(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
+    """Broadcast-hint `df` only while `table`'s source file is under the
+    fact-broadcast gate; beyond it return `df` unhinted so Catalyst/AQE
+    pick a shuffled join from real stats.  `df` must derive from `table`
+    (the gate sizes the source, not the projected frame - conservative,
+    since builders project a key subset of it)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.getsize(path) < FACT_BROADCAST_BYTES:
+        return F.broadcast(df)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views (for spark.sql queries)."""
     for t in TABLES:

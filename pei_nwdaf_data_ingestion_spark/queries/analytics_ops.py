@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import gated_broadcast, load
 from ..functions import pround
 from ..registry import query
 
@@ -1792,15 +1792,20 @@ def pipeline_contract_audit(spark: SparkSession, sf: str) -> DataFrame:
     (rule, violations, passed) ledger.  This is the gate a 100 TB ingest
     runs BEFORE publishing a partition: every constraint is a
     conditional count inside the same aggregate (no per-rule scans),
-    the FK check rides a broadcast left join against the distinct dim
-    keys, and uniqueness is count - count(distinct) on the key.  The
-    single wide aggregate fans into 6 report rows broadcast-sized.
-    Violation counts are exact integers; 'passed' is derived from them
+    the FK check rides a size-GATED broadcast left join against the
+    distinct dim keys (the key set is fact-proportional, so the hint is
+    withheld beyond catalog.FACT_BROADCAST_BYTES and the probe becomes
+    a shuffled left join on user_id; at true 100 TB scale the honest
+    spelling is the join_bloom_prefilter bit-table, which is bounded
+    and always broadcastable - this audit keeps the exact count), and
+    uniqueness is count - count(distinct) on the key.  The single wide
+    aggregate fans into 6 report rows broadcast-sized.  Violation
+    counts are exact integers; 'passed' is derived from them
     identically on both engines."""
     ev = load(spark, sf, "events")
     cust = load(spark, sf, "customer").select("c_custkey").distinct()
     e = ev.join(
-        F.broadcast(cust.withColumn("fk_ok", F.lit(True))),
+        gated_broadcast(cust.withColumn("fk_ok", F.lit(True)), sf, "customer"),
         ev.user_id == cust.c_custkey,
         "left",
     )
@@ -3698,11 +3703,16 @@ def agg_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
     2*sum(i*x) - (n+1)*sum(x) is >= 0 by the Chebyshev sum inequality,
     so round-half-up never straddles zero.
 
-    Plan: two broadcast joins (customer is 10x smaller than orders,
-    nation is 25 rows) shuffle nothing but the orders scan, then one
-    window sort per nation partition and a combinable agg.  At 100 TB
-    the per-nation sort is the bounded stage (|orders|/25 rows each);
-    a low-cardinality group key with bigger groups would switch to the
+    Plan: nation (25 rows, bounded) broadcasts unconditionally; the
+    customer side is FACT-PROPORTIONAL, so its broadcast hint rides the
+    catalog gate (gated_broadcast) - below 256 MiB it broadcasts and
+    only the orders scan shuffles, beyond it the hint is withheld and
+    Catalyst/AQE pick a shuffled hash join on c_custkey from real stats
+    (an unconditional hint would override Spark's size checks and pin a
+    multi-GB build side in every executor at 100x).  Then one window
+    sort per nation partition and a combinable agg.  At 100 TB the
+    per-nation sort is the bounded stage (|orders|/25 rows each); a
+    low-cardinality group key with bigger groups would switch to the
     two-phase distributed rank (per-partition pre-agg + offset join,
     the functions.global_rank recipe)."""
     o = load(spark, sf, "orders")
@@ -3710,7 +3720,8 @@ def agg_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
     n = load(spark, sf, "nation")
     j = (
         o.filter(F.col("o_totalprice").isNotNull())
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        .join(gated_broadcast(c.select("c_custkey", "c_nationkey"),
+                              sf, "customer"),
               o.o_custkey == c.c_custkey)
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               c.c_nationkey == n.n_nationkey)

@@ -342,6 +342,33 @@ class TestAdvancedPlans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
+    @pytest.mark.parametrize(
+        "qid", ["agg_gini_concentration", "pipeline_contract_audit"]
+    )
+    def test_fact_dim_broadcast_is_gated(self, spark, monkeypatch, qid):
+        """Both ids probe against the customer table, which is
+        FACT-PROPORTIONAL (grows with sf) - their broadcast hint must
+        ride catalog.gated_broadcast (VERDICT r10 item 2).  Below the
+        gate (fixture size) the hint applies and the customer join is a
+        BroadcastHashJoin; with the gate forced to 0 and auto-broadcast
+        disabled, the hint is withheld and the plan must be a shuffled
+        equi join - never a cartesian/nested-loop, and never a broadcast
+        that Spark's own size checks did not choose."""
+        from pei_nwdaf_data_ingestion_spark import catalog
+
+        plan = plan_of(spark, qid)
+        assert "BroadcastHashJoin" in plan  # fixture side: hint applies
+
+        monkeypatch.setattr(catalog, "FACT_BROADCAST_BYTES", 0)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            gated = plan_of(spark, qid)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        assert "CartesianProduct" not in gated
+        assert "BroadcastNestedLoopJoin" not in gated
+        assert "SortMergeJoin" in gated or "ShuffledHashJoin" in gated
+
 
 class TestNtileRangeConsistency:
     def test_rank_branches_share_one_materialized_frame(self, spark):
