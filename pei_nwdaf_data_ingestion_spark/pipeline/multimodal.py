@@ -249,37 +249,83 @@ decode_media = _make_media_decoder()
 extract_media_features = _make_feature_extractor()
 
 
-def extract_features(assets: DataFrame, partitions: int | None = None) -> DataFrame:
-    """mapInPandas feature extraction over binary assets: REAL decode
-    (BMP/WAV/BMP-seq container parse) reduced to an 8-dim content-statistics
-    vector per blob (see _make_feature_extractor); `features` is NULL for
-    blobs that fail to decode - the quarantine column a curation pipeline
+def extract_features(
+    assets: DataFrame,
+    partitions: int | None = None,
+    encoder=None,
+) -> DataFrame:
+    """mapInPandas feature extraction over binary assets.
+
+    Default (`encoder=None`): REAL decode (BMP/WAV/BMP-seq container
+    parse) reduced to an 8-dim content-statistics vector per blob (see
+    _make_feature_extractor) - integer-exact, so the vectors replay
+    bit-identically in the DuckDB oracle; `features` is NULL for blobs
+    that fail to decode - the quarantine column a curation pipeline
     filters or routes on.
+
+    `encoder` is the LEARNED-EMBEDDING SEAM (VERDICT r10 item 4): a
+    batched callable `(content: pandas.Series of bytes) -> iterable of
+    (list[float] | None)`, length-aligned with its input.  It receives
+    the raw binary column one Arrow batch at a time - exactly the shape
+    batch GPU inference wants - so a CLIP/wav2vec encoder plugs in
+    without touching any Spark plumbing; return None per blob to
+    quarantine it.  Under an injected encoder `n_units` reports the
+    PRODUCED vector's dimension (the decoded-unit count is a property of
+    the built-in decode path, which an external encoder bypasses).  The
+    callable must pickle BY VALUE (a closure or a def outside this
+    package - cloudpickle serializes this package's module-level symbols
+    by reference, and the worker may not have it importable).
 
     Input schema: asset_id long, media_type string, content binary (+ any
     metadata columns, preserved nowhere - select them separately and join
-    back on asset_id if needed).
+    back on asset_id if needed).  Output schema is FEATURE_SCHEMA either
+    way - downstream consumers (sim_cosine_topk-style ANN, dedup) never
+    see which encoder produced the vectors.
     """
     if partitions:
         assets = assets.repartition(partitions)
     extractor_factory = _make_feature_extractor
 
-    def _extract(batches):
-        extract = extractor_factory()
-        for pdf in batches:
-            decoded = pdf["content"].map(extract)
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
-                    "sha256": pdf["content"].map(
-                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
-                    ),
-                    "n_units": decoded.map(lambda r: r[0] if r else 0).astype("int64"),
-                    "features": decoded.map(lambda r: r[1] if r else None),
-                }
-            )
+    if encoder is None:
+
+        def _extract(batches):
+            extract = extractor_factory()
+            for pdf in batches:
+                decoded = pdf["content"].map(extract)
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "media_type": pdf["media_type"],
+                        "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
+                        "sha256": pdf["content"].map(
+                            lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                        ),
+                        "n_units": decoded.map(lambda r: r[0] if r else 0).astype("int64"),
+                        "features": decoded.map(lambda r: r[1] if r else None),
+                    }
+                )
+
+    else:
+
+        def _extract(batches):
+            for pdf in batches:
+                feats = pd.Series(
+                    list(encoder(pdf["content"])), index=pdf.index
+                )
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "media_type": pdf["media_type"],
+                        "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
+                        "sha256": pdf["content"].map(
+                            lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                        ),
+                        "n_units": feats.map(
+                            lambda v: len(v) if v is not None else 0
+                        ).astype("int64"),
+                        "features": feats,
+                    }
+                )
 
     return assets.mapInPandas(_extract, FEATURE_SCHEMA)
 

@@ -3414,15 +3414,34 @@ def graph_two_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
 # Seasonal-trend decomposition (round 10)
 # ---------------------------------------------------------------------------
 
-# Shared CTE chain: daily integer cents -> centered 7-day MA trend ->
-# detrended -> day-of-week seasonal means.  time_stl_decompose and
-# events_seasonality_strength interpolate this into their oracles so the
-# two can never drift apart.
+# Shared CTE chain: daily integer cents over a DENSIFIED calendar grid ->
+# centered 7-day MA trend -> detrended -> day-of-week seasonal means.
+# time_stl_decompose and events_seasonality_strength interpolate this into
+# their oracles so the two can never drift apart.
+#
+# Densification (ADVICE r10): the ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+# frame is only a CALENDAR-centered 7-day average if every day between a
+# series' min and max date has a row - a zero-event day absent from the
+# aggregate would silently widen the window past 7 calendar days and drift
+# the day-of-week means.  Each event_type's grid is generated from its own
+# min/max date and zero-filled (a day with no events has a true daily sum
+# of 0), so the frame is calendar-exact by construction on both engines.
 _STL_CTES = """
-    WITH daily AS (
-      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+    WITH daily0 AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
              CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(d_min, d_max, INTERVAL 1 DAY))
+                  AS DATE) AS d
+      FROM (SELECT event_type, min(d) AS d_min, max(d) AS d_max
+            FROM daily0 GROUP BY 1)),
+    daily AS (
+      SELECT g.event_type, strftime(g.d, '%Y-%m-%d') AS day,
+             coalesce(d0.cents, 0) AS cents
+      FROM grid g LEFT JOIN daily0 d0
+        ON g.event_type = d0.event_type AND g.d = d0.d),
     w AS (
       SELECT event_type, day, cents,
              sum(cents) OVER fr AS sum7,
@@ -3457,15 +3476,30 @@ _STL_CTES = """
 
 def _stl_joined(spark: SparkSession, sf: str) -> DataFrame:
     """Spark dual of _STL_CTES: the fully-joined decomposition frame with
-    detr_milli retained for downstream aggregation."""
+    detr_milli retained for downstream aggregation.  The per-type day grid
+    is densified (sequence(min_d, max_d) + left join, zero-fill) so the
+    7-row MA frame is a 7-CALENDAR-day frame (ADVICE r10); every frame
+    after the daily agg is bounded by days x |event types|."""
     ev = load(spark, sf, "events")
-    daily = ev.groupBy(
+    daily0 = ev.groupBy(
         "event_type",
-        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
     ).agg(
         F.floor(F.sum("value") * 100.0 + F.lit(0.5))
         .cast("long")
         .alias("cents")
+    )
+    bounds = daily0.groupBy("event_type").agg(
+        F.min("d").alias("d_min"), F.max("d").alias("d_max")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d_min", "d_max")).alias("d"),
+    )
+    daily = grid.join(daily0, ["event_type", "d"], "left").select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("cents", F.lit(0)).alias("cents"),
     )
     fr = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     w = daily.select(
@@ -3528,7 +3562,12 @@ def time_stl_decompose(spark: SparkSession, sf: str) -> DataFrame:
     mean of the detrended series, residual = remainder) of each event
     type's daily value series - the standard pre-step for anomaly
     detection and forecasting on business metrics (residuals are what a
-    z-score alarm should watch, not the raw seasonal series).
+    z-score alarm should watch, not the raw seasonal series).  The daily
+    series is DENSIFIED per event type (sequence over [min, max] date +
+    zero-fill) before the window, so the centered 7-row frame is exactly
+    7 calendar days even when a day has zero events (ADVICE r10 - on a
+    gappy series the row frame would silently span more days and skew
+    the day-of-week means).
 
     Cross-engine exactness: the ONLY float aggregation is the initial
     daily sum(value), immediately quantized to integer cents (the house
@@ -3603,10 +3642,14 @@ def events_seasonality_strength(spark: SparkSession, sf: str) -> DataFrame:
     beyond that scale the squares promote to DECIMAL(38) on the Spark
     side and HUGEINT already on DuckDB's.  The single strength division
     runs in double on two identically-rounded BIGINT->DOUBLE casts, then
-    one floor.  Sums of squares around the mean are NOT needed: the
-    residual/detrended series are already mean-centered by construction
-    (trend and seasonal subtraction), so raw sums of squares ARE the
-    variance numerators up to the common 1/n.
+    one floor.  Raw (uncentered) sums of squares stand in for the
+    variance numerators: the residual/detrended series are APPROXIMATELY
+    mean-centered by construction (the seasonal means are floored to
+    integer milli and the MA trend does not exactly zero the detrended
+    mean), so strength_milli carries a small uncentered-moment bias
+    bounded by the milli quantization plus the residual mean - acceptable
+    for a 0-1000 screening diagnostic, identical on both engines
+    (ADVICE r10).
 
     Plan: everything time_stl_decompose does plus one more map-side-
     combinable hash agg to <= |event types| rows; no new shuffle of

@@ -5117,6 +5117,13 @@ def text_keyness_logodds(spark: SparkSession, sf: str) -> DataFrame:
     triage ('what vocabulary makes this source different?') - frequency
     alone ranks stopwords, keyness ranks what is OVER-represented.
 
+    Tokenization is DELIBERATELY the naive single-space split, for parity
+    with text_perplexity_proxy / text_ccnet_buckets (ADVICE r10): keyness
+    compares a source's counts against the rest of the corpus under ONE
+    shared tokenizer, and an empty token from doubled spaces lands in
+    both the in- and out-counts symmetrically, so it cannot fabricate a
+    distinctive term (at worst '' itself ranks, visibly).
+
     Cross-engine exactness: both odds ratios are rationals of exact
     BIGINT counts; the integer adds/subtracts happen FIRST (left-
     associated, exact), each ratio incurs exactly one IEEE division,
@@ -5175,8 +5182,11 @@ def text_keyness_logodds(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "text_oov_rate",
     oracle="""
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                 FROM documents),
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '[ \t\n]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
     freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
     vocab AS (
       SELECT token FROM (
@@ -5204,6 +5214,13 @@ def text_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     another language, or junk; complements pipeline_tokenizer_fertility,
     which measures tokens-per-word of a FIXED tokenizer).
 
+    Tokens are non-empty runs between [ \\t\\n]+ separators (the
+    whitespace-robust text_readability spelling, ADVICE r10 - an empty
+    token from doubled spaces would inflate n_tokens AND could occupy a
+    vocab slot, skewing the very coverage this audits; unlike
+    text_ccnet_buckets this operator owes no tokenization parity to
+    text_perplexity_proxy).
+
     Cross-engine exactness: counts are exact integers end-to-end and the
     rate is an all-positive integer milli div (floor = truncation).  The
     vocabulary ranking tiebreaks on the token itself (binary collation
@@ -5218,7 +5235,12 @@ def text_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     frequency agg is map-side combinable and everything after it is
     bounded by the vocabulary."""
     d = load(spark, sf, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", "[ \t\n]+"), lambda x: x != F.lit(""))
+        ).alias("token"),
+    )
     freq = tok.groupBy("token").agg(F.count("*").alias("n"))
     vocab = (
         freq.orderBy(F.desc("n"), F.asc("token"))

@@ -109,6 +109,74 @@ def _drain(df: DataFrame, name: str, mode: str = "append") -> None:
     q.awaitTermination()
 
 
+def ingest_throughput(
+    spark: SparkSession, sf: str, n_batches: int = 8
+) -> dict:
+    """Streaming-tier throughput telemetry (VERDICT r10 item 6): drive the
+    ingest-pipeline shape (watermark + 1h tumbling window + per-type agg -
+    stream_ingest_pipeline's exact plan) over the sf events split into
+    `n_batches` files with maxFilesPerTrigger=1, so Structured Streaming
+    replays it as n_batches real micro-batches, and report records/s plus
+    per-batch trigger latency from the engine's own progress events.
+
+    This is TELEMETRY, not a declared query: bench.py records the result
+    in BENCH_full.json's `streaming` block next to the reference kernel's
+    144k rec/s/core line (BASELINE.md) - noting that the reference number
+    is a pass-through normalize loop while this one pays event-time
+    watermark state + windowed aggregation + sink commit per batch."""
+    ev = load(spark, sf, "events")
+    n_rows = ev.count()
+    d = tempfile.mkdtemp(prefix="ingest_tput_")
+    try:
+        ev.repartition(n_batches).write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(d)
+        agg = (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                pround(F.sum("value"), 2).alias("value_sum"),
+            )
+        )
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        batches = [
+            {
+                "rows": p["numInputRows"],
+                "trigger_ms": p["durationMs"].get("triggerExecution"),
+            }
+            for p in (q.recentProgress or [])
+            if p.get("numInputRows", 0) > 0
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    lat = sorted(
+        b["trigger_ms"] for b in batches if b["trigger_ms"] is not None
+    )
+    cores = spark.sparkContext.defaultParallelism
+    return {
+        "rows": n_rows,
+        "n_batches": len(batches),
+        "wall_sec": round(wall, 4),
+        "rec_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+        "rec_per_sec_per_core": (
+            round(n_rows / wall / cores, 1) if wall > 0 and cores else None
+        ),
+        "batch_ms_p50": lat[len(lat) // 2] if lat else None,
+        "batch_ms_max": lat[-1] if lat else None,
+        "cores": cores,
+    }
+
+
 @query("stream_ingest_pipeline")
 def stream_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The ingest pipeline shape (3.1) on a stream: event-time watermark +
