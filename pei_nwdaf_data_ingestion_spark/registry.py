@@ -191,6 +191,16 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_oov_rate": 10,
     "events_seasonality_strength": 10,
     "agg_gini_concentration": 10,
+    "agg_mutual_information": 11,
+    "agg_theil_decomposition": 11,
+    "time_acf_lags": 11,
+    "events_entropy_rate": 11,
+    "events_markov_stationary": 11,
+    "graph_adamic_adar": 11,
+    "text_pmi_collocations": 11,
+    "text_kneser_ney_bigram": 11,
+    "text_sttr_diversity": 11,
+    "pipeline_dp_count_laplace": 11,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -211,24 +221,31 @@ ADDED_IN_ROUND: dict[str, int] = {
 # OOV-rate audit, seasonality strength, Gini concentration) need first
 # signals.
 # Budget check: 15 pins << the driver's ~50-slot window.
-_CHANGED_ROUND = 10
+# Round 11: ten new infostats ids need their first hash signal; four
+# existing ids changed code or semantics this round and must re-hash -
+# time_stl_decompose + events_seasonality_strength (calendar-densified
+# day grid per ADVICE r10, both code and oracle moved), text_oov_rate
+# (whitespace-robust tokenization per ADVICE r10), and
+# agg_gini_concentration + pipeline_contract_audit (broadcast hint now
+# rides the catalog gate - plan-only below the gate at sf0.01, but the
+# builder code moved, re-hash for safety).
+_CHANGED_ROUND = 11
 _CHANGED_THIS_ROUND = [
-    "multimodal_feature_vectors",
-    "text_readability",
-    "multimodal_audio_zcr",
-    "multimodal_image_entropy",
-    "multimodal_duplicate_frames",
-    "multimodal_ahash_neardup",
-    # decode_media_units schema extension (result-identical; re-hash)
-    "multimodal_audio_vad",
-    "multimodal_image_hist",
-    "multimodal_scene_cuts",
-    "text_ccnet_buckets",
+    "agg_mutual_information",
+    "agg_theil_decomposition",
+    "time_acf_lags",
+    "events_entropy_rate",
+    "events_markov_stationary",
+    "graph_adamic_adar",
+    "text_pmi_collocations",
+    "text_kneser_ney_bigram",
+    "text_sttr_diversity",
+    "pipeline_dp_count_laplace",
     "time_stl_decompose",
-    "text_keyness_logodds",
-    "text_oov_rate",
     "events_seasonality_strength",
+    "text_oov_rate",
     "agg_gini_concentration",
+    "pipeline_contract_audit",
 ]
 
 
@@ -280,6 +297,7 @@ def load_all() -> None:
         scalars,
         corpus_ops,
         analytics_ops,
+        infostats,
     )
 
     last = _last_green_round()

@@ -1,0 +1,428 @@
+"""Round-11 infostats family: each query's semantics checked against an
+independent pandas/numpy ground truth at sf0.001 (the oracle hash-parity is
+the driver's job; these tests pin the MATH - the oracle and builder could
+agree and both be wrong)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pei_nwdaf_data_ingestion_spark import registry
+from pei_nwdaf_data_ingestion_spark.catalog import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _reg():
+    registry.load_all()
+
+
+def _events(spark) -> pd.DataFrame:
+    return load(spark, SF, "events").toPandas()
+
+
+def _docs(spark) -> pd.DataFrame:
+    return load(spark, SF, "documents").toPandas()
+
+
+class TestMutualInformation:
+    def test_matches_numpy_and_bounds(self, spark):
+        got = registry.QUERIES["agg_mutual_information"](spark, SF).toPandas()
+        assert len(got) == 1
+        row = got.iloc[0]
+        ev = _events(spark)
+        ev = ev[ev.value.notna()]
+        a = ev.event_type
+        b = np.minimum(9, np.floor(ev.value / 50.0)).astype(int)
+        ct = pd.crosstab(a, b)
+        n = ct.values.sum()
+        p = ct.values / n
+        pa, pb = p.sum(axis=1, keepdims=True), p.sum(axis=0, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mi = np.nansum(np.where(p > 0, p * np.log(p / (pa * pb)), 0.0))
+            ha = -np.sum(pa * np.log(pa))
+            hb = -np.sum(pb * np.log(pb))
+        assert row.n_events == n
+        # micro-floor quantization: each of <=50 cells floors, so the sum
+        # sits within n_cells micro of the real value
+        assert abs(row.mi_micro / 1e6 - mi) < 60e-6
+        assert abs(row.h_a_micro / 1e6 - ha) < 60e-6
+        assert abs(row.h_b_micro / 1e6 - hb) < 60e-6
+        # information bounds (up to quantization): 0 <= MI <= min(H_a, H_b)
+        assert row.mi_micro >= -60
+        assert row.mi_micro <= min(row.h_a_micro, row.h_b_micro) + 60
+        exp_nmi = math.floor(row.mi_micro * 1000.0 / math.sqrt(float(row.h_a_micro) * row.h_b_micro))
+        assert row.nmi_milli == exp_nmi
+        assert 0 <= row.nmi_milli <= 1000
+
+
+class TestTheilDecomposition:
+    def test_matches_numpy_and_decomposes(self, spark):
+        got = registry.QUERIES["agg_theil_decomposition"](spark, SF).toPandas()
+        assert len(got) == 1
+        row = got.iloc[0]
+        orders = load(spark, SF, "orders").toPandas()
+        cust = load(spark, SF, "customer").toPandas()
+        nation = load(spark, SF, "nation").toPandas()
+        j = (
+            orders[orders.o_totalprice.notna() & (orders.o_totalprice > 0)]
+            .merge(cust, left_on="o_custkey", right_on="c_custkey")
+            .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        )
+        x = np.array([math.floor(v * 100.0 + 0.5) for v in j.o_totalprice], dtype=float)
+        mu = x.sum() / len(x)
+        t_total = float(np.mean((x / mu) * np.log(x / mu)))
+        assert row.n_orders == len(x)
+        # per-row micro floor -> error bounded by ~1 micro per row / n = 1 micro
+        assert abs(row.theil_total_micro / 1e6 - t_total) < 5e-6
+        # between + within recompose the total up to quantization
+        t_b, t_w = 0.0, 0.0
+        S, n = x.sum(), len(x)
+        for _, grp in j.groupby("n_name"):
+            xg = np.array([math.floor(v * 100.0 + 0.5) for v in grp.o_totalprice], dtype=float)
+            sg, ng = xg.sum(), len(xg)
+            mug = sg / ng
+            t_g = float(np.mean((xg / mug) * np.log(xg / mug)))
+            t_w += (sg / S) * t_g
+            t_b += (sg / S) * math.log((sg / S) / (ng / n))
+        assert abs(row.theil_between_micro / 1e6 - t_b) < 5e-5
+        assert abs(row.theil_within_micro / 1e6 - t_w) < 5e-5
+        assert (
+            abs(row.theil_total_micro - row.theil_between_micro - row.theil_within_micro)
+            < 200  # micro: decomposition identity up to quantization
+        )
+        assert row.theil_total_micro >= 0
+
+
+class TestAcfLags:
+    def test_matches_numpy_corrcoef(self, spark):
+        got = registry.QUERIES["time_acf_lags"](spark, SF).toPandas()
+        ev = _events(spark)
+        ev["d"] = pd.to_datetime(ev.ts).dt.normalize()
+        for etype, grp in ev.groupby("event_type"):
+            daily = grp.groupby("d").value.sum()
+            cents = daily.map(lambda v: math.floor(v * 100.0 + 0.5))
+            # densified calendar grid, zero-filled, dollars
+            idx = pd.date_range(cents.index.min(), cents.index.max(), freq="D")
+            amt = (cents.reindex(idx, fill_value=0) // 100).to_numpy(dtype=float)
+            for lag in range(1, 8):
+                sub = got[(got.event_type == etype) & (got.lag == lag)]
+                assert len(sub) == 1
+                row = sub.iloc[0]
+                if len(amt) <= lag:
+                    continue
+                x, y = amt[lag:], amt[:-lag]
+                assert row.n_pairs == len(x)
+                if np.std(x) == 0 or np.std(y) == 0:
+                    assert pd.isna(row.acf_micro)
+                    continue
+                r = float(np.corrcoef(x, y)[0, 1])
+                assert abs(row.acf_micro / 1e6 - r) < 1e-5, (etype, lag)
+                assert -1_000_000 <= row.acf_micro <= 1_000_000
+
+    def test_full_grid_shape(self, spark):
+        got = registry.QUERIES["time_acf_lags"](spark, SF).toPandas()
+        ev = _events(spark)
+        # every (type, lag) pair present exactly once
+        assert len(got) == ev.event_type.nunique() * 7
+
+
+def _transitions(ev: pd.DataFrame) -> pd.DataFrame:
+    s = ev.sort_values(["user_id", "ts", "event_id"])
+    s["prev"] = s.groupby("user_id").event_type.shift(1)
+    return s[s.prev.notna()]
+
+
+class TestEntropyRate:
+    def test_matches_numpy_and_conditioning_bound(self, spark):
+        got = registry.QUERIES["events_entropy_rate"](spark, SF).toPandas()
+        row = got.iloc[0]
+        tr = _transitions(_events(spark))
+        ct = pd.crosstab(tr.prev, tr.event_type)
+        c = ct.values.astype(float)
+        n = c.sum()
+        ci = c.sum(axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h_rate = -np.nansum(np.where(c > 0, (c / n) * np.log(c / ci), 0.0))
+            pi = ci / n
+            h_marg = -np.sum(pi * np.log(pi))
+        assert row.n_transitions == int(n)
+        assert row.n_states == (ct.sum(axis=1) > 0).sum()
+        assert abs(row.h_rate_micro / 1e6 - h_rate) < 60e-6
+        assert abs(row.h_marginal_micro / 1e6 - h_marg) < 60e-6
+        # conditioning cannot increase entropy (up to quantization)
+        assert row.h_rate_micro <= row.h_marginal_micro + 60
+        assert 0 <= row.pred_gain_milli <= 1000
+
+
+class TestMarkovStationary:
+    def test_power_iteration_fixed_point(self, spark):
+        got = registry.QUERIES["events_markov_stationary"](spark, SF).toPandas()
+        tr = _transitions(_events(spark))
+        ct = pd.crosstab(tr.prev, tr.event_type)
+        states = sorted(set(ct.index) | set(ct.columns))
+        K = len(states)
+        # replicate the integer-quantized iteration exactly
+        P = {}
+        for i in ct.index:
+            ci = ct.loc[i].sum()
+            for jj in ct.columns:
+                if ct.loc[i, jj] > 0:
+                    P[(i, jj)] = math.floor(ct.loc[i, jj] * 1e6 / ci)
+        v = {s: math.floor(1e6 / K) for s in states}
+        for _ in range(12):
+            nv = {}
+            for (i, jj), p in P.items():
+                if i in v:
+                    nv[jj] = nv.get(jj, 0) + math.floor(v[i] * p / 1e6)
+            v = nv
+        for _, row in got.iterrows():
+            assert row.pi_micro == v.get(row.event_type, 0), row.event_type
+        # converged mass: sums to 1e6 minus bounded floor leakage
+        total = got.pi_micro.sum()
+        assert 1_000_000 - 12 * K * K <= total <= 1_000_000
+        # empirical shares also ~sum to 1
+        assert abs(got.empirical_micro.sum() - 1_000_000) <= K
+
+    def test_near_fixed_point_of_real_chain(self, spark):
+        got = registry.QUERIES["events_markov_stationary"](spark, SF).toPandas()
+        tr = _transitions(_events(spark))
+        ct = pd.crosstab(tr.prev, tr.event_type)
+        states = list(got.event_type)
+        P = np.zeros((len(states), len(states)))
+        for a, i in ((s, k) for k, s in enumerate(states)):
+            if a in ct.index:
+                ci = ct.loc[a].sum()
+                for b, jj in ((s, k) for k, s in enumerate(states)):
+                    if b in ct.columns:
+                        P[i, jj] = ct.loc[a, b] / ci
+        pi = got.pi_micro.to_numpy(dtype=float) / 1e6
+        # after 12 iterations from uniform on a small well-connected chain,
+        # pi should be close to a fixed point of P
+        assert np.max(np.abs(pi @ P - pi)) < 5e-3
+
+
+class TestAdamicAdar:
+    def test_matches_bruteforce(self, spark):
+        got = registry.QUERIES["graph_adamic_adar"](spark, SF).toPandas()
+        li = load(spark, SF, "lineitem").toPandas()
+        e0 = li[["l_suppkey", "l_partkey"]].drop_duplicates()
+        deg = e0.groupby("l_partkey").size()
+        keep = deg[(deg >= 2) & (deg <= 64)].index
+        e = e0[e0.l_partkey.isin(keep)]
+        w = {p: math.floor(1e6 / math.log(deg[p])) for p in keep}
+        scores: dict[tuple, list] = {}
+        for p, grp in e.groupby("l_partkey"):
+            ss = sorted(grp.l_suppkey)
+            for a_i in range(len(ss)):
+                for b_i in range(a_i + 1, len(ss)):
+                    k = (ss[a_i], ss[b_i])
+                    cur = scores.setdefault(k, [0, 0])
+                    cur[0] += 1
+                    cur[1] += w[p]
+        ranked = sorted(
+            ((v[1], k[0], k[1], v[0]) for k, v in scores.items()),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[:20]
+        assert len(got) == min(20, len(ranked))
+        for row, (aa, s1, s2, nc) in zip(got.itertuples(index=False), ranked):
+            assert (row.s1, row.s2, row.n_common, row.aa_micro) == (s1, s2, nc, aa)
+
+
+class TestPmiCollocations:
+    def test_matches_bruteforce(self, spark):
+        got = registry.QUERIES["text_pmi_collocations"](spark, SF).toPandas()
+        docs = _docs(spark)
+        from collections import Counter
+
+        big: Counter = Counter()
+        m1: Counter = Counter()
+        m2: Counter = Counter()
+        for t in docs.text.dropna():
+            toks = t.split(" ")
+            if len(toks) < 2:
+                continue
+            for w1, w2 in zip(toks, toks[1:]):
+                big[(w1, w2)] += 1
+                m1[w1] += 1
+                m2[w2] += 1
+        tt = sum(big.values())
+        rows = [
+            (w1, w2, n, math.floor(math.log(n * tt / (m1[w1] * m2[w2])) * 1e6))
+            for (w1, w2), n in big.items()
+            if n >= 5
+        ]
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        exp = rows[:50]
+        assert len(got) == min(50, len(exp))
+        for row, (w1, w2, n, pmi) in zip(got.itertuples(index=False), exp):
+            assert (row.w1, row.w2, row.n12, row.pmi_micro) == (w1, w2, n, pmi)
+
+
+class TestKneserNey:
+    def test_probabilities_sum_to_one_per_context(self, spark):
+        """The KN conditional must be a proper distribution: for each
+        context w1, sum over the OBSERVED continuations plus the backoff
+        mass spread over unseen types equals 1 - checked exactly via the
+        model identity sum_w2 p(w2|w1) over ALL types."""
+        docs = _docs(spark)
+        from collections import Counter, defaultdict
+
+        big: Counter = Counter()
+        ctx: Counter = Counter()
+        cont_set: defaultdict = defaultdict(set)
+        follows: defaultdict = defaultdict(set)
+        for t in docs.text.dropna():
+            toks = t.split(" ")
+            for w1, w2 in zip(toks, toks[1:]):
+                big[(w1, w2)] += 1
+                ctx[w1] += 1
+                cont_set[w2].add(w1)
+                follows[w1].add(w2)
+        n_types = len(big)
+        d = 0.75
+        # check a handful of contexts
+        for w1 in list(ctx)[:5]:
+            n1 = ctx[w1]
+            total = 0.0
+            # observed continuations: discounted term + interpolation
+            # unseen: interpolation only; sum p_cont over ALL w2 = 1
+            for w2 in follows[w1]:
+                total += (big[(w1, w2)] - d) / n1
+            lam = d * len(follows[w1]) / n1
+            total += lam * sum(
+                len(cont_set[w2]) / n_types for w2 in cont_set
+            )
+            assert abs(total - 1.0) < 1e-9, w1
+
+    def test_matches_reference_scoring(self, spark):
+        got = (
+            registry.QUERIES["text_kneser_ney_bigram"](spark, SF)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        docs = _docs(spark)
+        from collections import Counter, defaultdict
+
+        big: Counter = Counter()
+        ctx: Counter = Counter()
+        ctx_types: defaultdict = defaultdict(set)
+        cont_set: defaultdict = defaultdict(set)
+        grams = []
+        for doc_id, t in zip(docs.doc_id, docs.text):
+            if t is None:
+                continue
+            toks = t.split(" ")
+            if len(toks) < 2:
+                continue
+            for w1, w2 in zip(toks, toks[1:]):
+                big[(w1, w2)] += 1
+                ctx[w1] += 1
+                ctx_types[w1].add(w2)
+                cont_set[w2].add(w1)
+                grams.append((doc_id, w1, w2))
+        n_types = len(big)
+        d = 0.75
+        nll: dict = {}
+        cnt: dict = {}
+        for doc_id, w1, w2 in grams:
+            p = (big[(w1, w2)] - d) / ctx[w1] + (
+                d * len(ctx_types[w1]) / ctx[w1]
+            ) * (len(cont_set[w2]) / n_types)
+            micro = math.floor(-math.log(p) * 1e6 + 0.5)
+            nll[doc_id] = nll.get(doc_id, 0) + micro
+            cnt[doc_id] = cnt.get(doc_id, 0) + 1
+        for doc_id in list(nll)[:25]:
+            row = got.loc[doc_id]
+            assert row.n_bigrams == cnt[doc_id]
+            avg = nll[doc_id] / 1e6 / cnt[doc_id]
+            assert row.avg_nll == math.floor(avg * 1e4 + 0.5) / 1e4
+            assert row.ppl == math.floor(math.exp(avg) * 100 + 0.5) / 100
+
+    def test_kn_beats_jm_on_repetitive_text(self, spark):
+        """KN and JM rank docs differently but both are finite and
+        positive; the KN ppl stays within a sane band of the JM ppl on
+        the same corpus (same tokenization, same gram stream)."""
+        kn = (
+            registry.QUERIES["text_kneser_ney_bigram"](spark, SF)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        jm = (
+            registry.QUERIES["text_bigram_perplexity"](spark, SF)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert set(kn.index) == set(jm.index)
+        assert (kn.ppl > 0).all() and np.isfinite(kn.ppl).all()
+        ratio = kn.ppl / jm.ppl
+        assert 0.1 < ratio.median() < 10
+
+
+class TestSttrDiversity:
+    def test_matches_python_recompute(self, spark):
+        got = (
+            registry.QUERIES["text_sttr_diversity"](spark, SF)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        docs = _docs(spark)
+        import re
+
+        for doc_id, t in list(zip(docs.doc_id, docs.text))[:50]:
+            if t is None:
+                continue
+            toks = [x for x in re.split(r"[ \t\n]+", t) if x != ""]
+            if not toks:
+                assert doc_id not in got.index
+                continue
+            segs = [toks[i : i + 50] for i in range(0, len(toks), 50)]
+            ttrs = [len(set(s)) * 1000 // len(s) for s in segs]
+            row = got.loc[doc_id]
+            assert row.n_tokens == len(toks)
+            assert row.n_segments == len(segs)
+            assert row.sttr_milli == sum(ttrs) // len(ttrs)
+
+    def test_diversity_bounds(self, spark):
+        got = registry.QUERIES["text_sttr_diversity"](spark, SF).toPandas()
+        assert (got.sttr_milli > 0).all()
+        assert (got.sttr_milli <= 1000).all()
+
+
+class TestDpCountLaplace:
+    def test_noise_matches_inverse_cdf(self, spark):
+        got = registry.QUERIES["pipeline_dp_count_laplace"](spark, SF).toPandas()
+        import hashlib
+
+        for row in got.itertuples(index=False):
+            h = int(
+                hashlib.md5(f"{row.event_type}|{row.day}".encode()).hexdigest()[:15],
+                16,
+            )
+            u = (h + 0.5) / float(1 << 60)
+            if u >= 0.5:
+                noise = math.floor(-math.log(2.0 * (1.0 - u)) * 1e6 + 0.5)
+            else:
+                noise = math.floor(math.log(2.0 * u) * 1e6 + 0.5)
+            assert row.noisy_micro - row.true_n * 1_000_000 == noise
+            assert row.abs_err_micro == abs(noise)
+
+    def test_utility_is_laplace_shaped(self, spark):
+        """Median |noise| of Laplace(1) is ln 2 ~ 0.693; the deterministic
+        sampler should land in a loose band around it (it is a hash of
+        distinct keys, i.e. uniform u01 draws)."""
+        got = registry.QUERIES["pipeline_dp_count_laplace"](spark, SF).toPandas()
+        med = got.abs_err_micro.median() / 1e6
+        assert 0.2 < med < 2.5
+        # true counts are preserved exactly alongside the release
+        ev = _events(spark)
+        ev["day"] = pd.to_datetime(ev.ts).dt.strftime("%Y-%m-%d")
+        exp = ev.groupby(["event_type", "day"]).size()
+        assert len(got) == len(exp)
+        for row in got.itertuples(index=False):
+            assert row.true_n == exp.loc[(row.event_type, row.day)]
