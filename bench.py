@@ -425,6 +425,26 @@ def main() -> None:
             "banded operators are the scale path, SURVEY 2.9); exempted "
             "from the rotating sweep for the same reason"
         ),
+        # the r11 rotating sweep MEASURED the remaining three pairwise
+        # audit tiers once (the whole point of the ledger) - each is
+        # quadratic per block by construction, each names its scale-safe
+        # sibling, and those siblings stay in the sweep:
+        "dedup_ngram_jaccard": (
+            "blocked-pairwise 2-shingle audit tier (same blocking as "
+            "dedup_near_jaccard); measured r11: 157.5 s @ sf1 vs 0.85 s "
+            "@ sf0.1 (exp 2.3); winnowing/minhash siblings swept"
+        ),
+        "dedup_embed_cosine": (
+            "label-blocked pairwise cosine audit tier; measured r11: "
+            "75.5 s @ sf1 vs 1.12 s @ sf0.1 (exp 1.9); the LSH-bucketed "
+            "sim_knn_join and IVF family are the swept scale path"
+        ),
+        "dedup_lsh_recall_audit": (
+            "recall audit = banded path JOINED against the exact blocked-"
+            "pairwise ground truth, quadratic by definition of the audit; "
+            "measured r11: 80.0 s @ sf1 vs 0.88 s @ sf0.1 (exp 2.0); the "
+            "banded production path (dedup_minhash_lsh) is swept"
+        ),
     }
 
     # hi-scale growth sweep (VERDICT r8 item 3): the sf0.01->sf0.1 sweep is

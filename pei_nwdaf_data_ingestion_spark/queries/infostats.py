@@ -1171,3 +1171,207 @@ def pipeline_dp_count_laplace(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("true_n") * 1000000 + F.col("noise_micro")).alias("noisy_micro"),
         F.abs("noise_micro").alias("abs_err_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# delete-a-group jackknife standard error
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_jackknife_variance",
+    oracle="""
+    WITH j AS (
+      SELECT n.n_name,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_totalprice IS NOT NULL),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s FROM j),
+    grp AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(cents) AS BIGINT) AS s_g
+            FROM j GROUP BY 1),
+    loo AS (
+      SELECT n_name,
+             CAST(floor(CAST(s - s_g AS DOUBLE) / (n - n_g)) AS BIGINT)
+               AS theta_cents
+      FROM grp CROSS JOIN g),
+    gg AS (SELECT CAST(count(*) AS BIGINT) AS g_cnt,
+                  CAST(sum(theta_cents) AS BIGINT) AS ts FROM loo),
+    dev AS (
+      SELECT CAST(sum((theta_cents - ts // g_cnt)
+                      * (theta_cents - ts // g_cnt)) AS BIGINT) AS ss
+      FROM loo CROSS JOIN gg)
+    SELECT g.n AS n_orders, gg.g_cnt AS n_groups,
+           CAST(floor(CAST(g.s AS DOUBLE) / g.n) AS BIGINT) AS mean_cents,
+           CAST(floor(sqrt(CAST(gg.g_cnt - 1 AS DOUBLE) * dev.ss
+                           / gg.g_cnt)) AS BIGINT) AS se_jack_cents
+    FROM g CROSS JOIN gg CROSS JOIN dev
+    """,
+)
+def agg_jackknife_variance(spark: SparkSession, sf: str) -> DataFrame:
+    """Delete-a-group jackknife standard error of the global mean order
+    value, leaving out one nation at a time - the model-free uncertainty
+    estimate survey statistics and A/B platforms attach to any cluster-
+    correlated mean (orders within a nation are not independent, so the
+    naive s/sqrt(n) SE is too small; the grouped jackknife prices the
+    between-cluster variation in, Shao & Tu 1995).  Pseudo-estimates
+    theta_(-g) = (S - s_g)/(n - n_g) over the 25 nation groups, then
+    SE = sqrt((G-1)/G * sum (theta_(-g) - theta_bar)^2).
+
+    Cross-engine exactness: group sums are exact BIGINT from one fact
+    pass; each leave-one-out mean floors once to integer cents (positive
+    domain); the deviation sum of squares is exact BIGINT around the
+    integer-floored mean of the 25 pseudo-values (ts // g_cnt, positive
+    so DuckDB // == Spark div); one sqrt on the exact integer variance
+    numerator.  Quantizing theta to whole cents before squaring keeps
+    every accumulator exact at any scale (deviations are cents-sized,
+    squares ~1e10 max).
+
+    Plan: customer rides the catalog broadcast gate; ONE fact pass to
+    the 25-row group frame, then everything is bounded-frame arithmetic
+    (crossJoins of broadcast scalars) - no window, no second scan."""
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice").isNotNull())
+    c = load(spark, sf, "customer")
+    nn = load(spark, sf, "nation")
+    j = (
+        o.join(
+            gated_broadcast(c.select("c_custkey", "c_nationkey"), sf, "customer"),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nn), F.col("c_nationkey") == nn.n_nationkey)
+        .select(
+            "n_name",
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    g = j.agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    grp = j.groupBy("n_name").agg(
+        F.count("*").alias("n_g"), F.sum("cents").alias("s_g")
+    )
+    loo = grp.crossJoin(F.broadcast(g)).select(
+        F.floor(
+            (F.col("s") - F.col("s_g")).cast("double")
+            / (F.col("n") - F.col("n_g"))
+        )
+        .cast("long")
+        .alias("theta_cents")
+    )
+    gg = loo.agg(
+        F.count("*").alias("g_cnt"), F.sum("theta_cents").alias("ts")
+    )
+    dev = (
+        loo.crossJoin(F.broadcast(gg))
+        .select(
+            (
+                (F.col("theta_cents") - F.expr("ts div g_cnt"))
+                * (F.col("theta_cents") - F.expr("ts div g_cnt"))
+            ).alias("d2")
+        )
+        .agg(F.sum("d2").alias("ss"))
+    )
+    return (
+        g.crossJoin(F.broadcast(gg))
+        .crossJoin(F.broadcast(dev))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.col("g_cnt").alias("n_groups"),
+            F.floor(F.col("s").cast("double") / F.col("n"))
+            .cast("long")
+            .alias("mean_cents"),
+            F.floor(
+                F.sqrt(
+                    (F.col("g_cnt") - 1).cast("double")
+                    * F.col("ss")
+                    / F.col("g_cnt")
+                )
+            )
+            .cast("long")
+            .alias("se_jack_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# term burstiness (variance-to-mean ratio)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_burstiness_vmr",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    tk AS (
+      SELECT doc_id, u.term
+      FROM t, LATERAL (SELECT unnest(t.toks) AS term) u),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents WHERE text IS NOT NULL),
+    dc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY 1, 2),
+    ts AS (SELECT term, CAST(sum(c) AS BIGINT) AS total_count,
+                  CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(c * c) AS BIGINT) AS sum_sq
+           FROM dc GROUP BY 1)
+    SELECT term, total_count, df,
+           CAST(floor(CAST(n_docs * sum_sq - total_count * total_count
+                           AS DOUBLE) * 1000.0
+                      / (CAST(n_docs AS DOUBLE) * total_count))
+                AS BIGINT) AS vmr_milli
+    FROM ts CROSS JOIN nd
+    ORDER BY total_count DESC, term LIMIT 50
+    """,
+)
+def text_burstiness_vmr(spark: SparkSession, sf: str) -> DataFrame:
+    """Burstiness of the top-50 corpus terms: variance-to-mean ratio of
+    the per-document count, zero-docs included - Church & Gale's (1995)
+    dispersion diagnostic.  A Poisson-scattered term (function word) has
+    VMR ~ 1; a bursty term (topical content word - absent from most
+    docs, repeated where it appears) has VMR >> 1.  The signal that
+    separates grammar from topic without any stopword list: it feeds
+    stopword discovery (low VMR + high df), keyword extraction (high
+    VMR), and template detection (boilerplate tokens show Poisson-flat
+    dispersion across a crawl when a real topic word would burst).
+    Single-space tokenization is deliberate parity with the LM family's
+    shared gram-stream definition (text_perplexity_proxy et al.).
+
+    Cross-engine exactness: VMR = (n*sum(c^2) - (sum c)^2) / (n*sum c)
+    entirely from exact BIGINT accumulators (per-doc counts are integers;
+    the identity avoids subtracting float means), one double division +
+    floor to milli.  At sf1 the largest product is ~1e11, far inside
+    2^63; DECIMAL(38) promotion documented beyond sf100.  Top-50 breaks
+    ties on term.
+
+    Plan: one token explode, one (term, doc) hash agg (map-side combine
+    collapses within-doc repeats before the shuffle), one term-grain
+    combinable agg, a broadcast scalar crossJoin, and a vocabulary-
+    bounded top-50 - the token stream is shuffled once, on (term,
+    doc_id), and nothing fact-proportional is sorted."""
+    d = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tk = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    dc = tk.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    ts = dc.groupBy("term").agg(
+        F.sum("c").alias("total_count"),
+        F.count("*").alias("df"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    vmr = F.floor(
+        (
+            F.col("n_docs") * F.col("sum_sq")
+            - F.col("total_count") * F.col("total_count")
+        ).cast("double")
+        * 1000.0
+        / (F.col("n_docs").cast("double") * F.col("total_count"))
+    ).cast("long")
+    return (
+        ts.crossJoin(F.broadcast(nd))
+        .select("term", "total_count", "df", vmr.alias("vmr_milli"))
+        .orderBy(F.desc("total_count"), F.asc("term"))
+        .limit(50)
+    )

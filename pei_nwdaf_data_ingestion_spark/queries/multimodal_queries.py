@@ -849,3 +849,72 @@ def multimodal_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
         delta.alias("delta_milli"),
         F.when(delta >= 10000, 1).otherwise(0).cast("int").alias("is_cut"),
     )
+
+
+@query(
+    "multimodal_audio_clipping",
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id, 16 + doc_id % 17 AS n FROM documents WHERE doc_id % 3 = 1),
+    -- sample stream replays the WAV builder's PCM formula
+    -- (pipeline/multimodal.build_media_blob)
+    s AS (
+      SELECT doc_id, ((doc_id * 131 + i.i * 17) % 65536) - 32768 AS v
+      FROM aud, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+    c AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(count(*) FILTER (WHERE abs(v) >= 30000) AS BIGINT)
+               AS n_clipped,
+             CAST(max(abs(v)) AS BIGINT) AS peak_abs
+      FROM s GROUP BY doc_id)
+    SELECT doc_id AS asset_id, n_samples, n_clipped, peak_abs,
+           n_clipped * 1000 // n_samples AS clip_milli,
+           CASE WHEN peak_abs >= 32700 THEN 'hot'
+                WHEN peak_abs >= 30000 THEN 'loud'
+                ELSE 'ok' END AS level_band
+    FROM c
+    """,
+)
+def multimodal_audio_clipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Clipping / level QC over REAL decoded PCM - the third leg of the
+    audio curation triad (multimodal_audio_vad = is there speech,
+    multimodal_audio_zcr = what kind, THIS = is the recording usable):
+    a take whose samples pile up near full scale (|v| >= 30000 of the
+    int16 range) is clipped at capture and poisons any acoustic model
+    trained on it, so speech pipelines gate on clip fraction + peak
+    level before feature extraction.  Reports exact-integer clip_milli
+    (clipped fraction, milli), peak |amplitude|, and a three-way level
+    band on the peak (hot >= 32700 / loud >= 30000 / ok) - the summary a
+    recording-quality dashboard shows per asset.
+
+    Cross-engine exactness: all-integer - counts, abs, max, one integer
+    milli division; the band thresholds are literals on both sides.
+
+    Plan: metadata filter prunes the decode to audio blobs; ONE
+    combinable per-asset hash agg over the decoded sample stream (no
+    window, no join - strictly cheaper than the ZCR lag); blobs decode
+    once and never shuffle (mapInPandas emits unit rows already
+    partitioned by asset)."""
+    from ..pipeline.multimodal import decode_media_units
+
+    assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
+        F.col("media_type") == "audio"
+    )
+    units = decode_media_units(assets)
+    c = units.groupBy("asset_id").agg(
+        F.count("*").alias("n_samples"),
+        F.sum((F.abs("unit") >= 30000).cast("long")).alias("n_clipped"),
+        F.max(F.abs("unit")).alias("peak_abs"),
+    )
+    return c.select(
+        "asset_id",
+        "n_samples",
+        "n_clipped",
+        "peak_abs",
+        F.expr("n_clipped * 1000 div n_samples").alias("clip_milli"),
+        F.when(F.col("peak_abs") >= 32700, "hot")
+        .when(F.col("peak_abs") >= 30000, "loud")
+        .otherwise("ok")
+        .alias("level_band"),
+    )

@@ -201,6 +201,9 @@ ADDED_IN_ROUND: dict[str, int] = {
     "text_kneser_ney_bigram": 11,
     "text_sttr_diversity": 11,
     "pipeline_dp_count_laplace": 11,
+    "agg_jackknife_variance": 11,
+    "text_burstiness_vmr": 11,
+    "multimodal_audio_clipping": 11,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -220,8 +223,9 @@ ADDED_IN_ROUND: dict[str, int] = {
 # session-2 r10 ids (CCNet terciles, STL decomposition, log-odds keyness,
 # OOV-rate audit, seasonality strength, Gini concentration) need first
 # signals.
-# Budget check: 15 pins << the driver's ~50-slot window.
-# Round 11: ten new infostats ids need their first hash signal; four
+# Budget check: 18 pins << the driver's ~50-slot window.
+# Round 11: thirteen new ids (ten infostats + jackknife SE + burstiness
+# VMR + audio clipping) need their first hash signal; five
 # existing ids changed code or semantics this round and must re-hash -
 # time_stl_decompose + events_seasonality_strength (calendar-densified
 # day grid per ADVICE r10, both code and oracle moved), text_oov_rate
@@ -241,6 +245,9 @@ _CHANGED_THIS_ROUND = [
     "text_kneser_ney_bigram",
     "text_sttr_diversity",
     "pipeline_dp_count_laplace",
+    "agg_jackknife_variance",
+    "text_burstiness_vmr",
+    "multimodal_audio_clipping",
     "time_stl_decompose",
     "events_seasonality_strength",
     "text_oov_rate",

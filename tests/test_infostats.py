@@ -426,3 +426,97 @@ class TestDpCountLaplace:
         assert len(got) == len(exp)
         for row in got.itertuples(index=False):
             assert row.true_n == exp.loc[(row.event_type, row.day)]
+
+
+class TestJackknifeVariance:
+    def test_matches_numpy_recompute(self, spark):
+        got = registry.QUERIES["agg_jackknife_variance"](spark, SF).toPandas()
+        row = got.iloc[0]
+        orders = load(spark, SF, "orders").toPandas()
+        cust = load(spark, SF, "customer").toPandas()
+        nation = load(spark, SF, "nation").toPandas()
+        j = (
+            orders[orders.o_totalprice.notna()]
+            .merge(cust, left_on="o_custkey", right_on="c_custkey")
+            .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        )
+        j["cents"] = (j.o_totalprice * 100.0 + 0.5).apply(math.floor)
+        S, n = j.cents.sum(), len(j)
+        grp = j.groupby("n_name").cents.agg(["sum", "count"])
+        theta = [
+            math.floor((S - sg) / (n - ng))
+            for sg, ng in zip(grp["sum"], grp["count"])
+        ]
+        G = len(theta)
+        tbar = sum(theta) // G
+        ss = sum((t - tbar) ** 2 for t in theta)
+        assert row.n_orders == n and row.n_groups == G
+        assert row.mean_cents == math.floor(S / n)
+        assert row.se_jack_cents == math.floor(math.sqrt((G - 1) * ss / G))
+        # jackknife SE must exceed the (cluster-blind) naive SE's scale 0
+        assert row.se_jack_cents > 0
+
+
+class TestBurstinessVmr:
+    def test_matches_bruteforce(self, spark):
+        got = registry.QUERIES["text_burstiness_vmr"](spark, SF).toPandas()
+        docs = _docs(spark)
+        from collections import Counter
+
+        per_doc: dict = {}
+        n_docs = 0
+        for t in docs.text:
+            if t is None:
+                continue
+            n_docs += 1
+            for term, c in Counter(t.split(" ")).items():
+                per_doc.setdefault(term, []).append(c)
+        rows = []
+        for term, cs in per_doc.items():
+            tc, ss, df = sum(cs), sum(c * c for c in cs), len(cs)
+            vmr = math.floor((n_docs * ss - tc * tc) * 1000.0 / (n_docs * tc))
+            rows.append((term, tc, df, vmr))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        exp = rows[:50]
+        assert len(got) == min(50, len(exp))
+        for row, (term, tc, df, vmr) in zip(got.itertuples(index=False), exp):
+            assert (row.term, row.total_count, row.df, row.vmr_milli) == (
+                term,
+                tc,
+                df,
+                vmr,
+            )
+
+    def test_poisson_baseline_semantics(self, spark):
+        """VMR of any term is >= the minimum possible given integer
+        counts; a term appearing at most once per doc has
+        VMR = 1 - tc/n_docs < 1 (sub-Poisson), while repeated-in-doc
+        terms push VMR up - so the column must straddle 1000 only via
+        within-doc repetition."""
+        got = registry.QUERIES["text_burstiness_vmr"](spark, SF).toPandas()
+        assert (got.vmr_milli > 0).all()
+        assert (got.total_count >= got.df).all()
+
+
+class TestAudioClipping:
+    def test_matches_pcm_formula(self, spark):
+        got = (
+            registry.QUERIES["multimodal_audio_clipping"](spark, SF)
+            .toPandas()
+            .set_index("asset_id")
+        )
+        docs = _docs(spark)
+        audio_ids = [d for d in docs.doc_id if d % 3 == 1]
+        assert set(got.index) == set(audio_ids)
+        for doc_id in audio_ids:
+            n = 16 + doc_id % 17
+            vs = [((doc_id * 131 + i * 17) % 65536) - 32768 for i in range(n)]
+            clipped = sum(1 for v in vs if abs(v) >= 30000)
+            peak = max(abs(v) for v in vs)
+            row = got.loc[doc_id]
+            assert row.n_samples == n
+            assert row.n_clipped == clipped
+            assert row.peak_abs == peak
+            assert row.clip_milli == clipped * 1000 // n
+            band = "hot" if peak >= 32700 else ("loud" if peak >= 30000 else "ok")
+            assert row.level_band == band
