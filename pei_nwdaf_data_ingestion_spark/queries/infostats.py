@@ -1375,3 +1375,376 @@ def text_burstiness_vmr(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("total_count"), F.asc("term"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# iterative proportional fitting (raking) of sample weights
+# ---------------------------------------------------------------------------
+
+_IPF_ITERS = 4
+
+
+def _ipf_iter_sql() -> str:
+    """Unrolled IPF: each iteration scales cell weights to the row margin
+    (mktsegment) then the column margin (orderpriority)."""
+    ctes = []
+    prev = "w0"
+    for t in range(1, _IPF_ITERS + 1):
+        ctes.append(
+            f"""r{t} AS (
+      SELECT seg, pri, CAST(floor(CAST(w AS DOUBLE)
+               * (CAST(r_tgt AS DOUBLE) * 1000000.0 / rowsum)) AS BIGINT) AS w
+      FROM (SELECT seg, pri, w,
+                   sum(w) OVER (PARTITION BY seg) AS rowsum
+            FROM {prev}) x JOIN rt USING (seg)),
+    c{t} AS (
+      SELECT seg, pri, CAST(floor(CAST(w AS DOUBLE)
+               * (CAST(c_tgt AS DOUBLE) * 1000000.0 / colsum)) AS BIGINT) AS w
+      FROM (SELECT seg, pri, w,
+                   sum(w) OVER (PARTITION BY pri) AS colsum
+            FROM r{t}) x JOIN ct USING (pri))"""
+        )
+        prev = f"c{t}"
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "pipeline_ipf_rake",
+    oracle=f"""
+    WITH pop AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             o.o_orderkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    samp AS (
+      SELECT seg, pri, CAST(count(*) AS BIGINT) AS n_sample
+      FROM pop WHERE o_orderkey % 10 = 0 GROUP BY 1, 2),
+    cells AS (
+      SELECT seg, pri, CAST(count(*) AS BIGINT) AS n_pop FROM pop
+      GROUP BY 1, 2),
+    rt AS (SELECT seg, CAST(sum(n_pop) AS BIGINT) AS r_tgt
+           FROM cells GROUP BY 1),
+    ct AS (SELECT pri, CAST(sum(n_pop) AS BIGINT) AS c_tgt
+           FROM cells GROUP BY 1),
+    w0 AS (SELECT seg, pri, n_sample * 1000000 AS w FROM samp
+           WHERE n_sample > 0),
+    {_ipf_iter_sql()}
+    SELECT cells.seg, cells.pri, coalesce(samp.n_sample, 0) AS n_sample,
+           cells.n_pop, c{_IPF_ITERS}.w AS w_micro
+    FROM cells
+    LEFT JOIN samp USING (seg, pri)
+    LEFT JOIN c{_IPF_ITERS} USING (seg, pri)
+    """,
+)
+def pipeline_ipf_rake(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of a 10% systematic sample's
+    (market segment x order priority) cell weights to the full
+    population's two marginals - the survey-statistics calibration every
+    weighted-sampling pipeline runs so downstream estimates reproduce
+    known margins (Deming & Stephan 1940; the same machinery behind
+    post-stratified A/B readouts and census-calibrated panels).
+    {_IPF_ITERS} unrolled iterations, each scaling rows to the segment
+    margin then columns to the priority margin; IPF converges
+    geometrically on a dense positive table, so the fitted weights'
+    marginal error after {_IPF_ITERS} rounds is far below the micro
+    quantum (asserted in pytest).
+
+    Cross-engine exactness: cell counts are exact BIGINT; weights live
+    in integer micro-count units, and every scaling step computes the
+    factor as ONE double expression (target * 1e6 / current-marginal,
+    both from exact BIGINTs) and floors the scaled weight per cell
+    BEFORE the next marginal sum - each iteration is order-independent
+    integer state, the events_markov_stationary discipline.
+
+    Plan: one fact pass builds both the sample and population cell
+    frames (25 cells); the {_IPF_ITERS * 2} scaling steps are windows +
+    joins over the 25-row frame - bounded work whatever the corpus size;
+    customer rides the catalog broadcast gate."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    pop = o.join(
+        gated_broadcast(c.select("c_custkey", "c_mktsegment"), sf, "customer"),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+    ).localCheckpoint(eager=False)  # one fact scan, two cell frames
+    samp = (
+        pop.filter(F.col("o_orderkey") % 10 == 0)
+        .groupBy("seg", "pri")
+        .agg(F.count("*").alias("n_sample"))
+    )
+    cells = pop.groupBy("seg", "pri").agg(F.count("*").alias("n_pop"))
+    rt = cells.groupBy("seg").agg(F.sum("n_pop").alias("r_tgt"))
+    ct = cells.groupBy("pri").agg(F.sum("n_pop").alias("c_tgt"))
+    w = samp.filter(F.col("n_sample") > 0).select(
+        "seg", "pri", (F.col("n_sample") * 1000000).alias("w")
+    )
+    for _ in range(_IPF_ITERS):
+        rowsum = Window.partitionBy("seg")
+        w = (
+            w.select("seg", "pri", "w", F.sum("w").over(rowsum).alias("rowsum"))
+            .join(F.broadcast(rt), "seg")
+            .select(
+                "seg",
+                "pri",
+                F.floor(
+                    F.col("w").cast("double")
+                    * (
+                        F.col("r_tgt").cast("double")
+                        * 1000000.0
+                        / F.col("rowsum")
+                    )
+                )
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        colsum = Window.partitionBy("pri")
+        w = (
+            w.select("seg", "pri", "w", F.sum("w").over(colsum).alias("colsum"))
+            .join(F.broadcast(ct), "pri")
+            .select(
+                "seg",
+                "pri",
+                F.floor(
+                    F.col("w").cast("double")
+                    * (
+                        F.col("c_tgt").cast("double")
+                        * 1000000.0
+                        / F.col("colsum")
+                    )
+                )
+                .cast("long")
+                .alias("w"),
+            )
+        )
+    return (
+        cells.join(samp, ["seg", "pri"], "left")
+        .join(w.withColumnRenamed("w", "w_micro"), ["seg", "pri"], "left")
+        .select(
+            "seg",
+            "pri",
+            F.coalesce("n_sample", F.lit(0)).alias("n_sample"),
+            "n_pop",
+            "w_micro",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exponential time-decay engagement score
+# ---------------------------------------------------------------------------
+
+_DECAY_HALFLIFE_DIVISOR = 30.0
+
+
+@query(
+    "events_decay_engagement",
+    oracle=f"""
+    WITH ref AS (
+      SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS ref_d FROM events),
+    t AS (
+      SELECT user_id,
+             CAST(floor(CAST(floor(value * 100.0 + 0.5) AS DOUBLE)
+                        * exp(-CAST(date_diff('day',
+                                    CAST(date_trunc('day', ts) AS DATE),
+                                    ref_d) AS DOUBLE)
+                              / {_DECAY_HALFLIFE_DIVISOR!r})
+                        * 10000.0) AS BIGINT) AS term_micro
+      FROM events CROSS JOIN ref
+      WHERE value IS NOT NULL)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(term_micro) AS BIGINT) AS score_micro
+    FROM t GROUP BY user_id
+    ORDER BY score_micro DESC, user_id LIMIT 50
+    """,
+)
+def events_decay_engagement(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponential time-decay engagement score per user: each event
+    contributes value * exp(-age_days / {_DECAY_HALFLIFE_DIVISOR:g}),
+    aged against the corpus's latest event day - the recency-weighted
+    activity feature every churn model, ranking signal, and "active
+    user" definition actually uses (a raw sum never forgets; a window
+    cutoff forgets all at once; exponential decay is the standard
+    middle).  Top-50 users by score, user_id tiebreak.
+
+    Cross-engine exactness: per-event cents quantize first (exact
+    BIGINT-derived double), the decay factor is one identically-spelled
+    exp over an exact integer day difference, and each event's term
+    floors to integer micro BEFORE the per-user sum - order-independent.
+    The reference day is the data's own max (deterministic), never
+    current_timestamp (SURVEY 7.4).
+
+    Plan: one 1-row broadcast (ref day), then a single map-side scalar
+    chain per event and ONE combinable per-user hash agg; the top-50 is
+    a per-partition heap over the user-grain frame.  Nothing
+    fact-proportional is sorted or joined."""
+    ev = load(spark, sf, "events")
+    ref = ev.agg(
+        F.max(F.to_date(F.date_trunc("day", "ts"))).alias("ref_d")
+    )
+    age = F.datediff(F.col("ref_d"), F.to_date(F.date_trunc("day", "ts")))
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5))
+    term = F.floor(
+        cents.cast("double")
+        * F.exp(-age.cast("double") / F.lit(_DECAY_HALFLIFE_DIVISOR))
+        * 10000.0
+    ).cast("long")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(ref))
+        .select("user_id", term.alias("term_micro"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("term_micro").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall audit
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32)
+_MRL_K = 10
+_MRL_N_ANCHORS = 8
+
+
+def _mrl_cos_sql(d: int | None) -> str:
+    ev = "e.embedding::DOUBLE[]" if d is None else f"(e.embedding::DOUBLE[])[1:{d}]"
+    av = "a.av" if d is None else f"a.av[1:{d}]"
+    return (
+        f"list_dot_product({ev}, {av})"
+        f" / nullif(sqrt(list_dot_product({ev}, {ev}))"
+        f" * sqrt(list_dot_product({av}, {av})), 0.0)"
+    )
+
+
+@query(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH anch AS (
+      SELECT vec_id AS a_id, embedding::DOUBLE[] AS av FROM embeddings
+      WHERE vec_id < {_MRL_N_ANCHORS} AND embedding IS NOT NULL),
+    c AS (
+      SELECT a.a_id, e.vec_id,
+             {_mrl_cos_sql(None)} AS c64,
+             {", ".join(f"{_mrl_cos_sql(d)} AS c{d}" for d in _MRL_DIMS)}
+      FROM embeddings e JOIN anch a ON e.vec_id <> a.a_id
+      WHERE e.embedding IS NOT NULL),
+    u AS (
+      SELECT a_id, vec_id, CAST(64 AS BIGINT) AS dim, c64 AS cs FROM c
+      {" ".join(f"UNION ALL SELECT a_id, vec_id, CAST({d} AS BIGINT), c{d} FROM c" for d in _MRL_DIMS)}),
+    r AS (
+      SELECT a_id, vec_id, dim,
+             row_number() OVER (PARTITION BY a_id, dim
+                                ORDER BY cs DESC, vec_id) AS rk
+      FROM u WHERE cs IS NOT NULL),
+    top AS (SELECT a_id, vec_id, dim FROM r WHERE rk <= {_MRL_K}),
+    full10 AS (SELECT a_id, vec_id FROM top WHERE dim = 64),
+    ov AS (
+      SELECT t.dim, t.a_id, CAST(count(f.vec_id) AS BIGINT) AS n_hit
+      FROM top t LEFT JOIN full10 f
+        ON t.a_id = f.a_id AND t.vec_id = f.vec_id
+      WHERE t.dim <> 64 GROUP BY 1, 2)
+    SELECT dim, CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(sum(n_hit) * {1000 // _MRL_K} // count(*) AS BIGINT)
+             AS mean_recall_milli,
+           CAST(min(n_hit) * {1000 // _MRL_K} AS BIGINT) AS min_recall_milli
+    FROM ov GROUP BY dim
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation audit: recall@{_MRL_K} of prefix-truncated
+    embeddings (dims {_MRL_DIMS}) against the full-width top-{_MRL_K} for
+    {_MRL_N_ANCHORS} fixed anchor queries - the measurement that decides
+    how far a Matryoshka-style representation (Kusupati et al. 2022) can
+    be cut for the coarse ANN stage before re-ranking at full width:
+    ship the smallest dim whose recall clears the budget.  The fixture
+    vectors are NOT MRL-trained, so recall here reads as the random-
+    projection floor each dim must beat; the operator is the audit
+    harness either way (the sim_ivf_recall_audit posture: the engine
+    measures its approximations).
+
+    Cross-engine exactness: every cosine is the sequential-fold double
+    dot (the verified 0-ulp llm._dot spelling) over the SAME prefix
+    slice on both engines (1-based, inclusive, {_MRL_DIMS} and full);
+    selection ranks on the unrounded cosine with vec_id tiebreak;
+    recall is exact integer milli from hit counts.
+
+    Plan: the anchor frame is CONSTANT-bounded ({_MRL_N_ANCHORS} rows,
+    broadcast), so the scoring pass is O(anchors x N) - linear in the
+    corpus, one scan computing all four cosines per row; the ranking
+    window partitions by (anchor, dim) over that linear frame, and the
+    overlap join + final agg run on {_MRL_N_ANCHORS} x {_MRL_K} x 4
+    rows."""
+    from .llm import _dot
+
+    e = load(spark, sf, "embeddings").filter(F.col("embedding").isNotNull())
+    anch = F.broadcast(
+        e.filter(F.col("vec_id") < _MRL_N_ANCHORS).select(
+            F.col("vec_id").alias("a_id"), F.col("embedding").alias("av")
+        )
+    )
+
+    def cos(d):
+        ev = F.col("embedding") if d is None else F.slice("embedding", 1, d)
+        av = F.col("av") if d is None else F.slice("av", 1, d)
+        return _dot(ev, av) / F.nullif(
+            F.sqrt(_dot(ev, ev)) * F.sqrt(_dot(av, av)), F.lit(0.0)
+        )
+
+    c = (
+        e.join(anch, F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "vec_id",
+            cos(None).alias("c64"),
+            *[cos(d).alias(f"c{d}") for d in _MRL_DIMS],
+        )
+    )
+    stack_args = ", ".join(
+        ["CAST(64 AS BIGINT), c64"]
+        + [f"CAST({d} AS BIGINT), c{d}" for d in _MRL_DIMS]
+    )
+    u = c.select(
+        "a_id",
+        "vec_id",
+        F.expr(f"stack({1 + len(_MRL_DIMS)}, {stack_args}) AS (dim, cs)"),
+    ).filter(F.col("cs").isNotNull())
+    rk = F.row_number().over(
+        Window.partitionBy("a_id", "dim").orderBy(
+            F.desc("cs"), F.asc("vec_id")
+        )
+    )
+    top = (
+        u.select("a_id", "vec_id", "dim", rk.alias("rk"))
+        .filter(F.col("rk") <= _MRL_K)
+        .select("a_id", "vec_id", "dim")
+        .localCheckpoint(eager=False)  # one ranking pass, two consumers
+    )
+    full10 = top.filter(F.col("dim") == 64).select(
+        F.col("a_id").alias("f_a"), F.col("vec_id").alias("f_v")
+    )
+    ov = (
+        top.filter(F.col("dim") != 64)
+        .join(
+            full10,
+            (F.col("a_id") == F.col("f_a")) & (F.col("vec_id") == F.col("f_v")),
+            "left",
+        )
+        .groupBy("dim", "a_id")
+        .agg(F.count("f_v").alias("n_hit"))
+    )
+    per = 1000 // _MRL_K
+    return ov.groupBy("dim").agg(
+        F.count("*").alias("n_anchors"),
+        F.expr(f"CAST(sum(n_hit) * {per} div count(*) AS LONG)").alias(
+            "mean_recall_milli"
+        ),
+        (F.min("n_hit") * per).cast("long").alias("min_recall_milli"),
+    )

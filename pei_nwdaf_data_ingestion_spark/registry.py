@@ -204,6 +204,9 @@ ADDED_IN_ROUND: dict[str, int] = {
     "agg_jackknife_variance": 11,
     "text_burstiness_vmr": 11,
     "multimodal_audio_clipping": 11,
+    "pipeline_ipf_rake": 11,
+    "events_decay_engagement": 11,
+    "sim_matryoshka_recall": 11,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -223,9 +226,10 @@ ADDED_IN_ROUND: dict[str, int] = {
 # session-2 r10 ids (CCNet terciles, STL decomposition, log-odds keyness,
 # OOV-rate audit, seasonality strength, Gini concentration) need first
 # signals.
-# Budget check: 18 pins << the driver's ~50-slot window.
-# Round 11: thirteen new ids (ten infostats + jackknife SE + burstiness
-# VMR + audio clipping) need their first hash signal; five
+# Budget check: 21 pins << the driver's ~50-slot window.
+# Round 11: sixteen new ids (ten infostats + jackknife SE + burstiness
+# VMR + audio clipping + IPF raking + decay engagement + Matryoshka
+# recall) need their first hash signal; five
 # existing ids changed code or semantics this round and must re-hash -
 # time_stl_decompose + events_seasonality_strength (calendar-densified
 # day grid per ADVICE r10, both code and oracle moved), text_oov_rate
@@ -248,6 +252,9 @@ _CHANGED_THIS_ROUND = [
     "agg_jackknife_variance",
     "text_burstiness_vmr",
     "multimodal_audio_clipping",
+    "pipeline_ipf_rake",
+    "events_decay_engagement",
+    "sim_matryoshka_recall",
     "time_stl_decompose",
     "events_seasonality_strength",
     "text_oov_rate",

@@ -520,3 +520,140 @@ class TestAudioClipping:
             assert row.clip_milli == clipped * 1000 // n
             band = "hot" if peak >= 32700 else ("loud" if peak >= 30000 else "ok")
             assert row.level_band == band
+
+
+class TestIpfRake:
+    def test_integer_ipf_recompute_and_convergence(self, spark):
+        got = registry.QUERIES["pipeline_ipf_rake"](spark, SF).toPandas()
+        orders = load(spark, SF, "orders").toPandas()
+        cust = load(spark, SF, "customer").toPandas()
+        pop = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        pop = pop.rename(
+            columns={"c_mktsegment": "seg", "o_orderpriority": "pri"}
+        )
+        cells = pop.groupby(["seg", "pri"]).size()
+        samp = pop[pop.o_orderkey % 10 == 0].groupby(["seg", "pri"]).size()
+        rt = cells.groupby("seg").sum()
+        ct = cells.groupby("pri").sum()
+        w = {k: int(v) * 1_000_000 for k, v in samp.items() if v > 0}
+        for _ in range(4):
+            rowsum: dict = {}
+            for (s, _), v in w.items():
+                rowsum[s] = rowsum.get(s, 0) + v
+            w = {
+                (s, p): math.floor(v * (rt[s] * 1e6 / rowsum[s]))
+                for (s, p), v in w.items()
+            }
+            colsum: dict = {}
+            for (_, p), v in w.items():
+                colsum[p] = colsum.get(p, 0) + v
+            w = {
+                (s, p): math.floor(v * (ct[p] * 1e6 / colsum[p]))
+                for (s, p), v in w.items()
+            }
+        for row in got.itertuples(index=False):
+            assert row.n_pop == cells[(row.seg, row.pri)]
+            assert row.n_sample == samp.get((row.seg, row.pri), 0)
+            exp_w = w.get((row.seg, row.pri))
+            if exp_w is None:
+                assert pd.isna(row.w_micro)
+            else:
+                assert row.w_micro == exp_w
+        # convergence: fitted row AND column marginals within 0.5% of
+        # targets after 4 rounds (IPF is geometric on a dense table)
+        fit = got.dropna(subset=["w_micro"])
+        for s, grp in fit.groupby("seg"):
+            assert abs(grp.w_micro.sum() / 1e6 - rt[s]) / rt[s] < 0.005
+        for p, grp in fit.groupby("pri"):
+            assert abs(grp.w_micro.sum() / 1e6 - ct[p]) / ct[p] < 0.005
+
+
+class TestDecayEngagement:
+    def test_matches_python_recompute(self, spark):
+        got = registry.QUERIES["events_decay_engagement"](spark, SF).toPandas()
+        ev = _events(spark)
+        ev = ev[ev.value.notna()].copy()
+        ev["d"] = pd.to_datetime(ev.ts).dt.normalize()
+        ref = ev.d.max()
+        scores: dict = {}
+        counts: dict = {}
+        for row in ev.itertuples(index=False):
+            age = (ref - row.d).days
+            cents = math.floor(row.value * 100.0 + 0.5)
+            term = math.floor(cents * math.exp(-age / 30.0) * 10000.0)
+            scores[row.user_id] = scores.get(row.user_id, 0) + term
+            counts[row.user_id] = counts.get(row.user_id, 0) + 1
+        exp = sorted(
+            ((v, u) for u, v in scores.items()), key=lambda t: (-t[0], t[1])
+        )[:50]
+        assert len(got) == min(50, len(exp))
+        for row, (score, uid) in zip(got.itertuples(index=False), exp):
+            assert (row.user_id, row.score_micro, row.n_events) == (
+                uid,
+                score,
+                counts[uid],
+            )
+        # decay sanity: scores are positive and bounded by undecayed sum
+        assert (got.score_micro > 0).all()
+
+
+class TestMatryoshkaRecall:
+    @staticmethod
+    def _cos(ev, av):
+        num = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(ev, av):
+            num += float(x) * float(y)
+        for x in ev:
+            na += float(x) * float(x)
+        for y in av:
+            nb += float(y) * float(y)
+        den = math.sqrt(na) * math.sqrt(nb)
+        return None if den == 0.0 else num / den
+
+    def test_matches_sequential_fold_recompute(self, spark):
+        got = registry.QUERIES["sim_matryoshka_recall"](spark, SF).toPandas()
+        emb = load(spark, SF, "embeddings").toPandas()
+        emb = emb[emb.embedding.notna()]
+        anchors = emb[emb.vec_id < 8]
+        tops: dict = {}
+        for _, a in anchors.iterrows():
+            for dim in (8, 16, 32, 64):
+                cands = []
+                for _, e in emb.iterrows():
+                    if e.vec_id == a.vec_id:
+                        continue
+                    c = self._cos(
+                        list(e.embedding)[:dim], list(a.embedding)[:dim]
+                    )
+                    if c is not None:
+                        cands.append((c, e.vec_id))
+                cands.sort(key=lambda t: (-t[0], t[1]))
+                tops[(a.vec_id, dim)] = {v for _, v in cands[:10]}
+        rows = {}
+        for dim in (8, 16, 32):
+            hits = [
+                len(tops[(aid, dim)] & tops[(aid, 64)])
+                for aid in anchors.vec_id
+            ]
+            rows[dim] = (
+                len(hits),
+                sum(hits) * 100 // len(hits),
+                min(hits) * 100,
+            )
+        assert len(got) == 3
+        for row in got.itertuples(index=False):
+            exp = rows[row.dim]
+            assert (row.n_anchors, row.mean_recall_milli, row.min_recall_milli) == exp
+
+    def test_monotone_in_dim(self, spark):
+        """More prefix dimensions cannot hurt EXPECTED recall; on the
+        fixture allow per-dim noise but require dim-32 to beat dim-8."""
+        got = (
+            registry.QUERIES["sim_matryoshka_recall"](spark, SF)
+            .toPandas()
+            .set_index("dim")
+        )
+        assert got.loc[32].mean_recall_milli >= got.loc[8].mean_recall_milli
+        assert (got.mean_recall_milli <= 1000).all()
