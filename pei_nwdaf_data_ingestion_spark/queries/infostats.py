@@ -1748,3 +1748,324 @@ def sim_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
         ),
         (F.min("n_hit") * per).cast("long").alias("min_recall_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-correlation between two event-type daily series
+# ---------------------------------------------------------------------------
+
+_XC_A = "click"
+_XC_B = "purchase"
+_XC_MAX_LAG = 7
+
+
+def _xc_arm_sql() -> str:
+    arms = []
+    for L in range(1, _XC_MAX_LAG + 1):
+        arms.append(
+            f"SELECT CAST({L} AS BIGINT) AS lag, a AS x, bl{L} AS y"
+            f" FROM l WHERE bl{L} IS NOT NULL"
+        )
+        arms.append(
+            f"SELECT CAST(-{L} AS BIGINT) AS lag, a AS x, bf{L} AS y"
+            f" FROM l WHERE bf{L} IS NOT NULL"
+        )
+    arms.append("SELECT CAST(0 AS BIGINT) AS lag, a AS x, b AS y FROM l")
+    return " UNION ALL ".join(arms)
+
+
+@query(
+    "time_cross_correlation",
+    oracle=f"""
+    WITH daily0 AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('{_XC_A}', '{_XC_B}')
+      GROUP BY 1, 2),
+    span AS (SELECT min(d) AS d_min, max(d) AS d_max FROM daily0),
+    grid AS (
+      SELECT CAST(unnest(generate_series(d_min, d_max, INTERVAL 1 DAY))
+                  AS DATE) AS d
+      FROM span),
+    ab AS (
+      SELECT g.d,
+             coalesce(max(CASE WHEN d0.event_type = '{_XC_A}'
+                                THEN d0.cents END), 0) // 100 AS a,
+             coalesce(max(CASE WHEN d0.event_type = '{_XC_B}'
+                                THEN d0.cents END), 0) // 100 AS b
+      FROM grid g LEFT JOIN daily0 d0 ON g.d = d0.d
+      GROUP BY g.d),
+    l AS (
+      SELECT d, a, b,
+             {", ".join(f"lag(b, {L}) OVER w AS bl{L}, lead(b, {L}) OVER w AS bf{L}" for L in range(1, _XC_MAX_LAG + 1))}
+      FROM ab WINDOW w AS (ORDER BY d)),
+    p AS ({_xc_arm_sql()}),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY 1)
+    SELECT lag, n_pairs,
+           CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                 AND (n_pairs * syy - sy * sy) > 0 THEN
+             CAST(floor(CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1000000.0
+                        / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                               * CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+                  AS BIGINT)
+           END AS xcorr_micro
+    FROM s
+    """,
+)
+def time_cross_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-correlation between the '{_XC_A}' and '{_XC_B}' daily-value
+    series at lags -{_XC_MAX_LAG}..+{_XC_MAX_LAG}: corr(a_t, b_(t-lag)),
+    so a peak at POSITIVE lag means {_XC_B} LEADS {_XC_A} by that many
+    days and vice versa - the lead/lag detector behind conversion-delay
+    estimation, campaign-effect lag, and any "does X drive Y?" product
+    question that a same-day correlation cannot answer.  Lag 0 rides
+    along as the contemporaneous baseline.
+
+    Cross-engine exactness: both series share ONE densified calendar
+    grid (union span, zero-filled - the time_acf_lags rule: a missing
+    day must not silently shift every alignment) and re-quantize to
+    whole dollars so all five Pearson accumulators stay exact BIGINT;
+    the correlation is one double division over exact integer covariance
+    numerators with an identically-spelled sqrt, floored to micro.
+
+    Plan: one filtered map-side daily agg, a bounded grid densify +
+    pivot to (day, a, b), ONE lag/lead window over |days| rows (bounded,
+    never fact-proportional), a 15-arm unpivot of that bounded frame and
+    a combinable agg to 15 rows."""
+    ev = load(spark, sf, "events").filter(
+        F.col("event_type").isin(_XC_A, _XC_B)
+    )
+    daily0 = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.floor(F.sum("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    span = daily0.agg(F.min("d").alias("d_min"), F.max("d").alias("d_max"))
+    grid = span.select(F.explode(F.sequence("d_min", "d_max")).alias("d"))
+    ab = (
+        grid.join(daily0, "d", "left")
+        .groupBy("d")
+        .agg(
+            F.expr(
+                f"coalesce(max(CASE WHEN event_type = '{_XC_A}'"
+                " THEN cents END), 0) div 100"
+            ).alias("a"),
+            F.expr(
+                f"coalesce(max(CASE WHEN event_type = '{_XC_B}'"
+                " THEN cents END), 0) div 100"
+            ).alias("b"),
+        )
+    )
+    w = Window.orderBy("d")
+    lag_cols = []
+    for L in range(1, _XC_MAX_LAG + 1):
+        lag_cols.append(F.lag("b", L).over(w).alias(f"bl{L}"))
+        lag_cols.append(F.lead("b", L).over(w).alias(f"bf{L}"))
+    l_ = ab.select("d", "a", "b", *lag_cols)
+    arm_parts = ["CAST(0 AS BIGINT), b"]
+    for L in range(1, _XC_MAX_LAG + 1):
+        arm_parts.append(f"CAST({L} AS BIGINT), bl{L}")
+        arm_parts.append(f"CAST(-{L} AS BIGINT), bf{L}")
+    p = l_.select(
+        F.col("a").alias("x"),
+        F.expr(
+            f"stack({len(arm_parts)}, {', '.join(arm_parts)}) AS (lag, y)"
+        ),
+    ).filter(F.col("y").isNotNull())
+    s = p.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "lag",
+        "n_pairs",
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.floor(
+                num.cast("double")
+                * 1000000.0
+                / F.sqrt(dx.cast("double") * dy.cast("double"))
+            ).cast("long"),
+        ).alias("xcorr_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer budget)
+# ---------------------------------------------------------------------------
+
+_VOCAB_CUTS = (64, 256, 1024, 4096)
+
+
+@query(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    tk AS (SELECT u.term FROM t,
+           LATERAL (SELECT unnest(t.toks) AS term) u),
+    tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+           FROM tk GROUP BY 1),
+    tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_terms FROM tf),
+    rk AS (
+      SELECT freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+               AS r,
+             CAST(sum(freq) OVER (ORDER BY freq DESC, term
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM tf),
+    cuts AS (SELECT CAST(unnest([{", ".join(str(c) for c in _VOCAB_CUTS)}])
+                         AS BIGINT) AS vocab_size)
+    SELECT c.vocab_size,
+           least(c.vocab_size, tot.n_terms) AS n_terms_used,
+           CAST(floor(CAST(max(CASE WHEN rk.r <= c.vocab_size
+                                    THEN rk.cum ELSE 0 END) AS DOUBLE)
+                      * 1000.0 / tot.n_tokens) AS BIGINT)
+             AS coverage_milli
+    FROM cuts c CROSS JOIN tot CROSS JOIN rk
+    GROUP BY c.vocab_size, tot.n_terms, tot.n_tokens
+    """,
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of the corpus's token
+    stream the top-k most frequent terms cover, at tokenizer budgets
+    k = {_VOCAB_CUTS} - the first number a tokenizer design reads (it
+    bounds the OOV rate any k-entry vocabulary can achieve, the
+    corpus-level dual of text_oov_rate's per-doc audit) and the direct
+    empirical readout of the Zipf mass concentration text_zipf_slope
+    fits parametrically.  Single-space tokenization is deliberate parity
+    with the LM family's shared gram-stream definition.
+
+    Cross-engine exactness: term frequencies are exact BIGINT; the
+    cumulative mass at each cutoff is an exact running sum read at rank
+    k (rank breaks frequency ties on term, so cum-at-k is unique); one
+    double division floored to milli per cutoff.
+
+    Plan: one token explode + one hash agg to the vocabulary table; the
+    ranking window runs over the VOCAB-bounded frame, not the token
+    stream (corpus-sublinear; at extreme vocab the two-phase
+    functions.global_rank recipe swaps in - documented, same results);
+    the curve itself is a 4-row broadcast crossJoin + combinable max."""
+    d = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    tot = tf.agg(
+        F.sum("freq").alias("n_tokens"), F.count("*").alias("n_terms")
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    rk = tf.select(
+        F.row_number().over(w).cast("long").alias("r"),
+        F.sum("freq")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    cuts = spark.createDataFrame(
+        [(c,) for c in _VOCAB_CUTS], "vocab_size LONG"
+    )
+    return (
+        F.broadcast(cuts)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(rk)
+        .groupBy("vocab_size", "n_terms", "n_tokens")
+        .agg(
+            F.max(
+                F.when(F.col("r") <= F.col("vocab_size"), F.col("cum"))
+                .otherwise(F.lit(0))
+            ).alias("cum_at_k")
+        )
+        .select(
+            "vocab_size",
+            F.least(F.col("vocab_size"), F.col("n_terms")).alias(
+                "n_terms_used"
+            ),
+            F.floor(
+                F.col("cum_at_k").cast("double") * 1000.0 / F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("coverage_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    contrib AS (
+      SELECT DISTINCT user_id, CAST(d + i.i * INTERVAL 1 DAY AS DATE) AS w
+      FROM ud, LATERAL (SELECT unnest(range(0, 7)) AS i) i),
+    wau AS (SELECT w, CAST(count(*) AS BIGINT) AS wau
+            FROM contrib GROUP BY 1)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           dau.dau * 1000 // wau.wau AS stickiness_milli
+    FROM dau JOIN wau ON dau.d = wau.w
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per active day - the
+    engagement-ratio dashboard line (DAU/WAU ~ how many of the week's
+    users come back daily; the metric product teams watch before any
+    retention cohort).  WAU for day w counts distinct users active in
+    [w-6, w], computed WITHOUT a windowed distinct (Spark has none):
+    each (user, day) contributes to the 7 window-ends it can appear in,
+    then one distinct count per window-end - the standard explode dual,
+    O(7x) map-side fan-out instead of a per-day 7-way self-join.  Days
+    with zero activity have no DAU row and are omitted (inner join) on
+    both engines.
+
+    Cross-engine exactness: all-integer counts and one integer milli
+    division; stickiness <= 1000 by construction (a day-d user is in
+    every window ending d..d+6, in particular d's own).
+
+    Plan: one distinct (user, day) - the only fact-sized shuffle; the
+    7x explode runs map-side on the DEDUPLICATED user-day frame (far
+    smaller than the event stream); two combinable distinct-count aggs
+    and a |days|-bounded join."""
+    ev = load(spark, sf, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("w"),
+    ).distinct()
+    wau = contrib.groupBy("w").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, dau.d == wau.w)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000 div wau").alias("stickiness_milli"),
+        )
+    )

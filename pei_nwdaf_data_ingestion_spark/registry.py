@@ -207,6 +207,9 @@ ADDED_IN_ROUND: dict[str, int] = {
     "pipeline_ipf_rake": 11,
     "events_decay_engagement": 11,
     "sim_matryoshka_recall": 11,
+    "time_cross_correlation": 11,
+    "text_vocab_coverage_curve": 11,
+    "events_dau_wau_stickiness": 11,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -226,10 +229,11 @@ ADDED_IN_ROUND: dict[str, int] = {
 # session-2 r10 ids (CCNet terciles, STL decomposition, log-odds keyness,
 # OOV-rate audit, seasonality strength, Gini concentration) need first
 # signals.
-# Budget check: 21 pins << the driver's ~50-slot window.
-# Round 11: sixteen new ids (ten infostats + jackknife SE + burstiness
+# Budget check: 24 pins << the driver's ~50-slot window.
+# Round 11: nineteen new ids (ten infostats + jackknife SE + burstiness
 # VMR + audio clipping + IPF raking + decay engagement + Matryoshka
-# recall) need their first hash signal; five
+# recall + cross-correlation + vocab coverage + DAU/WAU stickiness)
+# need their first hash signal; five
 # existing ids changed code or semantics this round and must re-hash -
 # time_stl_decompose + events_seasonality_strength (calendar-densified
 # day grid per ADVICE r10, both code and oracle moved), text_oov_rate
@@ -255,6 +259,9 @@ _CHANGED_THIS_ROUND = [
     "pipeline_ipf_rake",
     "events_decay_engagement",
     "sim_matryoshka_recall",
+    "time_cross_correlation",
+    "text_vocab_coverage_curve",
+    "events_dau_wau_stickiness",
     "time_stl_decompose",
     "events_seasonality_strength",
     "text_oov_rate",

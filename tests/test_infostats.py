@@ -657,3 +657,99 @@ class TestMatryoshkaRecall:
         )
         assert got.loc[32].mean_recall_milli >= got.loc[8].mean_recall_milli
         assert (got.mean_recall_milli <= 1000).all()
+
+
+class TestCrossCorrelation:
+    def test_matches_numpy_and_symmetry(self, spark):
+        got = (
+            registry.QUERIES["time_cross_correlation"](spark, SF)
+            .toPandas()
+            .set_index("lag")
+        )
+        ev = _events(spark)
+        ev = ev[ev.event_type.isin(["click", "purchase"])].copy()
+        ev["d"] = pd.to_datetime(ev.ts).dt.normalize()
+        daily = (
+            ev.groupby(["event_type", "d"])
+            .value.sum()
+            .map(lambda v: math.floor(v * 100.0 + 0.5))
+        )
+        idx = pd.date_range(
+            ev.d.min(), ev.d.max(), freq="D"
+        )
+        a = (
+            daily.get("click", pd.Series(dtype=float))
+            .reindex(idx, fill_value=0)
+            // 100
+        ).to_numpy(dtype=float)
+        b = (
+            daily.get("purchase", pd.Series(dtype=float))
+            .reindex(idx, fill_value=0)
+            // 100
+        ).to_numpy(dtype=float)
+        assert len(got) == 15
+        for lag in range(-7, 8):
+            # corr(a_t, b_{t-lag}): positive lag pairs a[t] with b[t-lag]
+            if lag >= 0:
+                x, y = a[lag:], b[: len(b) - lag] if lag else b
+            else:
+                x, y = a[: len(a) + lag], b[-lag:]
+            row = got.loc[lag]
+            assert row.n_pairs == len(x)
+            if np.std(x) == 0 or np.std(y) == 0:
+                assert pd.isna(row.xcorr_micro)
+                continue
+            r = float(np.corrcoef(x, y)[0, 1])
+            assert abs(row.xcorr_micro / 1e6 - r) < 1e-5, lag
+            assert -1_000_000 <= row.xcorr_micro <= 1_000_000
+
+
+class TestVocabCoverageCurve:
+    def test_matches_bruteforce_and_monotone(self, spark):
+        got = (
+            registry.QUERIES["text_vocab_coverage_curve"](spark, SF)
+            .toPandas()
+            .set_index("vocab_size")
+            .sort_index()
+        )
+        docs = _docs(spark)
+        from collections import Counter
+
+        tf: Counter = Counter()
+        for t in docs.text.dropna():
+            tf.update(t.split(" "))
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(tf.values())
+        for k in (64, 256, 1024, 4096):
+            cum = sum(f for _, f in ranked[:k])
+            row = got.loc[k]
+            assert row.n_terms_used == min(k, len(ranked))
+            assert row.coverage_milli == math.floor(cum * 1000.0 / total)
+        # coverage is monotone in budget and hits 1000 once k >= |vocab|
+        cov = got.coverage_milli.tolist()
+        assert cov == sorted(cov)
+        if len(ranked) <= 4096:
+            assert got.loc[4096].coverage_milli == 1000
+
+
+class TestDauWauStickiness:
+    def test_matches_bruteforce(self, spark):
+        got = (
+            registry.QUERIES["events_dau_wau_stickiness"](spark, SF)
+            .toPandas()
+            .set_index("day")
+        )
+        ev = _events(spark)
+        ev["d"] = pd.to_datetime(ev.ts).dt.normalize()
+        ud = ev[["user_id", "d"]].drop_duplicates()
+        days = sorted(ud.d.unique())
+        assert len(got) == len(days)
+        for d in days:
+            dau = ud[ud.d == d].user_id.nunique()
+            lo = d - pd.Timedelta(days=6)
+            wau = ud[(ud.d >= lo) & (ud.d <= d)].user_id.nunique()
+            key = pd.Timestamp(d).strftime("%Y-%m-%d")
+            row = got.loc[key]
+            assert row.dau == dau and row.wau == wau
+            assert row.stickiness_milli == dau * 1000 // wau
+            assert row.stickiness_milli <= 1000
