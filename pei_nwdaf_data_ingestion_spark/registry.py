@@ -216,31 +216,21 @@ ADDED_IN_ROUND: dict[str, int] = {
 # the driver's ~50-query sampling window regardless of staleness, but ONLY
 # until a CORRECTNESS file of that round exists (after that the derived
 # staleness ordering takes over; a permanent pin would waste window slots
-# every later round).  Round 10: one new id - multimodal_feature_vectors
-# (real content-statistics vectors through extract_features, replacing the
-# round 1-9 sha256 decode_stub; VERDICT r9 item 3) - needs its first hash
-# signal this round.  text_readability's word/vowel spellings hardened per
-# ADVICE r9 (whitespace-robust token count, translate-based case fold,
-# zero-word docs filtered) - code+oracle both moved, re-hash.  Three more
-# r10 signal-level QC ids (audio ZCR, image entropy, duplicate frames)
-# need first signals, and decode_media_units gained a frame_unit_idx
-# column - result-identical for its r9 consumers (VAD / histogram /
-# scene cuts) but the code under them moved, so they re-hash too.  Six
-# session-2 r10 ids (CCNet terciles, STL decomposition, log-odds keyness,
-# OOV-rate audit, seasonality strength, Gini concentration) need first
-# signals.
-# Budget check: 24 pins << the driver's ~50-slot window.
+# every later round).
 # Round 11: nineteen new ids (ten infostats + jackknife SE + burstiness
 # VMR + audio clipping + IPF raking + decay engagement + Matryoshka
 # recall + cross-correlation + vocab coverage + DAU/WAU stickiness)
-# need their first hash signal; five
-# existing ids changed code or semantics this round and must re-hash -
-# time_stl_decompose + events_seasonality_strength (calendar-densified
-# day grid per ADVICE r10, both code and oracle moved), text_oov_rate
-# (whitespace-robust tokenization per ADVICE r10), and
-# agg_gini_concentration + pipeline_contract_audit (broadcast hint now
-# rides the catalog gate - plan-only below the gate at sf0.01, but the
-# builder code moved, re-hash for safety).
+# need their first hash signal; seven existing ids changed code or
+# semantics this round and must re-hash - time_stl_decompose +
+# events_seasonality_strength (calendar-densified day grid per ADVICE
+# r10, both code and oracle moved), text_oov_rate (whitespace-robust
+# tokenization per ADVICE r10), agg_gini_concentration +
+# pipeline_contract_audit (broadcast hint now rides the catalog gate -
+# plan-only below the gate at sf0.01, but the builder code moved,
+# re-hash for safety), and the two growth-ledger scale fixes
+# (sim_knn_join hot-bucket stop-band, sim_maxsim_multivector 32-vector
+# query cap - result-changing above fixture scale, re-hash).
+# Budget check: 26 pins << the driver's ~50-slot window.
 _CHANGED_ROUND = 11
 _CHANGED_THIS_ROUND = [
     "agg_mutual_information",
@@ -262,6 +252,11 @@ _CHANGED_THIS_ROUND = [
     "time_cross_correlation",
     "text_vocab_coverage_curve",
     "events_dau_wau_stickiness",
+    # r11 scale fixes measured by the growth ledger (code+oracle moved):
+    # knn_join gained the hot-bucket stop-band, maxsim capped its query
+    # side at 32 vectors - both re-hash
+    "sim_knn_join",
+    "sim_maxsim_multivector",
     "time_stl_decompose",
     "events_seasonality_strength",
     "text_oov_rate",

@@ -343,7 +343,18 @@ class TestAdvancedPlans:
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
     @pytest.mark.parametrize(
-        "qid", ["agg_gini_concentration", "pipeline_contract_audit"]
+        "qid",
+        [
+            "agg_gini_concentration",
+            "pipeline_contract_audit",
+            # r11: jackknife probes customer through the same gate; its
+            # gated join is plan-visible (no mid-plan localCheckpoint).
+            # agg_theil_decomposition / pipeline_ipf_rake ride the same
+            # catalog.gated_broadcast call but lazily checkpoint the
+            # joined fact frame, so their join is behind a Scan
+            # ExistingRDD - the gate machinery itself is pinned here.
+            "agg_jackknife_variance",
+        ],
     )
     def test_fact_dim_broadcast_is_gated(self, spark, monkeypatch, qid):
         """Both ids probe against the customer table, which is
