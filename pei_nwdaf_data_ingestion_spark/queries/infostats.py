@@ -1835,9 +1835,15 @@ def time_cross_correlation(spark: SparkSession, sf: str) -> DataFrame:
     numerators with an identically-spelled sqrt, floored to micro.
 
     Plan: one filtered map-side daily agg, a bounded grid densify +
-    pivot to (day, a, b), ONE lag/lead window over |days| rows (bounded,
-    never fact-proportional), a 15-arm unpivot of that bounded frame and
-    a combinable agg to 15 rows."""
+    pivot to (day, a, b), then lag ALIGNMENT as a date-key equi join
+    against a broadcast 15-row lag frame (b at d-L for lag L) - the
+    dense grid makes position offset = date offset, so the join emits
+    exactly the pairs a lag/lead window would, WITHOUT the
+    Exchange-SinglePartition plan an unpartitioned window forces
+    (TestNoGlobalWindow); edge days lose their partner on both
+    spellings.  One |days| x 15 bounded frame, combinable agg to 15
+    rows.  (The DuckDB oracle keeps the window spelling - the ban is on
+    Spark's physical plan, not the SQL dialect.)"""
     ev = load(spark, sf, "events").filter(
         F.col("event_type").isin(_XC_A, _XC_B)
     )
@@ -1862,22 +1868,19 @@ def time_cross_correlation(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    w = Window.orderBy("d")
-    lag_cols = []
-    for L in range(1, _XC_MAX_LAG + 1):
-        lag_cols.append(F.lag("b", L).over(w).alias(f"bl{L}"))
-        lag_cols.append(F.lead("b", L).over(w).alias(f"bf{L}"))
-    l_ = ab.select("d", "a", "b", *lag_cols)
-    arm_parts = ["CAST(0 AS BIGINT), b"]
-    for L in range(1, _XC_MAX_LAG + 1):
-        arm_parts.append(f"CAST({L} AS BIGINT), bl{L}")
-        arm_parts.append(f"CAST(-{L} AS BIGINT), bf{L}")
-    p = l_.select(
-        F.col("a").alias("x"),
-        F.expr(
-            f"stack({len(arm_parts)}, {', '.join(arm_parts)}) AS (lag, y)"
-        ),
-    ).filter(F.col("y").isNotNull())
+    lags = spark.createDataFrame(
+        [(L,) for L in range(-_XC_MAX_LAG, _XC_MAX_LAG + 1)], "lag LONG"
+    )
+    b_side = ab.select(F.col("d").alias("bd"), F.col("b").alias("y"))
+    p = (
+        ab.select("d", F.col("a").alias("x"))
+        .crossJoin(F.broadcast(lags))
+        .join(
+            b_side,
+            F.expr("bd = date_sub(d, CAST(lag AS INT))"),
+        )
+        .select("lag", "x", "y")
+    )
     s = p.groupBy("lag").agg(
         F.count("*").alias("n_pairs"),
         F.sum("x").alias("sx"),
@@ -1958,10 +1961,14 @@ def text_vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
     double division floored to milli per cutoff.
 
     Plan: one token explode + one hash agg to the vocabulary table; the
-    ranking window runs over the VOCAB-bounded frame, not the token
-    stream (corpus-sublinear; at extreme vocab the two-phase
-    functions.global_rank recipe swaps in - documented, same results);
-    the curve itself is a 4-row broadcast crossJoin + combinable max."""
+    rank comes from functions.global_rank (range shuffle + local index +
+    P-row prefix offsets - NO Exchange-SinglePartition window, the
+    win_ntile discipline, over the VOCAB-bounded frame, not the token
+    stream); cum-at-k is then a plain conditional sum (the running sum
+    read at rank k EQUALS the sum of freqs with rank <= k), so the curve
+    is a 4-row broadcast crossJoin + one combinable agg."""
+    from ..functions import global_rank
+
     d = load(spark, sf, "documents").filter(F.col("text").isNotNull())
     tf = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
@@ -1971,13 +1978,9 @@ def text_vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
     tot = tf.agg(
         F.sum("freq").alias("n_tokens"), F.count("*").alias("n_terms")
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("term"))
-    rk = tf.select(
-        F.row_number().over(w).cast("long").alias("r"),
-        F.sum("freq")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
-    )
+    rk = global_rank(
+        tf, ["freq", "term"], out="r", ascending=[False, True]
+    ).select("r", "freq")
     cuts = spark.createDataFrame(
         [(c,) for c in _VOCAB_CUTS], "vocab_size LONG"
     )
@@ -1987,8 +1990,8 @@ def text_vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(rk)
         .groupBy("vocab_size", "n_terms", "n_tokens")
         .agg(
-            F.max(
-                F.when(F.col("r") <= F.col("vocab_size"), F.col("cum"))
+            F.sum(
+                F.when(F.col("r") <= F.col("vocab_size"), F.col("freq"))
                 .otherwise(F.lit(0))
             ).alias("cum_at_k")
         )

@@ -918,3 +918,86 @@ def multimodal_audio_clipping(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("ok")
         .alias("level_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# image sharpness: first-difference gradient energy over decoded pixels
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_image_sharpness",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             (4 + doc_id % 5) * (2 + doc_id % 3) * 3 AS n
+      FROM documents WHERE doc_id % 3 = 0),
+    -- pixel stream replays the BMP builder's byte formula
+    -- (pipeline/multimodal.build_media_blob)
+    px AS (
+      SELECT doc_id, i.i AS idx,
+             (doc_id * 37 + i.i * 11) % 256 AS v
+      FROM img, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+    l AS (
+      SELECT doc_id, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY idx) AS pv
+      FROM px),
+    g AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_px,
+             CAST(sum((v - pv) * (v - pv)) AS BIGINT) AS grad_energy,
+             CAST(max(abs(v - pv)) AS BIGINT) AS max_abs_grad
+      FROM l WHERE pv IS NOT NULL GROUP BY doc_id)
+    SELECT doc_id AS asset_id, n_px + 1 AS n_px,
+           grad_energy,
+           grad_energy // n_px AS sharpness_q,
+           max_abs_grad
+    FROM g
+    """,
+)
+def multimodal_image_sharpness(spark: SparkSession, sf: str) -> DataFrame:
+    """First-difference gradient energy over REAL decoded pixels - the
+    blur/flat detector of a vision-curation QC pass (the 1-D cousin of
+    the variance-of-Laplacian focus measure): a blurry or synthetic-flat
+    image has near-zero mean squared gradient, a sharp textured one has
+    high energy; max_abs_grad >= 128-ish flags hard edges / banding.
+    Complements multimodal_image_entropy (DISTRIBUTION flatness) with
+    SPATIAL flatness - a two-tone checkerboard has high entropy but its
+    gradient profile is what says 'texture', and a vignette has low
+    entropy but smooth gradients.
+
+    Exactness: pixels are exact 0..255 integers from the struct-parsed
+    BMP (pipeline/multimodal.decode_media_units); squared first
+    differences and their per-asset sums are exact BIGINTs; sharpness_q
+    (mean squared gradient) is one integer division.
+
+    Plan: metadata filter prunes the decode to image blobs; the lag runs
+    per-ASSET ordered by pixel index (multimodal_audio_zcr discipline -
+    bounded partitions, an asset's pixels, never the corpus), then one
+    combinable per-asset agg.  Integer end to end, zero joins."""
+    from ..pipeline.multimodal import decode_media_units
+    from pyspark.sql import Window as W
+
+    assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    units = decode_media_units(assets)
+    w = W.partitionBy("asset_id").orderBy("unit_idx")
+    l_ = units.select(
+        "asset_id",
+        "unit",
+        F.lag("unit").over(w).alias("pv"),
+    ).filter(F.col("pv").isNotNull())
+    grad = F.col("unit") - F.col("pv")
+    g = l_.groupBy("asset_id").agg(
+        F.count("*").alias("n_diff"),
+        F.sum(grad * grad).alias("grad_energy"),
+        F.max(F.abs(grad)).alias("max_abs_grad"),
+    )
+    return g.select(
+        "asset_id",
+        (F.col("n_diff") + 1).alias("n_px"),
+        "grad_energy",
+        F.expr("grad_energy div n_diff").alias("sharpness_q"),
+        "max_abs_grad",
+    )

@@ -210,6 +210,18 @@ ADDED_IN_ROUND: dict[str, int] = {
     "time_cross_correlation": 11,
     "text_vocab_coverage_curve": 11,
     "events_dau_wau_stickiness": 11,
+    "agg_tukey_fences": 11,
+    "pipeline_weighted_sample": 11,
+    "win_rsi_momentum": 11,
+    "time_pacf_lags": 11,
+    "graph_clustering_coeff": 11,
+    "events_cem_att": 11,
+    "sim_rrf_fusion": 11,
+    "sim_ndcg_audit": 11,
+    "multimodal_image_sharpness": 11,
+    "win_stochastic_oscillator": 11,
+    "graph_assortativity": 11,
+    "agg_cramers_v": 11,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -230,7 +242,10 @@ ADDED_IN_ROUND: dict[str, int] = {
 # re-hash for safety), and the two growth-ledger scale fixes
 # (sim_knn_join hot-bucket stop-band, sim_maxsim_multivector 32-vector
 # query cap - result-changing above fixture scale, re-hash).
-# Budget check: 26 pins << the driver's ~50-slot window.
+# Budget check: 26 pins << the driver's ~50-slot window.  The session-2
+# batch adds nine more first-hash ids (Tukey fences, weighted sampling,
+# RSI, PACF, clustering coefficient, CEM, RRF fusion, nDCG audit, image
+# sharpness): 35 pins, still inside the window.
 _CHANGED_ROUND = 11
 _CHANGED_THIS_ROUND = [
     "agg_mutual_information",
@@ -252,6 +267,18 @@ _CHANGED_THIS_ROUND = [
     "time_cross_correlation",
     "text_vocab_coverage_curve",
     "events_dau_wau_stickiness",
+    "agg_tukey_fences",
+    "pipeline_weighted_sample",
+    "win_rsi_momentum",
+    "time_pacf_lags",
+    "graph_clustering_coeff",
+    "events_cem_att",
+    "sim_rrf_fusion",
+    "sim_ndcg_audit",
+    "multimodal_image_sharpness",
+    "win_stochastic_oscillator",
+    "graph_assortativity",
+    "agg_cramers_v",
     # r11 scale fixes measured by the growth ledger (code+oracle moved):
     # knn_join gained the hot-bucket stop-band, maxsim capped its query
     # side at 32 vectors - both re-hash
@@ -314,6 +341,7 @@ def load_all() -> None:
         corpus_ops,
         analytics_ops,
         infostats,
+        audit_ops,
     )
 
     last = _last_green_round()
