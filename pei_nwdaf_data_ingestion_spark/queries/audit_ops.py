@@ -902,7 +902,11 @@ def _ndcg_oracle() -> str:
       FROM embeddings WHERE embedding IS NOT NULL),
     eq AS (
       SELECT vec_id, e,
-             list_transform(e, x -> floor(x / nrm * 127.0 + 0.5)) AS qv
+             -- nullif: a zero-norm vector quantizes to NULL codes (and is
+             -- then dropped by the cq IS NOT NULL rank filter) instead of
+             -- dividing by zero - the _cos_or_null degenerate-input rule
+             list_transform(e, x -> floor(x / nullif(nrm, 0.0) * 127.0
+                                          + 0.5)) AS qv
       FROM e0),
     anch AS (
       SELECT vec_id AS a_id, e AS ae, qv AS aq FROM eq
@@ -982,7 +986,10 @@ def sim_ndcg_audit(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         "e",
         F.transform(
-            "e", lambda x: F.floor(x / F.col("nrm") * 127.0 + 0.5)
+            "e",
+            lambda x: F.floor(
+                x / F.nullif(F.col("nrm"), F.lit(0.0)) * 127.0 + 0.5
+            ),
         ).alias("qv"),
     )
     anch = F.broadcast(
@@ -1362,7 +1369,12 @@ def agg_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     chi2 = x.agg(F.sum("term_micro").alias("chi2_micro"))
-    return chi2.crossJoin(F.broadcast(t)).select(
+    # empty-relation parity: the oracle's final agg is GROUPED (by the
+    # t-scalars), so an empty corpus yields ZERO rows there - Spark's
+    # ungrouped global aggs would emit one all-NULL row instead
+    return chi2.crossJoin(F.broadcast(t)).filter(
+        F.col("total").isNotNull()
+    ).select(
         "n_r",
         "n_c",
         F.col("total").alias("n_obs"),

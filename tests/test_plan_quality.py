@@ -377,7 +377,18 @@ class TestAdvancedPlans:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         assert "CartesianProduct" not in gated
-        assert "BroadcastNestedLoopJoin" not in gated
+        # scalar crossJoins of explicitly-broadcast 1/25-row agg frames
+        # (jackknife's loo/dev arithmetic) legitimately plan as
+        # BroadcastNestedLoopJoin CROSS even with auto-broadcast off -
+        # bounded builds, not a scale hazard.  What must NOT appear is a
+        # non-cross nested-loop: an equi join (the customer probe) whose
+        # withheld hint degraded to a per-row loop instead of a shuffle.
+        import re
+
+        non_cross_bnlj = re.findall(
+            r"BroadcastNestedLoopJoin (?!Cross\b)\w+", gated
+        )
+        assert non_cross_bnlj == []
         assert "SortMergeJoin" in gated or "ShuffledHashJoin" in gated
 
 
