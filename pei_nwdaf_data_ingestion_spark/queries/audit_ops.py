@@ -1390,3 +1390,88 @@ def agg_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("cramers_v_milli"),
     )
+
+# ---------------------------------------------------------------------------
+# 5% trimmed mean (rank-based) per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    t AS (
+      SELECT event_type, cents, n, n * 5 // 100 AS k
+      FROM r WHERE rk > n * 5 // 100 AND rk <= n - n * 5 // 100)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(2 * max(k) AS BIGINT) AS n_trimmed,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(cents) AS BIGINT) AS trimmed_sum_cents,
+           CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
+    FROM t GROUP BY event_type
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """5% two-sided trimmed mean per event type - the robust-location
+    pair to agg_winsorized_mean: winsorizing CLAMPS the tails to the
+    5th/95th percentile values, trimming DROPS the k = floor(0.05*n)
+    smallest and largest observations entirely (Tukey's preference when
+    the tails are garbage rather than merely extreme - exactly the
+    ingest-QC case where a broken client reports value*1000).  The
+    difference between the two readings isolates how much of the tail
+    mass is structure vs noise.
+
+    Exactness: rank-based trimming (never quantile-threshold: equal
+    values straddling the cut would make membership float-fragile);
+    ranks are unique via the event_id tiebreak, NULL values are filtered
+    BEFORE the window (the r10 rank rule - Spark sorts NULL first,
+    DuckDB last), and everything downstream is exact BIGINT with one
+    integer division for the mean.
+
+    Plan: one partitioned rank window over the fact scan (the
+    win_rank_topk shape - per-group sort, no global exchange), then one
+    combinable agg; k derives from the windowed count, no second
+    pass."""
+    v = (
+        load(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(wp.orderBy(F.asc("cents"), F.asc("event_id")))
+        .alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    t = r.filter(
+        (F.col("rk") > F.expr("n * 5 div 100"))
+        & (F.col("rk") <= F.col("n") - F.expr("n * 5 div 100"))
+    ).select("event_type", "cents", "n", F.expr("n * 5 div 100").alias("k"))
+    return t.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (2 * F.max("k")).alias("n_trimmed"),
+        F.count("*").alias("n_kept"),
+        F.sum("cents").alias("trimmed_sum_cents"),
+        F.expr("CAST(sum(cents) div count(*) AS LONG)").alias(
+            "trimmed_mean_cents"
+        ),
+    )

@@ -222,6 +222,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "win_stochastic_oscillator": 11,
     "graph_assortativity": 11,
     "agg_cramers_v": 11,
+    "agg_trimmed_mean": 11,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -279,6 +280,7 @@ _CHANGED_THIS_ROUND = [
     "win_stochastic_oscillator",
     "graph_assortativity",
     "agg_cramers_v",
+    "agg_trimmed_mean",
     # r11 scale fixes measured by the growth ledger (code+oracle moved):
     # knn_join gained the hot-bucket stop-band, maxsim capped its query
     # side at 32 vectors - both re-hash

@@ -522,3 +522,38 @@ class TestCramersV:
         v = math.sqrt(chi2 / (n * (min(ct.shape) - 1)))
         assert abs(row.cramers_v_milli / 1000.0 - v) < 2e-3
         assert 0 <= row.cramers_v_milli <= 1000
+
+
+class TestTrimmedMean:
+    def test_matches_numpy(self, spark):
+        got = (
+            registry.QUERIES["agg_trimmed_mean"](spark, SF)
+            .toPandas()
+            .set_index("event_type")
+        )
+        ev = _events(spark)
+        ev = ev[ev.value.notna()]
+        cents = np.floor(ev.value.values * 100.0 + 0.5).astype(np.int64)
+        for et in got.index:
+            c = np.sort(cents[(ev.event_type == et).values])
+            n = len(c)
+            k = n * 5 // 100
+            kept = c[k: n - k]
+            row = got.loc[et]
+            assert row.n == n
+            assert row.n_trimmed == 2 * k
+            assert row.n_kept == n - 2 * k
+            assert row.trimmed_sum_cents == int(kept.sum())
+            assert row.trimmed_mean_cents == int(kept.sum()) // len(kept)
+
+    def test_trim_is_at_most_winsorize_spread(self, spark):
+        """Trimmed and raw means bracket sanity: trimming removes equal
+        counts from both tails, so the trimmed mean sits between the
+        group's 5th and 95th percentile (loose but engine-independent)."""
+        got = registry.QUERIES["agg_trimmed_mean"](spark, SF).toPandas()
+        ev = _events(spark)
+        ev = ev[ev.value.notna()]
+        for r in got.itertuples():
+            vals = ev[ev.event_type == r.event_type].value * 100
+            lo, hi = np.percentile(vals, [5, 95])
+            assert lo - 1 <= r.trimmed_mean_cents <= hi + 1
