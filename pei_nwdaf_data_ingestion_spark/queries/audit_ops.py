@@ -1475,3 +1475,92 @@ def agg_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
             "trimmed_mean_cents"
         ),
     )
+
+# ---------------------------------------------------------------------------
+# geometric mean + AM-GM gap per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_geometric_mean",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND value > 0),
+    l AS (
+      SELECT event_type, cents,
+             CAST(floor(ln(CAST(cents AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS ln_micro
+      FROM v WHERE cents >= 1),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ln_micro) AS BIGINT) AS s,
+             CAST(sum(cents) AS BIGINT) AS sc
+      FROM l GROUP BY 1)
+    SELECT event_type, n,
+           CAST(floor(exp(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                          / 1000000.0)) AS BIGINT) AS geo_mean_cents,
+           CAST(sc // n AS BIGINT) AS arith_mean_cents,
+           CAST(sc // n
+                - CAST(floor(exp(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                 / 1000000.0)) AS BIGINT)
+                AS BIGINT) AS am_gm_gap_cents
+    FROM g
+    """,
+)
+def agg_geometric_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Geometric mean of positive event values per type, with the AM-GM
+    gap - the multiplicative location estimate a dataset card reports
+    for heavy-tailed metrics (spend, latency, token counts), where the
+    arithmetic mean is dominated by the tail: GM = exp(mean ln x) <= AM
+    always, and the gap is a unitful skew signal (zero only for a
+    constant series) that needs no higher moments.
+
+    Exactness: ln runs on exact integer cents and floors to micro PER
+    ROW, so the log-sum is an exact BIGINT (order-independent - the
+    house rule; a raw double sum of logs would drift with partitioning);
+    the final exp is one identically-spelled double chain on both
+    engines (the events_decay_engagement exp precedent), floored to
+    whole cents.  Zero/negative values are excluded identically on both
+    sides (ln undefined).
+
+    Plan: map-side ln + floor, ONE combinable hash agg carrying the
+    log-sum and the plain sum together, |types|-row output - a single
+    fact pass, no window, no join."""
+    v = (
+        load(spark, sf, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .filter(F.col("cents") >= 1)
+    )
+    l_ = v.select(
+        "event_type",
+        "cents",
+        F.floor(F.log(F.col("cents").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("ln_micro"),
+    )
+    g = l_.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("ln_micro").alias("s"),
+        F.sum("cents").alias("sc"),
+    )
+    gm = F.floor(
+        F.exp(F.col("s").cast("double") / F.col("n").cast("double") / 1000000.0)
+    ).cast("long")
+    return g.select(
+        "event_type",
+        "n",
+        gm.alias("geo_mean_cents"),
+        F.expr("CAST(sc div n AS LONG)").alias("arith_mean_cents"),
+        (F.expr("CAST(sc div n AS LONG)") - gm)
+        .cast("long")
+        .alias("am_gm_gap_cents"),
+    )

@@ -223,6 +223,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "graph_assortativity": 11,
     "agg_cramers_v": 11,
     "agg_trimmed_mean": 11,
+    "agg_geometric_mean": 11,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -281,6 +282,7 @@ _CHANGED_THIS_ROUND = [
     "graph_assortativity",
     "agg_cramers_v",
     "agg_trimmed_mean",
+    "agg_geometric_mean",
     # r11 scale fixes measured by the growth ledger (code+oracle moved):
     # knn_join gained the hot-bucket stop-band, maxsim capped its query
     # side at 32 vectors - both re-hash

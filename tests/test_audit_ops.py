@@ -557,3 +557,32 @@ class TestTrimmedMean:
             vals = ev[ev.event_type == r.event_type].value * 100
             lo, hi = np.percentile(vals, [5, 95])
             assert lo - 1 <= r.trimmed_mean_cents <= hi + 1
+
+
+class TestGeometricMean:
+    def test_matches_numpy_and_am_gm(self, spark):
+        got = (
+            registry.QUERIES["agg_geometric_mean"](spark, SF)
+            .toPandas()
+            .set_index("event_type")
+        )
+        ev = _events(spark)
+        ev = ev[(ev.value.notna()) & (ev.value > 0)]
+        cents = np.floor(ev.value.values * 100.0 + 0.5).astype(np.int64)
+        keep = cents >= 1
+        ev, cents = ev[keep], cents[keep]
+        for et in got.index:
+            c = cents[(ev.event_type == et).values]
+            gm = math.exp(float(np.mean(np.log(c.astype(float)))))
+            row = got.loc[et]
+            assert row.n == len(c)
+            # per-row micro ln floors bias the log-mean down by < 1e-6:
+            # the floored GM sits within ~gm*2e-6 + 1 cent of the float GM
+            assert abs(row.geo_mean_cents - gm) <= gm * 2e-6 + 1.0
+            assert row.arith_mean_cents == int(c.sum()) // len(c)
+            # AM >= GM always (strict for non-constant series)
+            assert row.am_gm_gap_cents >= 0
+            assert (
+                row.am_gm_gap_cents
+                == row.arith_mean_cents - row.geo_mean_cents
+            )
