@@ -447,6 +447,27 @@ def main() -> None:
         ),
     }
 
+    # attribution notes for shapes that have carried a growth watch and
+    # been re-measured by hand (VERDICT r11 item 3: a watch entry must
+    # never ride the ledger without an attached explanation).  A shape
+    # flagged again gets its note embedded in the watch entry so the
+    # payload itself says what the exponent is measuring.
+    GROWTH_WATCH_NOTES = {
+        "win_time_range_frame": (
+            "RANGE-frame window = one user_id shuffle + per-partition "
+            "sort; n*log(n) puts the true decade exponent at ~1.03, and "
+            "the r12 idle-box re-measure (best-of-5 both scales) read "
+            "0.15 - the r10/r11 watch values were host jitter on a "
+            "sub-0.5 s shape, not data scaling"
+        ),
+        "agg_grouping_sets": (
+            "grouping-sets expand is a constant 4x row multiplier into "
+            "combinable partial aggs (map-side); r12 idle-box re-measure "
+            "read exponent 0.10 at t_hi 0.44 s - the 1.3 rotation reading "
+            "was fixed-overhead noise at a ~0.2 s absolute time"
+        ),
+    }
+
     # hi-scale growth sweep (VERDICT r8 item 3): the sf0.01->sf0.1 sweep is
     # floor-dominated on every sub-0.5 s shape (the overhead adjustment
     # mostly measures scheduler constants there), so exponents are ALSO
@@ -542,6 +563,10 @@ def main() -> None:
                                 "exponent": g,
                                 "t_hi": round(t_best, 4),
                             }
+                            if n in GROWTH_WATCH_NOTES:
+                                growth_watch_hi[n]["note"] = (
+                                    GROWTH_WATCH_NOTES[n]
+                                )
             superlinear_hi.sort()
 
     # rotating growth sweep (VERDICT r10 item 1): the headline hi sweep
@@ -568,7 +593,11 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "tools",
         "growth_ledger.json"
     )
-    rotate_n = int(os.environ.get("SPARK_GRAFT_ROTATE_N", "50"))
+    # 70 (was 50, r12): the ledger's staleness tail had 66 ids stuck at
+    # seq 3 - one 50-wide pass leaves 16 of them two more rounds stale;
+    # 70 clears the whole oldest cohort in this round's run and keeps the
+    # ~5-round freshness bound (VERDICT r11 item 7) with ~2 min extra
+    rotate_n = int(os.environ.get("SPARK_GRAFT_ROTATE_N", "70"))
     if sweep_hi and rotate_n > 0 and 9.0 < hi_v / base_v < 11.0:
         try:
             with open(ledger_path) as fh:
@@ -623,6 +652,8 @@ def main() -> None:
                             "exponent": g,
                             "t_hi": round(rot_hi[n], 4),
                         }
+                        if n in GROWTH_WATCH_NOTES:
+                            rot_watch[n]["note"] = GROWTH_WATCH_NOTES[n]
             rot_growth[n] = g
             ledger[n] = {
                 "seq": seq,

@@ -190,3 +190,136 @@ def connected_components(
         .distinct(),
         rounds,
     )
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    deg: DataFrame,
+    eps_micro: int = 100,
+    max_iter: int = 50,
+) -> tuple[DataFrame, int, bool]:
+    """Convergence-gated twin of the fixed-unroll `graph_pagerank_iter`
+    query (queries/corpus_ops.py) - VERDICT r11 item 5.  The registered
+    query unrolls exactly 3 damped iterations because its DuckDB oracle
+    must be a FIXED CTE chain (a data-dependent iteration count cannot be
+    spelled in static SQL); production wants `while delta > eps`, which
+    this provides while reusing the identical micro-rank integer
+    arithmetic (contribution = rank div outdeg, damp = 150000 +
+    (85 * sum) div 100) so that running it with eps_micro < 0 and
+    max_iter = 3 reproduces the unrolled query's ranks BIT-FOR-BIT
+    (pinned in tests/test_advanced.py).
+
+    `edges` must carry (src, dst), `deg` (src, outdeg) - the
+    lineage-truncated adjacency index the unrolled query also scans.
+    Returns (ranks, n_iter, converged): ranks has (node, rank) in micro
+    units; converged is True when max |rank - prev_rank| <= eps_micro
+    over all nodes BEFORE max_iter ran out.  Per round: one hash join +
+    one combinable sum shuffle (the Pregel step), one localCheckpoint to
+    truncate lineage (without it round N's plan re-derives rounds
+    1..N-1), and one bounded scalar action for the delta - the standard
+    price of a convergence gate, amortized at 100 TB where a converged
+    early exit saves whole rounds of shuffle."""
+    r = deg.select(
+        F.col("src").alias("node"),
+        F.lit(1_000_000).cast("long").alias("rank"),
+    ).localCheckpoint(eager=False)
+    it, converged = 0, False
+    while it < max_iter:
+        nxt = (
+            edges.join(r, edges["src"] == r["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (F.lit(150000) + F.expr("(85 * s) div 100"))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        it += 1
+        if eps_micro >= 0:
+            delta = (
+                nxt.join(
+                    r.withColumnRenamed("rank", "prev"), "node", "full"
+                )
+                .select(
+                    F.abs(
+                        F.coalesce("rank", F.lit(0))
+                        - F.coalesce("prev", F.lit(0))
+                    ).alias("d")
+                )
+                .agg(F.max("d").alias("mx"))
+                .collect()[0]["mx"]
+            )
+            r = nxt
+            if delta is not None and delta <= eps_micro:
+                converged = True
+                break
+        else:
+            r = nxt
+    return r, it, converged
+
+
+def label_propagation_converged(
+    edges: DataFrame,
+    pack: int = 4_000_000,
+    max_iter: int = 50,
+) -> tuple[DataFrame, int, bool]:
+    """Convergence-gated twin of the fixed-unroll
+    `graph_label_propagation` query (queries/corpus_ops.py) - VERDICT
+    r11 item 5, same contract as pagerank_converged: the registered
+    query runs exactly 3 synchronous rounds for static-CTE oracle
+    parity; this loops until NO node changes its label (the natural LPA
+    fixpoint - label counts are integers, so "changed nodes == 0" needs
+    no epsilon) or max_iter.  Vote arithmetic is identical to the
+    query's: most-frequent neighbor+self label, ties to the smallest
+    label, via one integer max over cnt * pack + (pack-1 - lbl) packed
+    keys.  With max_iter = 3 and the gate disabled it reproduces the
+    unrolled labels bit-for-bit (pinned in tests).  Returns
+    (labels, n_iter, converged); labels has (node, lbl).  Synchronous
+    LPA can 2-cycle on bipartite structure even with the self-vote, so
+    production keeps the max_iter bound; a False `converged` at
+    max_iter is the oscillation diagnostic."""
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    lbl = nodes.select(
+        "node", F.col("node").cast("long").alias("lbl")
+    ).localCheckpoint(eager=False)
+    it, converged = 0, False
+    while it < max_iter:
+        msgs = (
+            edges.join(lbl, edges["src"] == lbl["node"])
+            .select(F.col("dst").alias("node"), "lbl")
+            .unionAll(lbl.select("node", "lbl"))
+        )
+        c = msgs.groupBy("node", "lbl").agg(F.count("*").alias("cnt"))
+        nxt = (
+            c.groupBy("node")
+            .agg(
+                F.max(
+                    F.col("cnt") * pack + (F.lit(pack - 1) - F.col("lbl"))
+                ).alias("pk")
+            )
+            .select(
+                "node",
+                (F.lit(pack - 1) - F.col("pk") % pack)
+                .cast("long")
+                .alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        it += 1
+        n_changed = (
+            nxt.join(lbl.withColumnRenamed("lbl", "prev"), "node")
+            .filter(F.col("lbl") != F.col("prev"))
+            .count()
+        )
+        lbl = nxt
+        if n_changed == 0:
+            converged = True
+            break
+    return lbl, it, converged

@@ -448,7 +448,14 @@ def graph_pagerank_iter(spark: SparkSession, sf: str) -> DataFrame:
     edge set, the joins stay hash-partitioned on the same keys and the
     per-iteration cost scales linearly; degree skew is the degree-stats
     diagnostic's job (graph_degree_stats) and is handled by salting the
-    hot dst keys, which redistributes the SAME integer sum."""
+    hot dst keys, which redistributes the SAME integer sum.
+
+    The 3-round unroll exists for static-CTE oracle parity; the
+    production `while delta > eps` spelling is graph.pagerank_converged
+    (identical integer arithmetic, localCheckpoint per round, max-iter
+    bound, converged flag) - pytest-pinned bit-equal to this query at
+    the same iteration count (tests/test_pipeline_components.py,
+    TestConvergenceGatedTwins)."""
     ed, deg = _edge_index(spark, sf)
     r = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("rank"))
     for _ in range(3):
@@ -2512,7 +2519,13 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     node ids; at 100x the edge set each round scales linearly and the
     final community rollup is a tiny hash agg.  Hot hub nodes are an
     input-side skew (AQE splits the join); the vote agg is map-side
-    combinable so no single task ever owns a hub's full message list."""
+    combinable so no single task ever owns a hub's full message list.
+
+    The 3-round unroll exists for static-CTE oracle parity; the
+    production fixpoint spelling is graph.label_propagation_converged
+    (loops until zero labels change or max_iter, same packed-key vote)
+    - pytest-pinned bit-equal to this query at the same iteration count
+    (tests/test_pipeline_components.py, TestConvergenceGatedTwins)."""
     ed, _deg = _edge_index(spark, sf)
     nodes = ed.select(F.col("src").alias("node")).distinct()
     lbl = nodes.select("node", F.col("node").cast("long").alias("lbl"))

@@ -837,9 +837,17 @@ def _knn_join_lsh(
             )
             bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
         band_sigs.append(F.concat_ws("", *[b.cast("string") for b in bits]))
+    # norm precomputed ONCE PER VECTOR before the band explode (r12, the
+    # dedup_semdedup discipline): the verify stage used to evaluate
+    # _cos_or_null's full 192-step fold per CANDIDATE ROW (a pair
+    # colliding in k bands pays it k times inside the dedup agg);
+    # carrying sqrt(dot(v,v)) through the explode leaves the pair with a
+    # 64-step dot + one multiply.  Identical IEEE ops in the same order
+    # as _norm inside the pair, so every cosine is bit-identical.
     sigs = e.select(
         "vec_id",
         "embedding",
+        _norm(vec).alias("nrm"),
         F.posexplode(F.array(*band_sigs)).alias("band", "sig"),
     )
     # hot-bucket stop-band (the _MH_BUCKET_CAP rule, applied r11 after the
@@ -859,7 +867,9 @@ def _knn_join_lsh(
     )
     a = _spread(cold, "vec_id").alias("a")
     b = cold.alias("b")
-    cos = _cos_or_null(F.col("a.embedding"), F.col("b.embedding"))
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
     return (
         a.join(
             b,
@@ -1469,7 +1479,15 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     # N is known from the table catalog and the count disappears
     k_cells = max(16, vecs.count() // 128)
     cent_rows = _ivf_centroid_rows(spark, sf, vecs, k_cells)
-    idx = _ivf_index(spark, sf, vecs, cent_rows).select("vec_id", "cell", "v")
+    # norm precomputed ONCE PER VECTOR (r12): the pairwise stage used to
+    # evaluate _cos_or_null's full 192-step fold (dot + both norms) per
+    # PAIR; with ~n^2/2K pairs per cell that tripled the dominant cost.
+    # sqrt(dot(v,v)) here is the identical IEEE computation _norm does
+    # inside the pair, and the pair combines them as nx*ny in the same
+    # order, so every cosine is bit-identical to the oracle's spelling.
+    idx = _ivf_index(spark, sf, vecs, cent_rows).select(
+        "vec_id", "cell", "v", _norm(F.col("v")).alias("nrm")
+    )
     x, y = idx.alias("x"), idx.alias("y")
     # join on (cell, id<) ONLY, then project the cosine ONCE per pair
     # before filter + agg: folding it into the join condition makes
@@ -1484,7 +1502,10 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("y.vec_id").alias("vec_id"),
             F.col("x.vec_id").alias("cand"),
-            _cos_or_null(F.col("x.v"), F.col("y.v")).alias("c"),
+            (
+                _dot(F.col("x.v"), F.col("y.v"))
+                / F.nullif(F.col("x.nrm") * F.col("y.nrm"), F.lit(0.0))
+            ).alias("c"),
         )
         .filter(F.col("c") >= tau)
     )
@@ -2373,12 +2394,21 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     Good is Your Tokenizer?').  Same regex token rule as
     text_token_count_bpe; pure map-side counts into one combinable
     per-lang agg - zero joins, one shuffle of 5 rows, unchanged at
-    100 TB."""
+    100 TB.
+
+    Counting spelling (r12, closes the one confirmed superlinear entry
+    in the growth ledger, measured exp 1.174): size(regexp_extract_all)
+    MATERIALIZED every token as a UTF8String array element just to take
+    its length - allocation + GC proportional to token count made the
+    map side grow faster than the scan.  regexp_count walks the same
+    non-overlapping match sequence without allocating matches, so
+    n_bpe_tokens is value-identical (count of matches == length of the
+    extracted list) and n_words = count(' ')+1 == len(split(text,' '))
+    for any non-NULL text (split keeps empty fields on both engines;
+    NULL text stays NULL through either spelling and sum() skips it)."""
     d = load(spark, sf, "documents")
-    words = F.size(F.split("text", " "))
-    bpe = F.size(
-        F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
-    )
+    words = F.regexp_count("text", F.lit(" ")) + F.lit(1)
+    bpe = F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
     g = d.groupBy("lang").agg(
         F.count(F.when(F.col("text").isNotNull(), 1)).alias("n_docs"),
         F.sum(words).alias("n_words"),

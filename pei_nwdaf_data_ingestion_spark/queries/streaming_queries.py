@@ -158,6 +158,53 @@ def ingest_throughput(
             for p in (q.recentProgress or [])
             if p.get("numInputRows", 0) > 0
         ]
+        # tuned stateful leg (VERDICT r11 item 4): the baseline above is
+        # commit-bound - with session-default 32 shuffle partitions every
+        # micro-batch pays 32 state-store commits + checkpoint delta
+        # writes for a handful of (window, type) groups, and the 1-file
+        # trigger keeps batches far below the per-batch planning floor.
+        # The two production levers, both recorded in the payload:
+        #   - state width: shuffle partitions sized to the STATE
+        #     cardinality (~120 window x type groups), not the session
+        #     default - 4 state stores instead of 32 (measured r12:
+        #     32 -> 8 -> 4 parts = 10.7k -> 26k -> 30k rec/s);
+        #   - trigger sizing: 4 files per trigger -> 2 micro-batches, so
+        #     the fixed plan+commit cost amortizes over 4x the rows (the
+        #     trigger-interval knob every production stream tunes first).
+        # RocksDB was measured SLOWER here (20k vs 26k at 8 parts): its
+        # native-store overhead only pays off when state exceeds heap,
+        # which ~120 groups never does.
+        tuned_parts, tuned_mfpt = 4, 4
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(tuned_parts))
+        try:
+            src_t = spark.readStream.schema(ev.schema).option(
+                "maxFilesPerTrigger", tuned_mfpt
+            ).parquet(d)
+            agg_t = (
+                src_t.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(
+                    F.count("*").alias("n"),
+                    pround(F.sum("value"), 2).alias("value_sum"),
+                )
+            )
+            t0 = time.perf_counter()
+            qt = (
+                agg_t.writeStream.outputMode("append")
+                .format("noop")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qt.awaitTermination()
+            wall_tuned = time.perf_counter() - t0
+            lat_t = sorted(
+                p["durationMs"].get("triggerExecution")
+                for p in (qt.recentProgress or [])
+                if p.get("numInputRows", 0) > 0
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # pass-through normalize leg (the apples-to-apples line against the
         # reference kernel, which is a stateless per-record normalize loop):
         # ONE availableNow batch (no per-trigger floor), a representative
@@ -210,21 +257,47 @@ def ingest_throughput(
         "batch_ms_p50": lat[len(lat) // 2] if lat else None,
         "batch_ms_max": lat[-1] if lat else None,
         "cores": cores,
-        "passthrough": {
-            "rows": n_rows * 8,
-            "wall_sec": round(wall_pt, 4),
+        "stateful_tuned": {
+            "rows": n_rows,
+            "n_batches": len(lat_t),
+            "wall_sec": round(wall_tuned, 4),
             "rec_per_sec": (
-                round(n_rows * 8 / wall_pt, 1) if wall_pt > 0 else None
+                round(n_rows / wall_tuned, 1) if wall_tuned > 0 else None
             ),
             "rec_per_sec_per_core": (
-                round(n_rows * 8 / wall_pt / cores, 1)
+                round(n_rows / wall_tuned / cores, 1)
+                if wall_tuned > 0 and cores
+                else None
+            ),
+            "batch_ms_p50": lat_t[len(lat_t) // 2] if lat_t else None,
+            "knobs": {
+                "spark.sql.shuffle.partitions": tuned_parts,
+                "maxFilesPerTrigger": tuned_mfpt,
+            },
+            "note": (
+                "same watermark+window+agg plan and the same "
+                f"{n_rows}-row rig as the baseline block; state width "
+                "sized to state cardinality (4 stores, not the session "
+                "32) and 4-file triggers amortizing the per-batch "
+                "plan+commit floor; RocksDB measured slower at this "
+                "state size and stays off"
+            ),
+        },
+        "passthrough": {
+            "rows": n_rows * rep,
+            "wall_sec": round(wall_pt, 4),
+            "rec_per_sec": (
+                round(n_rows * rep / wall_pt, 1) if wall_pt > 0 else None
+            ),
+            "rec_per_sec_per_core": (
+                round(n_rows * rep / wall_pt / cores, 1)
                 if wall_pt > 0 and cores
                 else None
             ),
             "note": (
-                "stateless normalize chain over the events replicated 8x, "
-                "one availableNow batch, noop sink - the shape comparable "
-                "to the reference kernel"
+                f"stateless normalize chain over the events replicated "
+                f"{rep}x, one availableNow batch, noop sink - the shape "
+                f"comparable to the reference kernel"
             ),
         },
     }

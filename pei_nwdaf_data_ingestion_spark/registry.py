@@ -231,68 +231,20 @@ ADDED_IN_ROUND: dict[str, int] = {
 # until a CORRECTNESS file of that round exists (after that the derived
 # staleness ordering takes over; a permanent pin would waste window slots
 # every later round).
-# Round 11: nineteen new ids (ten infostats + jackknife SE + burstiness
-# VMR + audio clipping + IPF raking + decay engagement + Matryoshka
-# recall + cross-correlation + vocab coverage + DAU/WAU stickiness)
-# need their first hash signal; seven existing ids changed code or
-# semantics this round and must re-hash - time_stl_decompose +
-# events_seasonality_strength (calendar-densified day grid per ADVICE
-# r10, both code and oracle moved), text_oov_rate (whitespace-robust
-# tokenization per ADVICE r10), agg_gini_concentration +
-# pipeline_contract_audit (broadcast hint now rides the catalog gate -
-# plan-only below the gate at sf0.01, but the builder code moved,
-# re-hash for safety), and the two growth-ledger scale fixes
-# (sim_knn_join hot-bucket stop-band, sim_maxsim_multivector 32-vector
-# query cap - result-changing above fixture scale, re-hash).
-# Budget check: 26 pins << the driver's ~50-slot window.  The session-2
-# batch adds nine more first-hash ids (Tukey fences, weighted sampling,
-# RSI, PACF, clustering coefficient, CEM, RRF fusion, nDCG audit, image
-# sharpness): 35 pins, still inside the window.
-_CHANGED_ROUND = 11
+# Round 12: no new ids (coverage complete at 295); two existing ids
+# changed builder code this round and must re-hash even though both
+# rewrites are value-identical by construction -
+# pipeline_tokenizer_fertility (regexp_count spelling replaces the
+# array-materializing size(regexp_extract_all), the r11 superlinear
+# fix), dedup_semdedup and sim_knn_join (per-vector norm precompute
+# replaces the per-pair _cos_or_null fold in both pairwise verify
+# stages).  Budget check: 3 pins << the driver's ~50-slot window, so
+# ~47 slots go to the staleness rotation below.
+_CHANGED_ROUND = 12
 _CHANGED_THIS_ROUND = [
-    "agg_mutual_information",
-    "agg_theil_decomposition",
-    "time_acf_lags",
-    "events_entropy_rate",
-    "events_markov_stationary",
-    "graph_adamic_adar",
-    "text_pmi_collocations",
-    "text_kneser_ney_bigram",
-    "text_sttr_diversity",
-    "pipeline_dp_count_laplace",
-    "agg_jackknife_variance",
-    "text_burstiness_vmr",
-    "multimodal_audio_clipping",
-    "pipeline_ipf_rake",
-    "events_decay_engagement",
-    "sim_matryoshka_recall",
-    "time_cross_correlation",
-    "text_vocab_coverage_curve",
-    "events_dau_wau_stickiness",
-    "agg_tukey_fences",
-    "pipeline_weighted_sample",
-    "win_rsi_momentum",
-    "time_pacf_lags",
-    "graph_clustering_coeff",
-    "events_cem_att",
-    "sim_rrf_fusion",
-    "sim_ndcg_audit",
-    "multimodal_image_sharpness",
-    "win_stochastic_oscillator",
-    "graph_assortativity",
-    "agg_cramers_v",
-    "agg_trimmed_mean",
-    "agg_geometric_mean",
-    # r11 scale fixes measured by the growth ledger (code+oracle moved):
-    # knn_join gained the hot-bucket stop-band, maxsim capped its query
-    # side at 32 vectors - both re-hash
+    "pipeline_tokenizer_fertility",
+    "dedup_semdedup",
     "sim_knn_join",
-    "sim_maxsim_multivector",
-    "time_stl_decompose",
-    "events_seasonality_strength",
-    "text_oov_rate",
-    "agg_gini_concentration",
-    "pipeline_contract_audit",
 ]
 
 

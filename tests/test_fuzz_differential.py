@@ -1,0 +1,529 @@
+"""Property-based differential fuzz over the scalar/relational surface
+(VERDICT r11 item 6): a seeded generator produces random
+filter/project/aggregate/join specs, compiles each spec BOTH to a
+PySpark DataFrame plan and to DuckDB SQL over the same parquet
+fixtures, and asserts the two engines agree order-insensitively.
+
+The 275 static oracles pin every registered query but only on the value
+regions the fixtures happen to exercise; the fuzz sweep hits the
+regions a static corpus misses - NULL-injected keys (nullif), negative
+arithmetic, modulo bucketing, empty filter results, LIKE prefixes,
+lexicographic string ranges, left-join null fan-out, global aggregates
+over zero rows.
+
+Determinism rules (the repo's cross-engine discipline, SURVEY 2.0):
+only exact arithmetic reaches an aggregate - doubles are quantized to
+integer cents (floor(x*100+0.5)) before sum/min/max; no float
+accumulation, no round(), no integer division (Spark `div` truncates
+toward zero while DuckDB `//` floors - the one scalar op the two
+engines define differently on negatives, so the generator simply never
+emits it).  Every spec is a pure function of its seed: a failure
+reports the seed, and re-running that seed reproduces the exact spec.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, assert_frames_match
+from pei_nwdaf_data_ingestion_spark.catalog import load
+
+N_SPECS = 220  # >= 200 per the verification plan; ~0.2 s each
+
+# ---------------------------------------------------------------------------
+# table metadata: exact-int columns, quantizable doubles, strings
+# ---------------------------------------------------------------------------
+
+TABLES = {
+    "lineitem": {
+        "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "floats": ["l_quantity", "l_extendedprice", "l_discount"],
+        "strs": ["l_returnflag", "l_linestatus"],
+    },
+    "orders": {
+        "ints": ["o_orderkey", "o_custkey"],
+        "floats": ["o_totalprice"],
+        "strs": ["o_orderstatus", "o_orderpriority"],
+    },
+    "customer": {
+        "ints": ["c_custkey", "c_nationkey"],
+        "floats": ["c_acctbal"],
+        "strs": ["c_name", "c_mktsegment"],
+    },
+    "events": {
+        "ints": ["event_id", "user_id"],
+        "floats": ["value"],
+        "strs": ["event_type"],
+    },
+    "documents": {
+        "ints": ["doc_id", "n_chars"],
+        "floats": [],
+        "strs": ["lang", "source"],
+    },
+}
+
+# equi-join edges (left table key, right table, right key); right side
+# columns get unambiguous aliases in both compilations
+JOINS = {
+    "lineitem": ("l_orderkey", "orders", "o_orderkey"),
+    "orders": ("o_custkey", "customer", "c_custkey"),
+}
+
+# plausible constant pools per int column family (fixture key ranges are
+# small at sf0.001; constants deliberately straddle the range so filters
+# produce full, partial and EMPTY results)
+INT_CONSTS = [0, 1, 2, 3, 5, 7, 10, 25, 100, 500, 1500, 6000, 10**6]
+STR_CONSTS = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["O", "F"],
+    "o_orderstatus": ["O", "F", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+    "c_name": ["Customer#000000001", "Customer#000000999"],
+    "c_mktsegment": ["BUILDING", "MACHINERY", "AUTOMOBILE"],
+    "event_type": ["click", "view", "purchase", "signup"],
+    "lang": ["en", "de", "fr", "es", "zh"],
+    "source": ["web", "wiki", "news", "forum"],
+}
+
+# ---------------------------------------------------------------------------
+# expression AST: each node compiles to (spark Column, duckdb SQL string)
+# ---------------------------------------------------------------------------
+
+
+def _sq(v) -> str:
+    """SQL literal."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def compile_expr(node, spark_cols):
+    """node -> (pyspark Column, duckdb SQL fragment).  `spark_cols` maps
+    column name -> pyspark Column (post-join frames alias via this)."""
+    kind = node[0]
+    if kind == "col":
+        return spark_cols[node[1]], node[1]
+    if kind == "lit":
+        v = node[1]
+        return F.lit(v), _sq(v)
+    if kind in ("add", "sub", "mul", "mod"):
+        sa, da = compile_expr(node[1], spark_cols)
+        sb, db = compile_expr(node[2], spark_cols)
+        op = {"add": "+", "sub": "-", "mul": "*", "mod": "%"}[kind]
+        sc = {
+            "add": sa + sb,
+            "sub": sa - sb,
+            "mul": sa * sb,
+            "mod": sa % sb,
+        }[kind]
+        return sc, f"({da} {op} {db})"
+    if kind == "cents":
+        # exact integer quantization of a double - the repo-wide spelling
+        sa, da = compile_expr(node[1], spark_cols)
+        return (
+            F.floor(sa * 100.0 + 0.5).cast("long"),
+            f"CAST(floor({da} * 100.0 + 0.5) AS BIGINT)",
+        )
+    if kind == "length":
+        sa, da = compile_expr(node[1], spark_cols)
+        return F.length(sa).cast("long"), f"CAST(length({da}) AS BIGINT)"
+    if kind == "upper":
+        sa, da = compile_expr(node[1], spark_cols)
+        return F.upper(sa), f"upper({da})"
+    if kind == "substr":
+        sa, da = compile_expr(node[1], spark_cols)
+        return F.substring(sa, 1, node[2]), f"substr({da}, 1, {node[2]})"
+    if kind == "nullif":
+        sa, da = compile_expr(node[1], spark_cols)
+        sb, db = compile_expr(node[2], spark_cols)
+        return F.nullif(sa, sb), f"nullif({da}, {db})"
+    if kind == "coalesce":
+        sa, da = compile_expr(node[1], spark_cols)
+        sb, db = compile_expr(node[2], spark_cols)
+        return F.coalesce(sa, sb), f"coalesce({da}, {db})"
+    raise ValueError(f"unknown expr node {kind}")
+
+
+def compile_pred(node, spark_cols):
+    kind = node[0]
+    if kind == "cmp":
+        _, op, a, b = node
+        sa, da = compile_expr(a, spark_cols)
+        sb, db = compile_expr(b, spark_cols)
+        sc = {
+            "<": sa < sb,
+            "<=": sa <= sb,
+            ">": sa > sb,
+            ">=": sa >= sb,
+            "=": sa == sb,
+            "<>": sa != sb,
+        }[op]
+        return sc, f"({da} {op} {db})"
+    if kind == "in":
+        sa, da = compile_expr(node[1], spark_cols)
+        vals = node[2]
+        return sa.isin(vals), f"({da} IN ({', '.join(_sq(v) for v in vals)}))"
+    if kind == "like":
+        sa, da = compile_expr(node[1], spark_cols)
+        return sa.like(node[2]), f"({da} LIKE {_sq(node[2])})"
+    if kind == "isnull":
+        sa, da = compile_expr(node[1], spark_cols)
+        return sa.isNull(), f"({da} IS NULL)"
+    if kind == "notnull":
+        sa, da = compile_expr(node[1], spark_cols)
+        return sa.isNotNull(), f"({da} IS NOT NULL)"
+    if kind == "or":
+        sa, da = compile_pred(node[1], spark_cols)
+        sb, db = compile_pred(node[2], spark_cols)
+        return sa | sb, f"({da} OR {db})"
+    raise ValueError(f"unknown pred node {kind}")
+
+
+# ---------------------------------------------------------------------------
+# spec generator: pure function of the seed
+# ---------------------------------------------------------------------------
+
+
+def gen_expr_int(rng, meta):
+    """An exact-integer-valued expression over the table's columns."""
+    roll = rng.random()
+    c = ("col", rng.choice(meta["ints"]))
+    if roll < 0.35:
+        return c
+    if roll < 0.5 and meta["floats"]:
+        return ("cents", ("col", rng.choice(meta["floats"])))
+    if roll < 0.62:
+        return ("add", c, ("lit", rng.choice(INT_CONSTS)))
+    if roll < 0.74:  # negative region on purpose
+        return ("sub", c, ("lit", rng.choice(INT_CONSTS)))
+    if roll < 0.84:
+        return ("mul", c, ("lit", rng.choice([2, 3, 7])))
+    if roll < 0.94:
+        return ("mod", c, ("lit", rng.choice([2, 3, 5, 7, 11])))
+    # NULL-injected then repaired: coalesce(nullif(c, k), -1)
+    k = rng.choice(INT_CONSTS[:8])
+    return ("coalesce", ("nullif", c, ("lit", k)), ("lit", -1))
+
+
+def gen_expr_str(rng, meta):
+    c = ("col", rng.choice(meta["strs"]))
+    roll = rng.random()
+    if roll < 0.5:
+        return c
+    if roll < 0.7:
+        return ("upper", c)
+    return ("substr", c, rng.choice([1, 2, 3]))
+
+
+def gen_pred(rng, meta):
+    roll = rng.random()
+    if roll < 0.45:
+        e = gen_expr_int(rng, meta)
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return ("cmp", op, e, ("lit", rng.choice(INT_CONSTS)))
+    if roll < 0.6:
+        col = rng.choice(meta["strs"])
+        pool = STR_CONSTS[col]
+        return ("in", ("col", col), rng.sample(pool, min(len(pool), 2)))
+    if roll < 0.7:
+        col = rng.choice(meta["strs"])
+        pref = STR_CONSTS[col][0][: rng.choice([1, 2])]
+        return ("like", ("col", col), pref + "%")
+    if roll < 0.78:
+        col = rng.choice(meta["strs"])
+        op = rng.choice([">=", "<"])  # binary-collation lexicographic
+        return ("cmp", op, ("col", col), ("lit", STR_CONSTS[col][0]))
+    if roll < 0.86:
+        c = ("col", rng.choice(meta["ints"]))
+        k = rng.choice(INT_CONSTS[:8])
+        node = ("nullif", c, ("lit", k))
+        return (rng.choice(["isnull", "notnull"]), node)
+    if roll < 0.93 and meta["floats"]:
+        c = ("col", rng.choice(meta["floats"]))
+        return ("cmp", rng.choice(["<", ">="]), c, ("lit", rng.choice([0.05, 10.0, 25.5, 500.0])))
+    a = gen_pred(rng, meta)
+    b = gen_pred(rng, meta)
+    if a[0] == "or" or b[0] == "or":
+        return a if b[0] == "or" else b
+    return ("or", a, b)
+
+
+def gen_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    table = rng.choice(sorted(TABLES))
+    meta = dict(TABLES[table])
+    spec = {"seed": seed, "table": table, "filters": [], "join": None}
+    # optional equi join (30%): widens the column pool
+    if table in JOINS and rng.random() < 0.3:
+        lk, rt, rk = JOINS[table]
+        how = rng.choice(["inner", "left"])
+        spec["join"] = (lk, rt, rk, how)
+        rmeta = TABLES[rt]
+        meta = {
+            "ints": meta["ints"] + rmeta["ints"],
+            "floats": meta["floats"] + rmeta["floats"],
+            "strs": meta["strs"] + rmeta["strs"],
+        }
+        # on a LEFT join, right-side columns are NULL for unmatched rows -
+        # deliberately kept in the pools (the NULL fan-out region)
+    spec["meta"] = meta
+    for _ in range(rng.choice([0, 1, 1, 2])):
+        spec["filters"].append(gen_pred(rng, meta))
+    if rng.random() < 0.55:
+        # aggregate: 0-2 keys, 1-3 exact aggs
+        keys = []
+        for _ in range(rng.choice([0, 1, 1, 2])):
+            if rng.random() < 0.6:
+                keys.append(("col", rng.choice(meta["strs"])))
+            else:
+                keys.append(
+                    ("mod", ("col", rng.choice(meta["ints"])), ("lit", rng.choice([3, 5, 7])))
+                )
+        aggs = []
+        for _ in range(rng.choice([1, 2, 2, 3])):
+            akind = rng.choice(["count", "countd", "sum", "min", "max"])
+            if akind in ("sum", "min", "max"):
+                aggs.append((akind, gen_expr_int(rng, meta)))
+            elif akind == "countd":
+                aggs.append((akind, ("col", rng.choice(meta["ints"] + meta["strs"]))))
+            else:
+                aggs.append((akind, None))
+        spec["group"] = {"keys": keys, "aggs": aggs}
+    else:
+        # plain projection of 1-4 expressions
+        projs = []
+        for _ in range(rng.choice([1, 2, 3, 4])):
+            if rng.random() < 0.6:
+                projs.append(gen_expr_int(rng, meta))
+            else:
+                projs.append(gen_expr_str(rng, meta))
+        spec["project"] = projs
+    return spec
+
+
+# ---------------------------------------------------------------------------
+# spec -> (spark DataFrame, duckdb SQL)
+# ---------------------------------------------------------------------------
+
+
+def compile_spec(spec, spark, sf_dir):
+    table = spec["table"]
+    df = load(spark, sf_dir, table)
+    from_sql = table
+    if spec["join"]:
+        lk, rt, rk, how = spec["join"]
+        rdf = load(spark, sf_dir, rt)
+        df = df.join(rdf, df[lk] == rdf[rk], how)
+        from_sql = f"{table} {'LEFT ' if how == 'left' else ''}JOIN {rt} ON {table}.{lk} = {rt}.{rk}"
+    cols = {c: df[c] for c in df.columns}
+    where = []
+    for p in spec["filters"]:
+        sc, dc = compile_pred(p, cols)
+        df = df.filter(sc)
+        where.append(dc)
+    where_sql = (" WHERE " + " AND ".join(where)) if where else ""
+    if "group" in spec:
+        keys, aggs = spec["group"]["keys"], spec["group"]["aggs"]
+        kcols, ksql = [], []
+        for i, k in enumerate(keys):
+            sc, dc = compile_expr(k, cols)
+            kcols.append(sc.alias(f"k{i}"))
+            ksql.append(f"{dc} AS k{i}")
+        acols, asql = [], []
+        for i, (akind, e) in enumerate(aggs):
+            al = f"a{i}"
+            if akind == "count":
+                acols.append(F.count("*").alias(al))
+                asql.append(f"CAST(count(*) AS BIGINT) AS {al}")
+            elif akind == "countd":
+                sc, dc = compile_expr(e, cols)
+                acols.append(F.countDistinct(sc).alias(al))
+                asql.append(f"CAST(count(DISTINCT {dc}) AS BIGINT) AS {al}")
+            elif akind == "sum":
+                sc, dc = compile_expr(e, cols)
+                acols.append(F.sum(sc).cast("long").alias(al))
+                asql.append(f"CAST(sum({dc}) AS BIGINT) AS {al}")
+            else:  # min / max
+                sc, dc = compile_expr(e, cols)
+                fn = F.min if akind == "min" else F.max
+                acols.append(fn(sc).cast("long").alias(al))
+                asql.append(f"CAST({akind}({dc}) AS BIGINT) AS {al}")
+        if kcols:
+            sdf = df.groupBy(*kcols).agg(*acols)
+            sel = ", ".join(ksql + asql)
+            gb = " GROUP BY " + ", ".join(f"k{i}" for i in range(len(keys)))
+        else:
+            sdf = df.agg(*acols)
+            sel = ", ".join(asql)
+            gb = ""
+        sql = f"SELECT {sel} FROM {from_sql}{where_sql}{gb}"
+        return sdf, sql
+    pcols, psql = [], []
+    for i, e in enumerate(spec["project"]):
+        sc, dc = compile_expr(e, cols)
+        # exact-int projections land as BIGINT on both engines (Spark
+        # int32 + int64 mixes otherwise diverge only in dtype, but keep
+        # the contract crisp); strings stay strings
+        if e[0] in ("col", "add", "sub", "mul", "mod", "cents", "length", "coalesce", "nullif") and not (
+            e[0] == "col" and e[1] in spec["meta"]["strs"]
+        ):
+            sc, dc = sc.cast("long"), f"CAST({dc} AS BIGINT)"
+        pcols.append(sc.alias(f"p{i}"))
+        psql.append(f"{dc} AS p{i}")
+    sdf = df.select(*pcols)
+    sql = f"SELECT {', '.join(psql)} FROM {from_sql}{where_sql}"
+    return sdf, sql
+
+
+# ---------------------------------------------------------------------------
+# the sweep
+# ---------------------------------------------------------------------------
+
+BASE_SEED = 0xD1FF  # fixed: the whole sweep is reproducible byte-for-byte
+
+
+@pytest.mark.parametrize("block", range(4))
+def test_fuzz_differential_block(spark, ddb, block):
+    """220 generated specs in 4 blocks of 55 - a failure names the seed;
+    `gen_spec(seed)` reproduces the exact spec for a local repro."""
+    per_block = (N_SPECS + 3) // 4
+    for i in range(per_block):
+        seed = BASE_SEED + block * per_block + i
+        spec = gen_spec(seed)
+        sdf, sql = compile_spec(spec, spark, SF_DIR)
+        try:
+            spdf = sdf.toPandas()
+            odf = ddb.execute(sql).df()
+        except Exception as ex:  # pragma: no cover - diagnostics only
+            raise AssertionError(
+                f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
+            ) from ex
+        # nullif(col, k) on a column where k never occurs projects NULLs
+        # only via the left-join region; pandas renders all-NULL int
+        # columns as object/float - the conftest normalizer handles it
+        assert_frames_match(spdf, odf, f"fuzz seed {seed} ({sql[:120]})")
+
+
+# ---------------------------------------------------------------------------
+# window-function fuzz: same differential discipline over the OVER() surface
+# ---------------------------------------------------------------------------
+
+# (table, unique order key SQL expr) - the key must be a total order or
+# row_number/lag/running frames are nondeterministic cross-engine.
+# lineitem is deliberately ABSENT: the fixture does not enforce the
+# TPC-H (l_orderkey, l_linenumber) composite key (4599 distinct of 6000
+# rows at sf0.001, and even the 4-column key has a duplicate), so no
+# expression over it totally orders the table
+UNIQUE_KEYS = {
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "events": "event_id",
+    "documents": "doc_id",
+}
+
+N_WIN_SPECS = 60
+
+
+def gen_win_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    table = rng.choice(sorted(UNIQUE_KEYS))
+    meta = TABLES[table]
+    part = (
+        ("col", rng.choice(meta["strs"]))
+        if rng.random() < 0.6
+        else ("mod", ("col", rng.choice(meta["ints"])), ("lit", rng.choice([3, 5, 7])))
+    )
+    desc = rng.random() < 0.4
+    funcs = []
+    for _ in range(rng.choice([1, 2, 2, 3])):
+        k = rng.choice(["row_number", "rank_mod", "lag", "lead", "runsum", "runcount", "pmin", "pmax"])
+        arg = gen_expr_int(rng, meta) if k in ("lag", "lead", "runsum", "pmin", "pmax") else None
+        funcs.append((k, arg))
+    return {"seed": seed, "table": table, "part": part, "desc": desc, "funcs": funcs}
+
+
+def compile_win_spec(spec, spark, sf_dir):
+    from pyspark.sql import Window
+
+    table = spec["table"]
+    df = load(spark, sf_dir, table)
+    cols = {c: df[c] for c in df.columns}
+    ukey_sql = UNIQUE_KEYS[table]
+    ukey_sc = F.expr(ukey_sql)
+    pk_sc, pk_sql = compile_expr(spec["part"], cols)
+    order_sc = ukey_sc.desc() if spec["desc"] else ukey_sc.asc()
+    order_sql = f"{ukey_sql} {'DESC' if spec['desc'] else 'ASC'}"
+    over = f"(PARTITION BY {pk_sql} ORDER BY {order_sql})"
+    w = Window.partitionBy(pk_sc).orderBy(order_sc)
+    sels = [ukey_sc.cast("long").alias("uk"), pk_sc.alias("pk")]
+    sqls = [f"CAST({ukey_sql} AS BIGINT) AS uk", f"{pk_sql} AS pk"]
+    for i, (k, arg) in enumerate(spec["funcs"]):
+        al = f"w{i}"
+        if k == "row_number":
+            sels.append(F.row_number().over(w).cast("long").alias(al))
+            sqls.append(f"CAST(row_number() OVER {over} AS BIGINT) AS {al}")
+        elif k == "rank_mod":
+            # rank over a NON-unique key is still deterministic (rank is a
+            # function of the order-key multiset): ties on purpose
+            rk_sql = f"({ukey_sql} % 7)"
+            rw = Window.partitionBy(pk_sc).orderBy(F.expr(rk_sql))
+            sels.append(F.rank().over(rw).cast("long").alias(al))
+            sqls.append(
+                f"CAST(rank() OVER (PARTITION BY {pk_sql} ORDER BY {rk_sql} ASC) AS BIGINT) AS {al}"
+            )
+        elif k in ("lag", "lead"):
+            sc, dc = compile_expr(arg, cols)
+            fn = F.lag if k == "lag" else F.lead
+            sels.append(fn(sc.cast("long"), 1).over(w).alias(al))
+            sqls.append(f"{k}(CAST({dc} AS BIGINT), 1) OVER {over} AS {al}")
+        elif k == "runsum":
+            sc, dc = compile_expr(arg, cols)
+            rw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            sels.append(F.sum(sc).over(rw).cast("long").alias(al))
+            sqls.append(
+                f"CAST(sum({dc}) OVER ({over[1:-1]} ROWS BETWEEN UNBOUNDED"
+                f" PRECEDING AND CURRENT ROW) AS BIGINT) AS {al}"
+            )
+        elif k == "runcount":
+            rw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            sels.append(F.count("*").over(rw).cast("long").alias(al))
+            sqls.append(
+                f"CAST(count(*) OVER ({over[1:-1]} ROWS BETWEEN UNBOUNDED"
+                f" PRECEDING AND CURRENT ROW) AS BIGINT) AS {al}"
+            )
+        else:  # pmin / pmax over the whole partition
+            sc, dc = compile_expr(arg, cols)
+            pw = Window.partitionBy(pk_sc)
+            fn = F.min if k == "pmin" else F.max
+            sels.append(fn(sc).over(pw).cast("long").alias(al))
+            sqls.append(
+                f"CAST({k[1:]}({dc}) OVER (PARTITION BY {pk_sql}) AS BIGINT) AS {al}"
+            )
+    sdf = df.select(*sels)
+    sql = f"SELECT {', '.join(sqls)} FROM {table}"
+    return sdf, sql
+
+
+WIN_SEED = 0xB0CA
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_fuzz_window_block(spark, ddb, block):
+    per_block = N_WIN_SPECS // 2
+    for i in range(per_block):
+        seed = WIN_SEED + block * per_block + i
+        spec = gen_win_spec(seed)
+        sdf, sql = compile_win_spec(spec, spark, SF_DIR)
+        try:
+            spdf = sdf.toPandas()
+            odf = ddb.execute(sql).df()
+        except Exception as ex:  # pragma: no cover - diagnostics only
+            raise AssertionError(
+                f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
+            ) from ex
+        assert_frames_match(spdf, odf, f"win fuzz seed {seed} ({sql[:120]})")

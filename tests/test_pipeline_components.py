@@ -1555,3 +1555,167 @@ class TestOovRate:
             assert row.n_tokens == len(toks)
             assert row.n_oov == n_oov, r.doc_id
             assert row.oov_milli == n_oov * 1000 // len(toks)
+
+
+class TestConvergenceGatedTwins:
+    """VERDICT r11 item 5: the registered iterative graph queries unroll a
+    FIXED iteration count (their DuckDB oracle must be a static CTE
+    chain); graph.pagerank_converged / label_propagation_converged are
+    the production `while delta > eps` twins.  These tests pin (a)
+    bit-for-bit equality with the unrolled spelling at the same iteration
+    count, and (b) that the convergence gate actually reaches a verified
+    fixpoint."""
+
+    def _rollup_pagerank(self, r):
+        from pyspark.sql import functions as F
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        return (
+            r.select(
+                "node",
+                F.when(
+                    F.col("node") >= corpus_ops._PART_NODE_OFFSET, "part"
+                )
+                .otherwise("supplier")
+                .alias("kind"),
+                F.col("rank").alias("rank_micro"),
+            )
+            .orderBy(F.desc("rank_micro"), F.asc("node"))
+            .limit(20)
+        )
+
+    def test_pagerank_converged_matches_unrolled_at_3(self, spark):
+        from pei_nwdaf_data_ingestion_spark import graph, registry
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        ed, deg = corpus_ops._edge_index(spark, sf)
+        # eps < 0 disables the gate: exactly 3 rounds, the unrolled count
+        r, it, converged = graph.pagerank_converged(
+            ed, deg, eps_micro=-1, max_iter=3
+        )
+        assert it == 3 and converged is False
+        got = self._rollup_pagerank(r).toPandas()
+        want = registry.QUERIES["graph_pagerank_iter"](spark, sf).toPandas()
+        assert got.values.tolist() == want.values.tolist()
+
+    def test_pagerank_converged_reaches_eps_fixpoint(self, spark):
+        from pyspark.sql import functions as F
+        from pei_nwdaf_data_ingestion_spark import graph
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        sf = "/root/testdata/sf0.001"
+        ed, deg = corpus_ops._edge_index(spark, sf)
+        # damped PageRank contracts deltas by alpha=0.85 per round, so
+        # from the ~1.66e7 initial max-delta eps=5e4 micro (0.05 rank
+        # units) lands around round 35 - comfortably inside the bound
+        # while still proving a genuinely gated, multi-decade descent
+        eps = 50_000
+        r, it, converged = graph.pagerank_converged(
+            ed, deg, eps_micro=eps, max_iter=50
+        )
+        assert converged is True and it < 50
+        # external fixpoint check: one MORE manual iteration of the same
+        # integer arithmetic moves no rank by more than eps
+        nxt = (
+            ed.join(r, ed["src"] == r["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (F.lit(150000) + F.expr("(85 * s) div 100"))
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+        delta = (
+            nxt.join(r.withColumnRenamed("rank", "prev"), "node")
+            .select(F.abs(F.col("rank") - F.col("prev")).alias("d"))
+            .agg(F.max("d").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        assert delta is not None and delta <= eps
+
+    def test_lpa_converged_matches_unrolled_at_3(self, spark):
+        from pyspark.sql import functions as F
+        from pei_nwdaf_data_ingestion_spark import graph, registry
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        ed, _deg = corpus_ops._edge_index(spark, sf)
+        lbl, it, _converged = graph.label_propagation_converged(
+            ed, pack=corpus_ops._LPA_PACK, max_iter=3
+        )
+        # the gate may or may not fire inside 3 rounds; either way the
+        # labels after <=3 rounds equal the unrolled 3-round labels
+        # (an early stop means rounds 2/3 were no-ops)
+        got = (
+            lbl.groupBy(F.col("lbl").alias("community"))
+            .agg(
+                F.count("*").alias("n_nodes"),
+                F.sum(
+                    F.when(
+                        F.col("node") >= corpus_ops._PART_NODE_OFFSET, 0
+                    ).otherwise(1)
+                ).alias("n_suppliers"),
+                F.sum(
+                    F.when(
+                        F.col("node") >= corpus_ops._PART_NODE_OFFSET, 1
+                    ).otherwise(0)
+                ).alias("n_parts"),
+            )
+            .orderBy(F.desc("n_nodes"), F.asc("community"))
+            .limit(20)
+            .toPandas()
+        )
+        want = registry.QUERIES["graph_label_propagation"](
+            spark, sf
+        ).toPandas()
+        assert got.values.tolist() == want.values.tolist()
+
+    def test_lpa_converged_reaches_vote_fixpoint(self, spark):
+        from pyspark.sql import functions as F
+        from pei_nwdaf_data_ingestion_spark import graph
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        sf = "/root/testdata/sf0.001"
+        ed, _deg = corpus_ops._edge_index(spark, sf)
+        pack = corpus_ops._LPA_PACK
+        lbl, it, converged = graph.label_propagation_converged(
+            ed, pack=pack, max_iter=50
+        )
+        assert converged is True and it < 50
+        # external check: one MORE manual vote round changes zero labels
+        msgs = (
+            ed.join(lbl, ed["src"] == lbl["node"])
+            .select(F.col("dst").alias("node"), "lbl")
+            .unionAll(lbl.select("node", "lbl"))
+        )
+        nxt = (
+            msgs.groupBy("node", "lbl")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.col("cnt") * pack + (F.lit(pack - 1) - F.col("lbl"))
+                ).alias("pk")
+            )
+            .select(
+                "node",
+                (F.lit(pack - 1) - F.col("pk") % pack)
+                .cast("long")
+                .alias("lbl2"),
+            )
+        )
+        changed = (
+            nxt.join(lbl, "node")
+            .filter(F.col("lbl2") != F.col("lbl"))
+            .count()
+        )
+        assert changed == 0

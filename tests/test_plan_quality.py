@@ -383,11 +383,22 @@ class TestAdvancedPlans:
         # bounded builds, not a scale hazard.  What must NOT appear is a
         # non-cross nested-loop: an equi join (the customer probe) whose
         # withheld hint degraded to a per-row loop instead of a shuffle.
-        import re
-
-        non_cross_bnlj = re.findall(
-            r"BroadcastNestedLoopJoin (?!Cross\b)\w+", gated
-        )
+        # order-insensitive check (ADVICE r11): Spark's formatted explain
+        # prints the BNLJ operands (joinType, buildSide) in a version-
+        # dependent order, so instead of pinning "joinType comes first"
+        # require Cross SOMEWHERE among each BNLJ line's operand tokens.
+        # Tree-section lines print the bare operator name with no
+        # operands at all ("(58) BroadcastNestedLoopJoin") - those carry
+        # no join type in any version and are skipped; the detail-section
+        # header repeats the operator WITH its operands and is what the
+        # check reads, whichever order a Spark version emits them in.
+        non_cross_bnlj = [
+            ln
+            for ln in gated.splitlines()
+            if "BroadcastNestedLoopJoin" in ln
+            and ln.split("BroadcastNestedLoopJoin", 1)[1].strip()
+            and "Cross" not in ln
+        ]
         assert non_cross_bnlj == []
         assert "SortMergeJoin" in gated or "ShuffledHashJoin" in gated
 
