@@ -466,6 +466,18 @@ def main() -> None:
             "read exponent 0.10 at t_hi 0.44 s - the 1.3 rotation reading "
             "was fixed-overhead noise at a ~0.2 s absolute time"
         ),
+        "win_running_sum": (
+            "one user_id window shuffle + per-partition running sum "
+            "(linear after sort); r12 idle-box re-measure (best-of-5 "
+            "both scales) read exponent 0.23 at t_hi 0.39 s - the 1.16 "
+            "rotation reading was best-of-2 jitter on a sub-0.5 s shape"
+        ),
+        "subq_in_notin": (
+            "IN/NOT IN rewrite to one semi + one anti hash join, both "
+            "swept linear shapes; r12 idle-box re-measure read exponent "
+            "0.38 at t_hi 0.64 s - the 1.117 rotation reading was "
+            "best-of-2 jitter just over the 1.1 line"
+        ),
     }
 
     # hi-scale growth sweep (VERDICT r8 item 3): the sf0.01->sf0.1 sweep is
@@ -611,7 +623,20 @@ def main() -> None:
             n for n in oracled
             if n not in HEADLINE and n not in HI_SWEEP_SKIP
         ]
-        pool.sort(key=lambda n: (ledger.get(n, {}).get("seq", -1), n))
+        # flagged-first, then staleness: an id whose LAST ledger entry
+        # measured superlinear (> 1.1) re-measures every round until it
+        # reads clean - without this, fixing a flagged shape leaves its
+        # red entry frozen at the freshest seq, untouchable by the
+        # staleness rotation for ~4 rounds (hit by the r12
+        # text_token_count_bpe fix, which landed right after the sweep
+        # that flagged it)
+        pool.sort(
+            key=lambda n: (
+                not (ledger.get(n, {}).get("exponent", 0) or 0) > 1.1,
+                ledger.get(n, {}).get("seq", -1),
+                n,
+            )
+        )
         chosen = pool[:rotate_n]
         # base-scale table caches were dropped for the uncached sweep;
         # re-warm them (CACHE=1 is still set from the hi sweep)

@@ -592,6 +592,121 @@ def events_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
 _MARKOV_ITERS = 12
 
 
+def _markov_transition(spark: SparkSession, sf: str):
+    """(p, states) for the user-journey chain: the micro-quantized
+    transition matrix (i, j, p_micro) - localCheckpointed, every
+    iteration scans the materialized K^2 frame - and the distinct state
+    set.  Shared by the unrolled oracle query and the convergence-gated
+    twin so the two spellings cannot drift."""
+    seq = load(spark, sf, "events").select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    tr = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("i"), F.col("event_type").alias("j"))
+        .agg(F.count("*").alias("c"))
+    )
+    rm = tr.groupBy("i").agg(F.sum("c").alias("c_i"))
+    p = (
+        tr.join(rm, "i")
+        .select(
+            "i",
+            "j",
+            F.floor(F.col("c").cast("double") * 1000000.0 / F.col("c_i"))
+            .cast("long")
+            .alias("p_micro"),
+        )
+        .localCheckpoint(eager=False)  # reused by all iterations
+    )
+    states = (
+        tr.select(F.col("i").alias("s"))
+        .union(tr.select(F.col("j").alias("s")))
+        .distinct()
+    )
+    return p, states
+
+
+def _markov_pi0(states: DataFrame) -> DataFrame:
+    """Uniform start vector in micro units over the state set."""
+    k = states.agg(F.count("*").alias("k"))
+    return states.crossJoin(F.broadcast(k)).select(
+        "s", F.floor(1000000.0 / F.col("k")).cast("long").alias("v")
+    )
+
+
+def _markov_step(pi: DataFrame, p: DataFrame) -> DataFrame:
+    """One exact-integer power-iteration step pi' = pi P: per-term
+    double multiply + floor (products <= 1e12, exactly representable),
+    then an exact BIGINT sum - order-independent, both engines agree.
+    Both sides aliased: from iteration 2 on pi's lineage contains p, so
+    the join is a self-join Spark can only disambiguate by alias."""
+    return (
+        pi.alias("pi")
+        .join(p.alias("pm"), F.col("pi.s") == F.col("pm.i"))
+        .select(
+            F.col("pm.j").alias("s"),
+            F.floor(
+                F.col("pi.v").cast("double") * F.col("pm.p_micro") / 1000000.0
+            )
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("s")
+        .agg(F.sum("t").alias("v"))
+    )
+
+
+def markov_stationary_converged(
+    spark: SparkSession,
+    sf: str,
+    eps_micro: int = 16,
+    max_iter: int = 100,
+):
+    """Convergence-gated twin of events_markov_stationary's fixed
+    {_MARKOV_ITERS}-step unroll (the graph.pagerank_converged pattern):
+    power-iterate pi' = pi P until max |pi' - pi| <= eps_micro or
+    max_iter.  The state vector is K <= 25 rows, so the per-round delta
+    check is one bounded scalar action.  eps_micro must sit at or above
+    the quantization noise floor: the per-term floor loses up to 1 micro
+    per transition term, so once the contraction is exhausted the orbit
+    settles into a limit CYCLE of amplitude O(K) micro, never an exact
+    integer fixpoint (measured on the fixtures: delta collapses 11108 ->
+    397 -> 21 in three steps, then oscillates at 3-5 forever) - the
+    default 2*K-ish eps of 16 converges in ~4 rounds, eps_micro=0 would
+    spin to max_iter and report converged=False, which doubles as the
+    eps-too-tight diagnostic.  eps_micro < 0 disables the gate: exactly
+    max_iter rounds, bit-equal to the unrolled query at max_iter =
+    {_MARKOV_ITERS} (pinned in tests/test_infostats.py)."""
+    p, states = _markov_transition(spark, sf)
+    pi = _markov_pi0(states).localCheckpoint(eager=False)
+    it, converged = 0, False
+    while it < max_iter:
+        nxt = _markov_step(pi, p).localCheckpoint(eager=False)
+        it += 1
+        if eps_micro >= 0:
+            delta = (
+                nxt.join(pi.withColumnRenamed("v", "prev"), "s", "full")
+                .select(
+                    F.abs(
+                        F.coalesce("v", F.lit(0))
+                        - F.coalesce("prev", F.lit(0))
+                    ).alias("d")
+                )
+                .agg(F.max("d").alias("mx"))
+                .collect()[0]["mx"]
+            )
+            pi = nxt
+            if delta is not None and delta <= eps_micro:
+                converged = True
+                break
+        else:
+            pi = nxt
+    return pi, it, converged
+
+
 def _markov_iter_sql() -> str:
     ctes = []
     prev = "pi0"
@@ -655,58 +770,16 @@ def events_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
     Plan: ONE per-user lag window over the fact stream; every iteration
     is a join+agg over K^2 <= 25-row frames - bounded driver-free work
     regardless of corpus size (K = |event types|, fixed by the schema,
-    not the data volume)."""
-    seq = load(spark, sf, "events").select(
-        "event_type",
-        F.lag("event_type")
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("prev_type"),
-    )
-    tr = (
-        seq.filter(F.col("prev_type").isNotNull())
-        .groupBy(F.col("prev_type").alias("i"), F.col("event_type").alias("j"))
-        .agg(F.count("*").alias("c"))
-    )
-    rm = tr.groupBy("i").agg(F.sum("c").alias("c_i"))
-    p = (
-        tr.join(rm, "i")
-        .select(
-            "i",
-            "j",
-            F.floor(F.col("c").cast("double") * 1000000.0 / F.col("c_i"))
-            .cast("long")
-            .alias("p_micro"),
-        )
-        .localCheckpoint(eager=False)  # reused by all iterations
-    )
-    states = (
-        tr.select(F.col("i").alias("s"))
-        .union(tr.select(F.col("j").alias("s")))
-        .distinct()
-    )
-    k = states.agg(F.count("*").alias("k"))
-    pi = states.crossJoin(F.broadcast(k)).select(
-        "s", F.floor(1000000.0 / F.col("k")).cast("long").alias("v")
-    )
+    not the data volume).
+
+    The {_MARKOV_ITERS}-step unroll exists for static-CTE oracle
+    parity; markov_stationary_converged (below) is the production
+    `while delta > eps` spelling over the same shared transition
+    builder - pytest-pinned bit-equal at the same iteration count."""
+    p, states = _markov_transition(spark, sf)
+    pi = _markov_pi0(states)
     for _ in range(_MARKOV_ITERS):
-        # alias both sides: from iteration 2 on, pi's lineage contains p,
-        # so the join is a self-join Spark can only disambiguate by alias
-        pi = (
-            pi.alias("pi")
-            .join(p.alias("pm"), F.col("pi.s") == F.col("pm.i"))
-            .select(
-                F.col("pm.j").alias("s"),
-                F.floor(
-                    F.col("pi.v").cast("double")
-                    * F.col("pm.p_micro")
-                    / 1000000.0
-                )
-                .cast("long")
-                .alias("t"),
-            )
-            .groupBy("s")
-            .agg(F.sum("t").alias("v"))
-        )
+        pi = _markov_step(pi, p)
     ev = load(spark, sf, "events")
     emp = ev.groupBy(F.col("event_type").alias("s")).agg(
         F.count("*").alias("cnt")

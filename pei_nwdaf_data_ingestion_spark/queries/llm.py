@@ -2352,14 +2352,25 @@ def pipeline_seq_pack(spark: SparkSession, sf: str) -> DataFrame:
 def text_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting two ways: whitespace split and a BPE-ish regex
     (letter runs / digit runs / single other-chars) - the standard
-    pretraining-corpus size estimators."""
+    pretraining-corpus size estimators.
+
+    Counting spelling (r12, the pipeline_tokenizer_fertility fix applied
+    to its per-doc sibling after the rotation sweep measured THIS id at
+    exponent 1.47): regexp_count walks the same non-overlapping match
+    sequence as regexp_extract_all without materializing every token as
+    an array element, so n_bpe_tokens is value-identical and n_ws_tokens
+    = count(' ')+1 == len(split(text,' ')) for non-NULL text (split
+    keeps empty fields on both engines; NULL text stays NULL through
+    either spelling)."""
     d = load(spark, sf, "documents")
-    toks = F.split("text", " ")
-    bpe = F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
     return d.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_ws_tokens"),
-        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        (F.regexp_count("text", F.lit(" ")) + F.lit(1))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
 

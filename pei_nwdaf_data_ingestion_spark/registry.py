@@ -238,13 +238,20 @@ ADDED_IN_ROUND: dict[str, int] = {
 # array-materializing size(regexp_extract_all), the r11 superlinear
 # fix), dedup_semdedup and sim_knn_join (per-vector norm precompute
 # replaces the per-pair _cos_or_null fold in both pairwise verify
-# stages).  Budget check: 3 pins << the driver's ~50-slot window, so
-# ~47 slots go to the staleness rotation below.
+# stages), and events_markov_stationary (builder refactored onto the
+# shared _markov_transition/_markov_step helpers the convergence twin
+# also uses - plan-identical, re-hash for safety), and
+# text_token_count_bpe (the fertility regexp_count fix applied to its
+# per-doc sibling after this round's rotation sweep measured it at
+# exponent 1.47).  Budget check: 5 pins << the driver's ~50-slot
+# window, so ~45 slots go to the staleness rotation below.
 _CHANGED_ROUND = 12
 _CHANGED_THIS_ROUND = [
     "pipeline_tokenizer_fertility",
     "dedup_semdedup",
     "sim_knn_join",
+    "events_markov_stationary",
+    "text_token_count_bpe",
 ]
 
 

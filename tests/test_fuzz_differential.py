@@ -527,3 +527,139 @@ def test_fuzz_window_block(spark, ddb, block):
                 f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
             ) from ex
         assert_frames_match(spdf, odf, f"win fuzz seed {seed} ({sql[:120]})")
+
+
+# ---------------------------------------------------------------------------
+# set-op / distinct / having / total-order-limit fuzz
+# ---------------------------------------------------------------------------
+
+N_SET_SPECS = 60
+
+
+def gen_set_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    kind = rng.choice(["setop", "distinct", "having", "limit"])
+    if kind == "limit":
+        table = rng.choice(sorted(UNIQUE_KEYS))
+    else:
+        table = rng.choice(sorted(TABLES))
+    meta = TABLES[table]
+    spec = {"seed": seed, "kind": kind, "table": table}
+    if kind == "setop":
+        spec["op"] = rng.choice(["union_all", "union", "intersect", "except"])
+        spec["proj"] = [gen_expr_int(rng, meta), ("col", rng.choice(meta["strs"]))]
+        spec["f1"] = gen_pred(rng, meta)
+        spec["f2"] = gen_pred(rng, meta)
+    elif kind == "distinct":
+        spec["proj"] = [
+            gen_expr_int(rng, meta) if rng.random() < 0.5 else ("col", rng.choice(meta["strs"]))
+            for _ in range(rng.choice([1, 2]))
+        ]
+        spec["filters"] = [gen_pred(rng, meta)] if rng.random() < 0.5 else []
+    elif kind == "having":
+        spec["key"] = ("col", rng.choice(meta["strs"]))
+        spec["agg"] = rng.choice(["count", "sum"])
+        spec["agg_e"] = gen_expr_int(rng, meta)
+        spec["hcmp"] = (rng.choice([">", "<="]), rng.choice([1, 5, 25, 200]))
+    else:  # limit: total order via (expr, unique key) tiebreak
+        spec["proj_e"] = gen_expr_int(rng, meta)
+        spec["desc"] = rng.random() < 0.5
+        spec["n"] = rng.choice([1, 5, 17, 50])
+    return spec
+
+
+def compile_set_spec(spec, spark, sf_dir):
+    table = spec["table"]
+    df = load(spark, sf_dir, table)
+    cols = {c: df[c] for c in df.columns}
+    kind = spec["kind"]
+    if kind == "setop":
+        (e0s, e0d) = compile_expr(spec["proj"][0], cols)
+        (e1s, e1d) = compile_expr(spec["proj"][1], cols)
+        sel = [e0s.cast("long").alias("x0"), e1s.alias("x1")]
+        sel_sql = f"CAST({e0d} AS BIGINT) AS x0, {e1d} AS x1"
+        p1s, p1d = compile_pred(spec["f1"], cols)
+        p2s, p2d = compile_pred(spec["f2"], cols)
+        a = df.filter(p1s).select(*sel)
+        b = df.filter(p2s).select(*sel)
+        qa = f"SELECT {sel_sql} FROM {table} WHERE {p1d}"
+        qb = f"SELECT {sel_sql} FROM {table} WHERE {p2d}"
+        op = spec["op"]
+        if op == "union_all":
+            return a.unionAll(b), f"({qa}) UNION ALL ({qb})"
+        if op == "union":
+            return a.union(b).distinct(), f"({qa}) UNION ({qb})"
+        if op == "intersect":
+            return a.intersect(b), f"({qa}) INTERSECT ({qb})"
+        # subtract == SQL EXCEPT (set difference over DISTINCT rows);
+        # exceptAll().distinct() would differ - multiset-minus keeps a
+        # row whose count in `a` merely exceeds its count in `b`
+        return a.subtract(b), f"({qa}) EXCEPT ({qb})"
+    if kind == "distinct":
+        sels, sqls = [], []
+        for i, e in enumerate(spec["proj"]):
+            sc, dc = compile_expr(e, cols)
+            if e[0] != "col" or e[1] not in TABLES[table]["strs"]:
+                sc, dc = sc.cast("long"), f"CAST({dc} AS BIGINT)"
+            sels.append(sc.alias(f"x{i}"))
+            sqls.append(f"{dc} AS x{i}")
+        w = ""
+        for p in spec["filters"]:
+            ps, pd_ = compile_pred(p, cols)
+            df = df.filter(ps)
+            w = f" WHERE {pd_}"
+        return (
+            df.select(*sels).distinct(),
+            f"SELECT DISTINCT {', '.join(sqls)} FROM {table}{w}",
+        )
+    if kind == "having":
+        ks, kd = compile_expr(spec["key"], cols)
+        es, ed = compile_expr(spec["agg_e"], cols)
+        op, n = spec["hcmp"]
+        if spec["agg"] == "count":
+            agg_s, agg_d = F.count("*"), "count(*)"
+        else:
+            agg_s, agg_d = F.sum(es), f"sum({ed})"
+        g = df.groupBy(ks.alias("k")).agg(agg_s.cast("long").alias("a"))
+        cond = {"<=": g["a"] <= n, ">": g["a"] > n}[op]
+        sql = (
+            f"SELECT {kd} AS k, CAST({agg_d} AS BIGINT) AS a FROM {table}"
+            f" GROUP BY k HAVING CAST({agg_d} AS BIGINT) {op} {n}"
+        )
+        return g.filter(cond), sql
+    # limit with a (expr, unique-key) TOTAL order: the same row set on
+    # both engines whatever the physical plan does
+    uk = UNIQUE_KEYS[table]
+    es, ed = compile_expr(spec["proj_e"], cols)
+    direc = "DESC" if spec["desc"] else "ASC"
+    ordered = df.select(
+        es.cast("long").alias("x"), F.expr(uk).cast("long").alias("uk")
+    ).orderBy(
+        F.col("x").desc() if spec["desc"] else F.col("x").asc(),
+        F.col("uk").asc(),
+    )
+    sql = (
+        f"SELECT CAST({ed} AS BIGINT) AS x, CAST({uk} AS BIGINT) AS uk"
+        f" FROM {table} ORDER BY x {direc}, uk ASC LIMIT {spec['n']}"
+    )
+    return ordered.limit(spec["n"]), sql
+
+
+SET_SEED = 0x5E70
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_fuzz_setops_block(spark, ddb, block):
+    per_block = N_SET_SPECS // 2
+    for i in range(per_block):
+        seed = SET_SEED + block * per_block + i
+        spec = gen_set_spec(seed)
+        sdf, sql = compile_set_spec(spec, spark, SF_DIR)
+        try:
+            spdf = sdf.toPandas()
+            odf = ddb.execute(sql).df()
+        except Exception as ex:  # pragma: no cover - diagnostics only
+            raise AssertionError(
+                f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
+            ) from ex
+        assert_frames_match(spdf, odf, f"setop fuzz seed {seed} ({sql[:120]})")

@@ -753,3 +753,55 @@ class TestDauWauStickiness:
             assert row.dau == dau and row.wau == wau
             assert row.stickiness_milli == dau * 1000 // wau
             assert row.stickiness_milli <= 1000
+
+
+class TestMarkovConvergenceTwin:
+    """markov_stationary_converged is the `while delta > eps` spelling of
+    events_markov_stationary's fixed 12-step unroll - same shared
+    transition builder, so the two cannot drift; these pin (a) bit-equal
+    pi at the same iteration count and (b) a verified exact fixpoint."""
+
+    def test_matches_unrolled_at_12(self, spark):
+        from pei_nwdaf_data_ingestion_spark.queries import infostats
+
+        registry.load_all()
+        pi, it, converged = infostats.markov_stationary_converged(
+            spark, SF, eps_micro=-1, max_iter=infostats._MARKOV_ITERS
+        )
+        assert it == infostats._MARKOV_ITERS and converged is False
+        twin = {r["s"]: r["v"] for r in pi.collect()}
+        got = registry.QUERIES["events_markov_stationary"](
+            spark, SF
+        ).toPandas()
+        assert len(got) > 0
+        for r in got.itertuples():
+            assert twin.get(r.event_type, 0) == r.pi_micro, r.event_type
+
+    def test_reaches_quantization_floor_fixpoint(self, spark):
+        """The integer-floored step settles into a limit cycle of
+        amplitude O(K) micro (per-term floors), never an exact 0 delta -
+        the gate converges at the documented noise-floor eps and an
+        external extra step stays inside it."""
+        from pyspark.sql import functions as F
+        from pei_nwdaf_data_ingestion_spark.queries import infostats
+
+        eps = 16
+        pi, it, converged = infostats.markov_stationary_converged(
+            spark, SF, eps_micro=eps, max_iter=100
+        )
+        assert converged is True and it < 100
+        # external check: one MORE step through the same shared builder
+        # moves no state's mass beyond the quantization noise floor
+        p, _states = infostats._markov_transition(spark, SF)
+        nxt = infostats._markov_step(pi, p)
+        delta = (
+            nxt.join(pi.withColumnRenamed("v", "prev"), "s", "full")
+            .select(
+                F.abs(
+                    F.coalesce("v", F.lit(0)) - F.coalesce("prev", F.lit(0))
+                ).alias("d")
+            )
+            .agg(F.max("d").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        assert delta is not None and delta <= eps
