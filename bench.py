@@ -478,6 +478,12 @@ def main() -> None:
             "0.38 at t_hi 0.64 s - the 1.117 rotation reading was "
             "best-of-2 jitter just over the 1.1 line"
         ),
+        "array_funcs": (
+            "map-side array expression chain, zero shuffle beyond the "
+            "scan; r12 idle-box re-measure (best-of-5 both scales) read "
+            "exponent 0.71 at t_hi 0.95 s - the 1.297 rotation reading "
+            "was best-of-2 jitter on a ~0.2 s absolute time"
+        ),
     }
 
     # hi-scale growth sweep (VERDICT r8 item 3): the sf0.01->sf0.1 sweep is

@@ -663,3 +663,135 @@ def test_fuzz_setops_block(spark, ddb, block):
                 f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
             ) from ex
         assert_frames_match(spdf, odf, f"setop fuzz seed {seed} ({sql[:120]})")
+
+
+# ---------------------------------------------------------------------------
+# NULL-group-key / 3-way-join fuzz: the grouping and multi-join regions
+# ---------------------------------------------------------------------------
+
+N_NULLKEY_SPECS = 60
+
+# lineitem -> orders -> customer star chain (the TPC-H spine)
+THREEWAY = ("lineitem", "l_orderkey", "orders", "o_orderkey", "o_custkey", "customer", "c_custkey")
+
+
+def gen_nullkey_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    spec = {"seed": seed}
+    if rng.random() < 0.5:
+        # 3-way inner join, then agg or projection over the merged pool
+        spec["kind"] = "join3"
+        meta = {
+            "ints": TABLES["lineitem"]["ints"] + TABLES["orders"]["ints"] + TABLES["customer"]["ints"],
+            "floats": TABLES["lineitem"]["floats"] + TABLES["orders"]["floats"] + TABLES["customer"]["floats"],
+            "strs": TABLES["lineitem"]["strs"] + TABLES["orders"]["strs"] + TABLES["customer"]["strs"],
+        }
+        spec["filters"] = [gen_pred(rng, meta)] if rng.random() < 0.6 else []
+        if rng.random() < 0.6:
+            spec["group"] = {
+                "keys": [("col", rng.choice(meta["strs"]))],
+                "aggs": [("count", None), ("sum", gen_expr_int(rng, meta))],
+            }
+        else:
+            spec["project"] = [gen_expr_int(rng, meta), gen_expr_str(rng, meta)]
+        spec["meta"] = meta
+    else:
+        # single-table agg with a NULL-INJECTED group key: nullif(col, k)
+        # groups the k-rows into ONE NULL group on both engines
+        spec["kind"] = "nullkey"
+        table = rng.choice(sorted(TABLES))
+        spec["table"] = table
+        meta = TABLES[table]
+        c = rng.choice(meta["ints"])
+        spec["key"] = ("nullif", ("mod", ("col", c), ("lit", rng.choice([3, 5, 7]))), ("lit", rng.choice([0, 1, 2])))
+        aggs = [("count", None)]
+        if rng.random() < 0.7:
+            aggs.append(("sum", gen_expr_int(rng, meta)))
+        if rng.random() < 0.4:
+            # count(expr) skips NULLs identically on both engines
+            aggs.append(("count_col", ("nullif", ("col", rng.choice(meta["ints"])), ("lit", rng.choice(INT_CONSTS[:6])))))
+        spec["aggs"] = aggs
+        spec["meta"] = meta
+    return spec
+
+
+def compile_nullkey_spec(spec, spark, sf_dir):
+    if spec["kind"] == "join3":
+        lt, lk, mt, mk, mk2, rt, rk = THREEWAY
+        a, b, c = load(spark, sf_dir, lt), load(spark, sf_dir, mt), load(spark, sf_dir, rt)
+        df = a.join(b, a[lk] == b[mk]).join(c, b[mk2] == c[rk])
+        from_sql = (
+            f"{lt} JOIN {mt} ON {lt}.{lk} = {mt}.{mk} "
+            f"JOIN {rt} ON {mt}.{mk2} = {rt}.{rk}"
+        )
+        cols = {col: df[col] for col in df.columns}
+        where = []
+        for p in spec["filters"]:
+            ps, pd_ = compile_pred(p, cols)
+            df = df.filter(ps)
+            where.append(pd_)
+        wsql = (" WHERE " + " AND ".join(where)) if where else ""
+        if "group" in spec:
+            ks, kd = compile_expr(spec["group"]["keys"][0], cols)
+            es, ed = compile_expr(spec["group"]["aggs"][1][1], cols)
+            sdf = df.groupBy(ks.alias("k0")).agg(
+                F.count("*").alias("a0"), F.sum(es).cast("long").alias("a1")
+            )
+            sql = (
+                f"SELECT {kd} AS k0, CAST(count(*) AS BIGINT) AS a0,"
+                f" CAST(sum({ed}) AS BIGINT) AS a1 FROM {from_sql}{wsql}"
+                f" GROUP BY k0"
+            )
+            return sdf, sql
+        e0s, e0d = compile_expr(spec["project"][0], cols)
+        e1s, e1d = compile_expr(spec["project"][1], cols)
+        sdf = df.select(e0s.cast("long").alias("p0"), e1s.alias("p1"))
+        sql = (
+            f"SELECT CAST({e0d} AS BIGINT) AS p0, {e1d} AS p1"
+            f" FROM {from_sql}{wsql}"
+        )
+        return sdf, sql
+    table = spec["table"]
+    df = load(spark, sf_dir, table)
+    cols = {c: df[c] for c in df.columns}
+    ks, kd = compile_expr(spec["key"], cols)
+    acols, asql = [], []
+    for i, (kind, e) in enumerate(spec["aggs"]):
+        al = f"a{i}"
+        if kind == "count":
+            acols.append(F.count("*").alias(al))
+            asql.append(f"CAST(count(*) AS BIGINT) AS {al}")
+        elif kind == "count_col":
+            sc, dc = compile_expr(e, cols)
+            acols.append(F.count(sc).alias(al))
+            asql.append(f"CAST(count({dc}) AS BIGINT) AS {al}")
+        else:
+            sc, dc = compile_expr(e, cols)
+            acols.append(F.sum(sc).cast("long").alias(al))
+            asql.append(f"CAST(sum({dc}) AS BIGINT) AS {al}")
+    sdf = df.groupBy(ks.cast("long").alias("k0")).agg(*acols)
+    sql = (
+        f"SELECT CAST({kd} AS BIGINT) AS k0, {', '.join(asql)}"
+        f" FROM {table} GROUP BY k0"
+    )
+    return sdf, sql
+
+
+NK_SEED = 0x9A11
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_fuzz_nullkey_block(spark, ddb, block):
+    per_block = N_NULLKEY_SPECS // 2
+    for i in range(per_block):
+        seed = NK_SEED + block * per_block + i
+        spec = gen_nullkey_spec(seed)
+        sdf, sql = compile_nullkey_spec(spec, spark, SF_DIR)
+        try:
+            spdf = sdf.toPandas()
+            odf = ddb.execute(sql).df()
+        except Exception as ex:  # pragma: no cover - diagnostics only
+            raise AssertionError(
+                f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
+            ) from ex
+        assert_frames_match(spdf, odf, f"nullkey fuzz seed {seed} ({sql[:120]})")
