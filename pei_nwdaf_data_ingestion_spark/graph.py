@@ -257,7 +257,11 @@ def pagerank_converged(
                 .collect()[0]["mx"]
             )
             r = nxt
-            if delta is not None and delta <= eps_micro:
+            # delta is None iff both frames are empty (empty graph) - a
+            # trivial fixpoint, not a non-converged loop: without this an
+            # empty edge set would spin max_iter rounds of empty scalar
+            # jobs before reporting False
+            if delta is None or delta <= eps_micro:
                 converged = True
                 break
         else:

@@ -699,7 +699,10 @@ def markov_stationary_converged(
                 .collect()[0]["mx"]
             )
             pi = nxt
-            if delta is not None and delta <= eps_micro:
+            # delta is None iff both vectors are empty (no transitions
+            # at all) - a trivial fixpoint, same guard as
+            # graph.pagerank_converged's empty-graph case
+            if delta is None or delta <= eps_micro:
                 converged = True
                 break
         else:

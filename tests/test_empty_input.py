@@ -61,3 +61,45 @@ def test_empty_input_matches_oracle(spark, empty_sf_dir, empty_ddb, name):
     spark_pdf = registry.QUERIES[name](spark, empty_sf_dir).toPandas()
     oracle_pdf = empty_ddb.execute(registry.ORACLES[name]).fetchdf()
     assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+class TestConvergedTwinsOnEmptyInput:
+    """The convergence-gated twins (graph.pagerank_converged /
+    label_propagation_converged, infostats.markov_stationary_converged)
+    must treat an EMPTY graph/chain as a trivially-converged fixpoint in
+    one round - not spin max_iter rounds of empty scalar jobs before
+    reporting False (the delta-is-None guard)."""
+
+    def test_pagerank_empty_graph_converges_immediately(self, spark, empty_sf_dir):
+        from pei_nwdaf_data_ingestion_spark import graph
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        corpus_ops._EDGE_INDEX.pop(
+            (spark.sparkContext.applicationId, empty_sf_dir), None
+        )
+        ed, deg = corpus_ops._edge_index(spark, empty_sf_dir)
+        r, it, converged = graph.pagerank_converged(
+            ed, deg, eps_micro=100, max_iter=50
+        )
+        assert converged is True and it == 1
+        assert r.count() == 0
+
+    def test_lpa_empty_graph_converges_immediately(self, spark, empty_sf_dir):
+        from pei_nwdaf_data_ingestion_spark import graph
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        ed, _deg = corpus_ops._edge_index(spark, empty_sf_dir)
+        lbl, it, converged = graph.label_propagation_converged(
+            ed, pack=corpus_ops._LPA_PACK, max_iter=50
+        )
+        assert converged is True and it == 1
+        assert lbl.count() == 0
+
+    def test_markov_empty_chain_converges_immediately(self, spark, empty_sf_dir):
+        from pei_nwdaf_data_ingestion_spark.queries import infostats
+
+        pi, it, converged = infostats.markov_stationary_converged(
+            spark, empty_sf_dir, eps_micro=16, max_iter=50
+        )
+        assert converged is True and it == 1
+        assert pi.count() == 0
