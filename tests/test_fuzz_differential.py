@@ -795,3 +795,217 @@ def test_fuzz_nullkey_block(spark, ddb, block):
                 f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
             ) from ex
         assert_frames_match(spdf, odf, f"nullkey fuzz seed {seed} ({sql[:120]})")
+
+
+# ---------------------------------------------------------------------------
+# scalar string-function fuzz: the SURVEY 2.6 surface, differential
+# ---------------------------------------------------------------------------
+
+N_SCALAR_SPECS = 60
+
+# each entry: key -> (spark_builder, sql_builder) over one string expr;
+# NULL-propagation parity notes inline - anything the engines define
+# differently (concat() NULL-skip in DuckDB, initcap word rules,
+# greatest/least NULL handling) is deliberately absent
+SCALAR_FNS = [
+    "trim", "ltrim", "rtrim", "replace", "left", "right", "reverse",
+    "instr", "repeat", "concat_pipe", "translate", "md5", "ascii",
+    "lower", "split_part",
+]
+
+
+def gen_scalar_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    table = rng.choice(sorted(TABLES))
+    meta = TABLES[table]
+    col = rng.choice(meta["strs"])
+    fns = [rng.choice(SCALAR_FNS) for _ in range(rng.choice([2, 3, 3, 4]))]
+    return {
+        "seed": seed,
+        "table": table,
+        "col": col,
+        "fns": fns,
+        "lit": rng.choice(["x", "-", "Z_", "##"]),
+        "n": rng.choice([1, 2, 3, 5]),
+    }
+
+
+def compile_scalar_spec(spec, spark, sf_dir):
+    table, col, lit, n = spec["table"], spec["col"], spec["lit"], spec["n"]
+    df = load(spark, sf_dir, table)
+    # base: pad the raw column so the trim family has something to strip
+    base_s = F.concat(F.lit(" "), df[col], F.lit(" "))
+    base_d = f"(' ' || {col} || ' ')"
+    sels, sqls = [], []
+    for i, fn in enumerate(spec["fns"]):
+        al = f"s{i}"
+        if fn == "trim":
+            sc, dc = F.trim(base_s), f"trim({base_d})"
+        elif fn == "ltrim":
+            sc, dc = F.ltrim(base_s), f"ltrim({base_d})"
+        elif fn == "rtrim":
+            sc, dc = F.rtrim(base_s), f"rtrim({base_d})"
+        elif fn == "replace":
+            sc = F.replace(df[col], F.lit("a"), F.lit(lit))
+            dc = f"replace({col}, 'a', {_sq(lit)})"
+        elif fn == "left":
+            sc, dc = F.left(df[col], F.lit(n)), f"left({col}, {n})"
+        elif fn == "right":
+            sc, dc = F.right(df[col], F.lit(n)), f"right({col}, {n})"
+        elif fn == "reverse":
+            sc, dc = F.reverse(df[col]), f"reverse({col})"
+        elif fn == "instr":
+            # 1-based position, 0 when absent - identical contracts
+            sc = F.instr(df[col], "e").cast("long")
+            dc = f"CAST(instr({col}, 'e') AS BIGINT)"
+        elif fn == "repeat":
+            sc, dc = F.repeat(df[col], n), f"repeat({col}, {n})"
+        elif fn == "concat_pipe":
+            # || propagates NULL on BOTH engines (DuckDB's concat()
+            # function would SKIP NULLs - deliberately not used)
+            sc = F.concat(df[col], F.lit(lit))
+            dc = f"({col} || {_sq(lit)})"
+        elif fn == "translate":
+            sc = F.translate(df[col], "aeiou", "12345")
+            dc = f"translate({col}, 'aeiou', '12345')"
+        elif fn == "md5":
+            sc, dc = F.md5(df[col].cast("binary")), f"md5({col})"
+        elif fn == "ascii":
+            sc = F.ascii(df[col]).cast("long")
+            dc = f"CAST(ascii({col}) AS BIGINT)"
+        elif fn == "lower":
+            sc, dc = F.lower(df[col]), f"lower({col})"
+        else:  # split_part: 1-based field of a '-' split
+            sc = F.split_part(df[col], F.lit("-"), F.lit(n))
+            dc = f"split_part({col}, '-', {n})"
+        sels.append(sc.alias(al))
+        sqls.append(f"{dc} AS {al}")
+    sdf = df.select(*sels)
+    sql = f"SELECT {', '.join(sqls)} FROM {table}"
+    return sdf, sql
+
+
+SC_SEED = 0x5CA1
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_fuzz_scalar_block(spark, ddb, block):
+    per_block = N_SCALAR_SPECS // 2
+    for i in range(per_block):
+        seed = SC_SEED + block * per_block + i
+        spec = gen_scalar_spec(seed)
+        sdf, sql = compile_scalar_spec(spec, spark, SF_DIR)
+        try:
+            spdf = sdf.toPandas()
+            odf = ddb.execute(sql).df()
+        except Exception as ex:  # pragma: no cover - diagnostics only
+            raise AssertionError(
+                f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
+            ) from ex
+        assert_frames_match(spdf, odf, f"scalar fuzz seed {seed} ({sql[:120]})")
+
+
+# ---------------------------------------------------------------------------
+# temporal fuzz: the date/time scalar surface over the proven parity duals
+# ---------------------------------------------------------------------------
+
+N_TIME_SPECS = 60
+
+TS_COLS = {
+    "events": "ts",
+    "orders": "o_orderdate",
+    "lineitem": "l_shipdate",
+}
+
+# (key, spark format, duckdb strftime format) - the repo's established
+# rendering duals (e.g. relational.py events_retention_cohort)
+TIME_FMTS = [
+    ("day", "yyyy-MM-dd", "%Y-%m-%d"),
+    ("month", "yyyy-MM", "%Y-%m"),
+    ("hour_of_day", "HH", "%H"),
+    ("minute", "yyyy-MM-dd HH:mm", "%Y-%m-%d %H:%M"),
+]
+
+TIME_FIELDS = ["year", "month", "dayofmonth", "hour"]
+TRUNC_UNITS = ["hour", "day", "month"]
+
+
+def gen_time_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    table = rng.choice(sorted(TS_COLS))
+    ops = []
+    for _ in range(rng.choice([2, 3, 3])):
+        k = rng.choice(["epoch_us", "epoch_ms", "fmt", "field", "trunc", "shift"])
+        if k == "fmt":
+            ops.append(("fmt", rng.choice(TIME_FMTS)))
+        elif k == "field":
+            ops.append(("field", rng.choice(TIME_FIELDS)))
+        elif k == "trunc":
+            ops.append(("trunc", rng.choice(TRUNC_UNITS)))
+        elif k == "shift":
+            ops.append(("shift", rng.choice([1, 6, 24])))
+        else:
+            ops.append((k, None))
+    return {"seed": seed, "table": table, "ops": ops}
+
+
+def compile_time_spec(spec, spark, sf_dir):
+    table = spec["table"]
+    ts = TS_COLS[table]
+    df = load(spark, sf_dir, table)
+    sels, sqls = [], []
+    for i, (k, arg) in enumerate(spec["ops"]):
+        al = f"t{i}"
+        if k == "epoch_us":
+            sc, dc = F.unix_micros(df[ts]), f"epoch_us({ts})"
+        elif k == "epoch_ms":
+            sc, dc = F.unix_millis(df[ts]), f"epoch_ms({ts})"
+        elif k == "fmt":
+            _, sfmt, dfmt = arg
+            sc = F.date_format(df[ts], sfmt)
+            dc = f"strftime({ts}, {_sq(dfmt)})"
+            sels.append(sc.alias(al))
+            sqls.append(f"{dc} AS {al}")
+            continue
+        elif k == "field":
+            fn = {
+                "year": F.year,
+                "month": F.month,
+                "dayofmonth": F.dayofmonth,
+                "hour": F.hour,
+            }[arg]
+            dual = {"dayofmonth": "day"}.get(arg, arg)
+            sc = fn(df[ts]).cast("long")
+            dc = f"CAST({dual}({ts}) AS BIGINT)"
+        elif k == "trunc":
+            # timestamps compared as epoch micros (integer-exact)
+            sc = F.unix_micros(F.date_trunc(arg, df[ts]))
+            dc = f"epoch_us(date_trunc({_sq(arg)}, {ts}))"
+        else:  # shift: + INTERVAL n HOUR, rendered as epoch micros
+            sc = F.unix_micros(df[ts] + F.expr(f"INTERVAL {arg} HOUR"))
+            dc = f"epoch_us({ts} + INTERVAL {arg} HOUR)"
+        sels.append(sc.cast("long").alias(al))
+        sqls.append(f"CAST({dc} AS BIGINT) AS {al}")
+    sdf = df.select(*sels)
+    sql = f"SELECT {', '.join(sqls)} FROM {table}"
+    return sdf, sql
+
+
+TM_SEED = 0x71ED
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_fuzz_time_block(spark, ddb, block):
+    per_block = N_TIME_SPECS // 2
+    for i in range(per_block):
+        seed = TM_SEED + block * per_block + i
+        spec = gen_time_spec(seed)
+        sdf, sql = compile_time_spec(spec, spark, SF_DIR)
+        try:
+            spdf = sdf.toPandas()
+            odf = ddb.execute(sql).df()
+        except Exception as ex:  # pragma: no cover - diagnostics only
+            raise AssertionError(
+                f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
+            ) from ex
+        assert_frames_match(spdf, odf, f"time fuzz seed {seed} ({sql[:120]})")
