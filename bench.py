@@ -147,11 +147,11 @@ HEADLINE = [
 # DuckDB-anchored shapes, AQE-off is 1.15 s vs 1.82 s AQE-on
 # (tools/probe_anchored.py).  Iterative shapes whose join strategy depends
 # on RUNTIME sizes keep AQE on - that dependence holds at any scale:
-#   - dedup_cluster_components: since the round-7 LSH-fed rewrite the
-#     iterative sizes are the contraction residue + star rounds, whose
-#     per-round frames (the m-map, the shrinking edge set) only runtime
-#     stats can see are broadcast-able (re-measured on the new plan:
-#     2.7 s with AQE vs 4.1 s without)
+#   - dedup_cluster_components: the contraction m-map and final label
+#     joins are sized by runtime stats (the r12 gated local solve
+#     removed the star-round iteration at fixture scale, but the m-map
+#     join's broadcast-ability is still a runtime call; re-measured on
+#     the r12 plan: 2.45-2.5 s with AQE vs 2.9-3.3 s without)
 #   - dedup_ppjoin_prefix: probe/build sizes exist only after the prefix
 #     index is materialized (2.19 s with vs 2.42 s without)
 #   (graph_pagerank_iter briefly sat here too; once its adjacency index

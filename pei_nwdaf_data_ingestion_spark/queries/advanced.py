@@ -353,7 +353,15 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     oracle recomputes the IDENTICAL signatures, bands, hot buckets,
     stars and verified edges (shared CTE text with dedup_minhash_lsh's
     oracle), then the same fixpoint as a recursive CTE - so the hash
-    check covers edge generation AND label propagation."""
+    check covers edge generation AND label propagation.
+
+    Since r12 the contracted residue resolves through graph.py's
+    size-gated driver union-find (the contraction collapses 147k
+    verified edges to ~2k residue edges at sf0.1; a residue under
+    _CC_LOCAL_SOLVE_EDGES is a bounded driver table by the
+    gated_broadcast rule, labeled bit-identically to the star-round
+    fixpoint - tests pin equality against the distributed path with
+    the gate forced shut)."""
     from .llm import _minhash_verified_pairs
 
     pairs = _minhash_verified_pairs(spark, sf).select(

@@ -243,8 +243,11 @@ ADDED_IN_ROUND: dict[str, int] = {
 # also uses - plan-identical, re-hash for safety), and
 # text_token_count_bpe (the fertility regexp_count fix applied to its
 # per-doc sibling after this round's rotation sweep measured it at
-# exponent 1.47).  Budget check: 5 pins << the driver's ~50-slot
-# window, so ~45 slots go to the staleness rotation below.
+# exponent 1.47), and dedup_cluster_components (its connected_components
+# dependency gained the size-gated driver union-find over the
+# contracted residue - labels bit-identical, re-hash for safety).
+# Budget check: 6 pins << the driver's ~50-slot window, so ~44 slots
+# go to the staleness rotation below.
 _CHANGED_ROUND = 12
 _CHANGED_THIS_ROUND = [
     "pipeline_tokenizer_fertility",
@@ -252,6 +255,7 @@ _CHANGED_THIS_ROUND = [
     "sim_knn_join",
     "events_markov_stationary",
     "text_token_count_bpe",
+    "dedup_cluster_components",
 ]
 
 

@@ -1817,6 +1817,34 @@ class TestContractionPrePass:
         }
         assert contracted == plain and len(plain) > 0
 
+    def test_local_solve_equals_distributed_residue_path(
+        self, spark, monkeypatch
+    ):
+        """The size-gated driver union-find over the contracted residue
+        (r12) and the distributed star rounds it replaces must label
+        identically: run pre_contract once with the gate open (local
+        solve) and once forced shut (monkeypatched to 0 - every residue
+        goes through the recursive distributed path)."""
+        import random
+
+        from pei_nwdaf_data_ingestion_spark import graph
+
+        rng = random.Random(13)
+        edges = {(rng.randrange(150), rng.randrange(150)) for _ in range(250)}
+        edges |= {(2000 + i, 2001 + i) for i in range(30)}
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        local = {
+            (r["node"], r["component_id"])
+            for r in graph.connected_components(df, pre_contract=True)[0].collect()
+        }
+        monkeypatch.setattr(graph, "_CC_LOCAL_SOLVE_EDGES", 0)
+        dist = {
+            (r["node"], r["component_id"])
+            for r in graph.connected_components(df, pre_contract=True)[0].collect()
+        }
+        assert local == dist and len(local) > 0
+
 
 def _events_only_oracled_ids():
     """Every oracled query whose oracle reads ONLY the events table."""
