@@ -154,10 +154,21 @@ HEADLINE = [
 #     the r12 plan: 2.45-2.5 s with AQE vs 2.9-3.3 s without)
 #   - dedup_ppjoin_prefix: probe/build sizes exist only after the prefix
 #     index is materialized (2.19 s with vs 2.42 s without)
+#   - graph_label_propagation: each vote round joins the round's LABEL
+#     frame (one row per node, shrinking-cardinality content) onto the
+#     shared adjacency - whether that side broadcasts is a runtime call
+#     AQE wins consistently (r12 interleaved same-JVM pairs: 8.83 -> 5.23
+#     and 5.48 -> 4.59 s off -> on at equal warmth)
 #   (graph_pagerank_iter briefly sat here too; once its adjacency index
 #   was materialized per-application the iteration sizes became static and
-#   AQE's barrier was again pure latency - measured 1.13 s on vs 0.88 s off)
-AQE_ON = {"dedup_cluster_components", "dedup_ppjoin_prefix"}
+#   AQE's barrier was again pure latency - measured 1.13 s on vs 0.88 s off;
+#   LPA differs because its rounds interpose TWO aggs whose output sizes
+#   only runtime stats can see)
+AQE_ON = {
+    "dedup_cluster_components",
+    "dedup_ppjoin_prefix",
+    "graph_label_propagation",
+}
 
 
 def time_calibration(spark, runs: int = 3) -> float:
