@@ -154,21 +154,18 @@ HEADLINE = [
 #     the r12 plan: 2.45-2.5 s with AQE vs 2.9-3.3 s without)
 #   - dedup_ppjoin_prefix: probe/build sizes exist only after the prefix
 #     index is materialized (2.19 s with vs 2.42 s without)
-#   - graph_label_propagation: each vote round joins the round's LABEL
-#     frame (one row per node, shrinking-cardinality content) onto the
-#     shared adjacency - whether that side broadcasts is a runtime call
-#     AQE wins consistently (r12 interleaved same-JVM pairs: 8.83 -> 5.23
-#     and 5.48 -> 4.59 s off -> on at equal warmth)
 #   (graph_pagerank_iter briefly sat here too; once its adjacency index
 #   was materialized per-application the iteration sizes became static and
-#   AQE's barrier was again pure latency - measured 1.13 s on vs 0.88 s off;
-#   LPA differs because its rounds interpose TWO aggs whose output sizes
-#   only runtime stats can see)
-AQE_ON = {
-    "dedup_cluster_components",
-    "dedup_ppjoin_prefix",
-    "graph_label_propagation",
-}
+#   AQE's barrier was again pure latency - measured 1.13 s on vs 0.88 s off.
+#   graph_label_propagation sat here for part of r12 on interleaved
+#   same-JVM micro-pairs that favored AQE; the REAL bench context
+#   disagreed - 2.30 s off (sweep 1) vs 3.72 s on (sweep 3) - and the
+#   bench number is the one that counts: with the adjacency materialized
+#   the label-frame sizes are as static as pagerank's, and AQE's
+#   per-stage barrier is again pure latency across 3 rounds x 3 shuffles.
+#   Lesson recorded in the verify skill: micro-benchmarks of AQE toggles
+#   do not transfer; decide from full-bench interleaved runs.)
+AQE_ON = {"dedup_cluster_components", "dedup_ppjoin_prefix"}
 
 
 def time_calibration(spark, runs: int = 3) -> float:
@@ -494,6 +491,21 @@ def main() -> None:
             "scan; r12 idle-box re-measure (best-of-5 both scales) read "
             "exponent 0.71 at t_hi 0.95 s - the 1.297 rotation reading "
             "was best-of-2 jitter on a ~0.2 s absolute time"
+        ),
+        "agg_decimal_money": (
+            "one combinable decimal agg over lineitem; r12 best-of-5 "
+            "re-measure read exponent -0.13 (hi WARM run faster than lo "
+            "- pure host jitter at these absolute times)"
+        ),
+        "join_semi": (
+            "single semi hash join on the orders key; r12 best-of-5 "
+            "re-measure read exponent 0.47 at t_hi 0.76 s - the 1.377 "
+            "rotation reading was best-of-2 jitter at t_hi 0.25 s"
+        ),
+        "map_funcs": (
+            "map-side map-column expression chain; r12 best-of-5 "
+            "re-measure read exponent 0.26 at t_hi 0.35 s - the 1.648 "
+            "rotation reading was best-of-2 jitter on a sub-0.5 s shape"
         ),
     }
 
