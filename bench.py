@@ -331,6 +331,14 @@ def main() -> None:
     llm._PQ_CODEBOOK.clear()
     llm._PQ_CODES_CACHE.clear()
     llm._MH_PAIRS_CACHE.clear()
+    # the graph adjacency index is persisted (not checkpointed) since r12
+    # - unpersist it like the base-table cache so the "plain scan" sweep
+    # really rebuilds it (same rule as the IVF/PQ caches above)
+    from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+    for _ed, _deg in corpus_ops._EDGE_INDEX.values():
+        _ed.unpersist(blocking=True)
+    corpus_ops._EDGE_INDEX.clear()
     for df in catalog._CACHE.values():
         df.unpersist(blocking=True)
     catalog._CACHE.clear()

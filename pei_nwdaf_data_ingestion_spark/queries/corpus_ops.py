@@ -341,9 +341,23 @@ _EDGE_INDEX: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _edge_index(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
-    """(edges-with-outdeg, deg) for the bidirected graph, lineage-truncated
-    via lazy localCheckpoint so each PageRank iteration scans the
-    materialized adjacency instead of recomputing it."""
+    """(edges-with-outdeg, deg) for the bidirected graph, materialized
+    once per application so each PageRank/LPA iteration scans the stored
+    adjacency instead of recomputing it.
+
+    The adjacency is repartition("src").persist() rather than
+    localCheckpoint (r12): a checkpoint replaces the plan with a raw
+    ExistingRDD scan whose outputPartitioning Catalyst cannot see, so
+    EVERY iteration re-shuffled the static 2|E| side of its join; an
+    InMemoryRelation keeps the hash partitioning visible and each
+    round's join exchanges only the (small, changing) rank/label side
+    (measured sf0.1: pagerank 2.20 -> 1.80 s, LPA 5.98 -> 4.59 s on the
+    same box).  At 100x this is the difference between shuffling the
+    edge list k times and shuffling it once - the adjacency partitioning
+    is the one a production graph pipeline would bake into its storage
+    layout.  deg stays a lazy checkpoint (tiny, partitioning
+    irrelevant).  bench.py's uncached sweep unpersists + clears this
+    cache next to the IVF/PQ index caches."""
     key = (spark.sparkContext.applicationId, sf)
     cached = _EDGE_INDEX.get(key)
     if cached is not None:
@@ -353,7 +367,7 @@ def _edge_index(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
         e0.select(F.col("p").alias("src"), F.col("s").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    ed = edges.join(deg, "src").repartition("src").persist()
     deg = deg.localCheckpoint(eager=False)
     _EDGE_INDEX[key] = (ed, deg)
     return ed, deg

@@ -243,11 +243,14 @@ ADDED_IN_ROUND: dict[str, int] = {
 # also uses - plan-identical, re-hash for safety), and
 # text_token_count_bpe (the fertility regexp_count fix applied to its
 # per-doc sibling after this round's rotation sweep measured it at
-# exponent 1.47), and dedup_cluster_components (its connected_components
+# exponent 1.47), dedup_cluster_components (its connected_components
 # dependency gained the size-gated driver union-find over the
-# contracted residue - labels bit-identical, re-hash for safety).
-# Budget check: 6 pins << the driver's ~50-slot window, so ~44 slots
-# go to the staleness rotation below.
+# contracted residue - labels bit-identical, re-hash for safety), and
+# graph_pagerank_iter + graph_label_propagation (their shared
+# _edge_index switched from localCheckpoint to a partitioned persist -
+# results integer-exact and partitioning-invariant by the invariance
+# battery, re-hash for safety).  Budget check: 8 pins << the driver's
+# ~50-slot window, so ~42 slots go to the staleness rotation below.
 _CHANGED_ROUND = 12
 _CHANGED_THIS_ROUND = [
     "pipeline_tokenizer_fertility",
@@ -256,6 +259,8 @@ _CHANGED_THIS_ROUND = [
     "events_markov_stationary",
     "text_token_count_bpe",
     "dedup_cluster_components",
+    "graph_pagerank_iter",
+    "graph_label_propagation",
 ]
 
 
