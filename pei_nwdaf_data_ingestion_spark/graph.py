@@ -18,11 +18,16 @@ from pyspark.sql import types as T
 
 # residue-size gate for the driver-side union-find after the min-neighbor
 # contraction pre-pass: under it the contracted residue is a bounded
-# driver-side table (1M edges ~ 16 MB of long pairs - the gated_broadcast
-# rule applied to a collect); over it the distributed large-star/small-star
-# rounds run unchanged.  Tests monkeypatch this to 0 to force the
-# distributed path on fixture-scale graphs.
-_CC_LOCAL_SOLVE_EDGES = 1_000_000
+# driver-side table; over it the distributed large-star/small-star rounds
+# run unchanged.  100k is broadcast-shaped (ADVICE r12): collected pyspark
+# Rows cost ~100-300 bytes each (not the 16 B of two raw longs), so 100k
+# rows is ~10-30 MB of driver memory - the same order as gated_broadcast's
+# size cap - where the old 1M gate risked hundreds of MB, fetched and
+# thrown away whenever the gate missed.  A 100k-edge union-find is still
+# ~0.1 s of driver CPU vs ~1.5 s of star-round stage latency.  Tests
+# monkeypatch this to 0 to force the distributed path on fixture-scale
+# graphs.
+_CC_LOCAL_SOLVE_EDGES = 100_000
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -140,17 +145,20 @@ def connected_components(
         # dense LSH blob by orders of magnitude (2.9M raw edges -> 1949
         # residue edges at sf0.1) - and a residue under the gate is a
         # bounded driver-side table by the same rule as gated_broadcast:
-        # a driver union-find labels it in microseconds where each star
-        # round costs 2 shuffles + a probe job (measured: the star-round
-        # tail was ~1.5 s of pure stage latency on a 1949-edge residue).
-        # Union-by-min keeps every tree's root = its component minimum,
-        # so labels are BIT-IDENTICAL to the star-round fixpoint.  Above
-        # the gate (a residue that contraction could not collapse - at
-        # 100 TB a pathological near-dup topology) the distributed star
-        # rounds run exactly as before.  limit(cap+1).collect() decides
-        # the gate AND fetches the rows in ONE job - a separate count
-        # would recompute the residue joins a second time (measured
-        # 0.66 s + 0.46 s for count-then-collect on the same frame).
+        # a driver union-find labels a typical tiny residue in
+        # milliseconds where each star round costs 2 shuffles + a probe
+        # job (measured: the star-round tail was ~1.5 s of pure stage
+        # latency on a 1949-edge residue).  Union-by-min keeps every
+        # tree's root = its component minimum, so labels are
+        # BIT-IDENTICAL to the star-round fixpoint.  Above the gate (a
+        # residue that contraction could not collapse - at 100 TB a
+        # pathological near-dup topology) the distributed star rounds
+        # run exactly as before.  limit(cap+1).collect() decides the
+        # gate AND fetches the rows in ONE job - a separate count would
+        # recompute the residue joins a second time (measured 0.66 s +
+        # 0.46 s for count-then-collect on the same frame) - and the
+        # worst-case fetch is bounded by the 100k cap (~10-30 MB of Row
+        # objects), thrown away only on a gate miss.
         gate_rows = residue.limit(_CC_LOCAL_SOLVE_EDGES + 1).collect()
         if len(gate_rows) <= _CC_LOCAL_SOLVE_EDGES:
             parent: dict = {}
@@ -271,8 +279,10 @@ def pagerank_converged(
     max_iter = 3 reproduces the unrolled query's ranks BIT-FOR-BIT
     (pinned in tests/test_advanced.py).
 
-    `edges` must carry (src, dst), `deg` (src, outdeg) - the
-    lineage-truncated adjacency index the unrolled query also scans.
+    `edges` is the degree-annotated adjacency (src, dst, outdeg) -
+    the _edge_index frame the unrolled query also scans (ADVICE r12: a
+    bare (src, dst) edge list is accepted too; the outdeg column is
+    joined on from `deg` when absent).  `deg` carries (src, outdeg).
     Returns (ranks, n_iter, converged): ranks has (node, rank) in micro
     units; converged is True when max |rank - prev_rank| <= eps_micro
     over all nodes BEFORE max_iter ran out.  Per round: one hash join +
@@ -281,6 +291,8 @@ def pagerank_converged(
     1..N-1), and one bounded scalar action for the delta - the standard
     price of a convergence gate, amortized at 100 TB where a converged
     early exit saves whole rounds of shuffle."""
+    if "outdeg" not in edges.columns:
+        edges = edges.join(deg, "src")
     r = deg.select(
         F.col("src").alias("node"),
         F.lit(1_000_000).cast("long").alias("rank"),
@@ -350,8 +362,21 @@ def label_propagation_converged(
     (labels, n_iter, converged); labels has (node, lbl).  Synchronous
     LPA can 2-cycle on bipartite structure even with the self-vote, so
     production keeps the max_iter bound; a False `converged` at
-    max_iter is the oscillation diagnostic."""
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    max_iter is the oscillation diagnostic.
+
+    Seeds come from src UNION dst (ADVICE r12): on a non-bidirected
+    edge list a dst-only node would otherwise first appear mid-round in
+    `nxt` while being invisible to that round's inner-join change count,
+    letting converged=True fire before its label was re-checked against
+    the vote fixpoint.  Seeding every endpoint makes the change count
+    cover exactly the message fan-out; on the repo's bidirected
+    _edge_index input the union is a no-op (src set == dst set), so the
+    bit-equality pin against the unrolled query is unchanged."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     lbl = nodes.select(
         "node", F.col("node").cast("long").alias("lbl")
     ).localCheckpoint(eager=False)

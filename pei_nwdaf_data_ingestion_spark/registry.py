@@ -231,9 +231,9 @@ ADDED_IN_ROUND: dict[str, int] = {
 # until a CORRECTNESS file of that round exists (after that the derived
 # staleness ordering takes over; a permanent pin would waste window slots
 # every later round).
-# Round 12: no new ids (coverage complete at 295); two existing ids
-# changed builder code this round and must re-hash even though both
-# rewrites are value-identical by construction -
+# Round 12: no new ids (coverage complete at 295); eight existing ids
+# changed builder code this round and must re-hash even though every
+# rewrite is value-identical by construction -
 # pipeline_tokenizer_fertility (regexp_count spelling replaces the
 # array-materializing size(regexp_extract_all), the r11 superlinear
 # fix), dedup_semdedup and sim_knn_join (per-vector norm precompute
