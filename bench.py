@@ -515,6 +515,20 @@ def main() -> None:
             "re-measure read exponent 0.26 at t_hi 0.35 s - the 1.648 "
             "rotation reading was best-of-2 jitter on a sub-0.5 s shape"
         ),
+        "text_fingerprint": (
+            "map-side min-md5 over the bigram shingle array, zero "
+            "shuffle beyond the scan (flat-linear by construction); r13 "
+            "best-of-5 idle-box re-measure (tools/probe_growth.py, both "
+            "scales) read exponent 0.62 at t_hi 0.49 s - the 1.813 "
+            "rotation reading was best-of-2 jitter on a sub-0.5 s shape"
+        ),
+        "join_anti": (
+            "single anti hash join on the orders key (no superlinear "
+            "mechanism; its headline warm time IMPROVED the round the "
+            "watch opened); r13 best-of-5 idle-box re-measure read "
+            "exponent 0.63 at t_hi 0.25 s - the 1.38 rotation reading "
+            "was best-of-2 jitter at the host floor"
+        ),
     }
 
     # hi-scale growth sweep (VERDICT r8 item 3): the sf0.01->sf0.1 sweep is

@@ -224,6 +224,8 @@ ADDED_IN_ROUND: dict[str, int] = {
     "agg_cramers_v": 11,
     "agg_trimmed_mean": 11,
     "agg_geometric_mean": 11,
+    "graph_pagerank_converged": 13,
+    "graph_lpa_converged": 13,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -231,36 +233,20 @@ ADDED_IN_ROUND: dict[str, int] = {
 # until a CORRECTNESS file of that round exists (after that the derived
 # staleness ordering takes over; a permanent pin would waste window slots
 # every later round).
-# Round 12: no new ids (coverage complete at 295); eight existing ids
-# changed builder code this round and must re-hash even though every
-# rewrite is value-identical by construction -
-# pipeline_tokenizer_fertility (regexp_count spelling replaces the
-# array-materializing size(regexp_extract_all), the r11 superlinear
-# fix), dedup_semdedup and sim_knn_join (per-vector norm precompute
-# replaces the per-pair _cos_or_null fold in both pairwise verify
-# stages), and events_markov_stationary (builder refactored onto the
-# shared _markov_transition/_markov_step helpers the convergence twin
-# also uses - plan-identical, re-hash for safety), and
-# text_token_count_bpe (the fertility regexp_count fix applied to its
-# per-doc sibling after this round's rotation sweep measured it at
-# exponent 1.47), dedup_cluster_components (its connected_components
-# dependency gained the size-gated driver union-find over the
-# contracted residue - labels bit-identical, re-hash for safety), and
-# graph_pagerank_iter + graph_label_propagation (their shared
-# _edge_index switched from localCheckpoint to a partitioned persist -
-# results integer-exact and partitioning-invariant by the invariance
-# battery, re-hash for safety).  Budget check: 8 pins << the driver's
-# ~50-slot window, so ~42 slots go to the staleness rotation below.
-_CHANGED_ROUND = 12
+# Round 13: two NEW rows-only ids (graph_pagerank_converged /
+# graph_lpa_converged - the convergence twins registered driver-visible,
+# VERDICT r12 item 5; never-sampled, so the staleness ordering already
+# leads with them, pinned here for the audit trail), plus ONE existing id
+# whose dependency changed - dedup_cluster_components (connected_components'
+# local-solve gate lowered 1M -> 100k edges, ADVICE r12; labels
+# bit-identical at fixture scale where the residue is far under both
+# gates, re-hash for safety).  Budget check: 3 pins << the driver's
+# ~50-slot window, so ~47 slots go to the staleness rotation below.
+_CHANGED_ROUND = 13
 _CHANGED_THIS_ROUND = [
-    "pipeline_tokenizer_fertility",
-    "dedup_semdedup",
-    "sim_knn_join",
-    "events_markov_stationary",
-    "text_token_count_bpe",
+    "graph_pagerank_converged",
+    "graph_lpa_converged",
     "dedup_cluster_components",
-    "graph_pagerank_iter",
-    "graph_label_propagation",
 ]
 
 

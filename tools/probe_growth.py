@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Best-of-5 idle-box growth re-measure for named query ids (the watch-
+clearing discipline from VERDICT r11 item 3 / r12 items 1-2): warm both
+scales under bench conditions (cache on, shuffle=8, AQE per bench.AQE_ON),
+time each id best-of-5 at sf0.1 and at the sf1 decade, and print the
+floor-adjusted exponent exactly the way bench.py's hi sweep computes it.
+
+Usage: python tools/probe_growth.py <query-id>...
+"""
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["SPARK_GRAFT_CACHE"] = "1"
+
+import bench  # noqa: E402  (repo root on path)
+from pei_nwdaf_data_ingestion_spark import catalog, registry  # noqa: E402
+from pei_nwdaf_data_ingestion_spark.session import get_spark  # noqa: E402
+
+registry.load_all()
+names = sys.argv[1:] or sys.exit("usage: probe_growth.py <query-id>...")
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+HI = os.environ.get("SPARK_GRAFT_SF_HI_DIR") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "testdata_sf1",
+    "sf1",
+)
+
+spark = get_spark(app_name="probe_growth", shuffle_partitions=8)
+for d in (BASE, HI):
+    for t in catalog.TABLES:
+        catalog.load(spark, d, t).count()
+registry.QUERIES["agg_global"](spark, BASE).count()
+
+floor = bench.time_calibration(spark)
+print(f"calibration floor: {floor:.4f} s")
+
+
+def best_of(name: str, at_dir: str, runs: int = 5) -> float:
+    fn = registry.QUERIES[name]
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        "true" if name in bench.AQE_ON else "false",
+    )
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, at_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return best
+
+
+ratio = math.log(10.0)
+for name in names:
+    t_lo = best_of(name, BASE)
+    t_hi = best_of(name, HI)
+    adj_lo = max(t_lo - floor, 0.005)
+    adj_hi = max(t_hi - floor, 0.005)
+    g = math.log(adj_hi / adj_lo) / ratio
+    print(
+        f"{name}: t_lo={t_lo:.4f}s t_hi={t_hi:.4f}s "
+        f"adj_lo={adj_lo:.4f} adj_hi={adj_hi:.4f} exponent={g:.3f}"
+    )
