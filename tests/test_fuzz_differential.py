@@ -9,7 +9,13 @@ regions the fixtures happen to exercise; the fuzz sweep hits the
 regions a static corpus misses - NULL-injected keys (nullif), negative
 arithmetic, modulo bucketing, empty filter results, LIKE prefixes,
 lexicographic string ranges, left-join null fan-out, global aggregates
-over zero rows.
+over zero rows.  Round 13 adds three blocks (VERDICT r12 item 4):
+higher-order array lambdas + map extraction, DECIMAL aggregation x
+rollup/cube/grouping-sets, and outer-join x window compositions - whose
+first sweeps each caught a real cross-engine divergence, now pinned in
+comments at their fix sites (empty-list array_to_string NULL vs '';
+empty-input rollup grand-total row; duplicate-key ROLLUP subtotal
+rendering).
 
 Determinism rules (the repo's cross-engine discipline, SURVEY 2.0):
 only exact arithmetic reaches an aggregate - doubles are quantized to
@@ -1009,3 +1015,464 @@ def test_fuzz_time_block(spark, ddb, block):
                 f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
             ) from ex
         assert_frames_match(spdf, odf, f"time fuzz seed {seed} ({sql[:120]})")
+
+
+# ---------------------------------------------------------------------------
+# higher-order-function fuzz (round 13, VERDICT r12 item 4): the
+# transform/filter/aggregate lambda surface plus map extraction, always
+# reduced to SCALARS before comparison (raw array columns render
+# differently in pandas - numpy array vs list - so every spec terminates
+# in a reduction: fold, len, min/max, join-to-string, element access)
+# ---------------------------------------------------------------------------
+
+N_HOF_SPECS = 60
+
+# parity rules probed before inclusion (this round): Spark sequence(1,n)
+# == DuckDB generate_series(1,n) (both inclusive); transform/filter/
+# aggregate == list_transform/list_filter/list_sum (aggregate from 0L ==
+# coalesce(list_sum, 0) since the fold is integer addition);
+# try_element_at == l[k] (both NULL out of range - plain element_at
+# RAISES under ANSI mode); array_join == array_to_string;
+# element_at(map,k) == map_extract(map,k)[1] (DuckDB map_extract returns
+# a LIST; map[k] does not cast cleanly).
+
+
+def gen_hof_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    table = rng.choice(sorted(TABLES))
+    meta = TABLES[table]
+    spec = {
+        "seed": seed,
+        "table": table,
+        "base_col": rng.choice(meta["ints"]),
+        "base_mod": rng.choice([3, 4, 5, 6]),
+        "chain": [],
+        "reds": [],
+    }
+    for _ in range(rng.choice([0, 1, 1, 2])):
+        if rng.random() < 0.6:
+            spec["chain"].append(
+                ("transform", rng.choice([2, 3, 5]), rng.choice([0, 1, 7]))
+            )
+        else:
+            spec["chain"].append(
+                ("filter", rng.choice([2, 3]), rng.choice([0, 1]))
+            )
+    kinds = ["sumagg", "size", "amax", "amin", "ajoin", "elem", "contains"]
+    for _ in range(rng.choice([1, 2, 2, 3])):
+        k = rng.choice(kinds)
+        spec["reds"].append((k, rng.choice([1, 2, 3, 6])))
+    if rng.random() < 0.35:
+        spec["map"] = (
+            rng.choice(meta["ints"]),
+            rng.choice(meta["ints"]),
+            rng.choice(["a", "b", "zz"]),  # zz: absent key -> NULL both
+        )
+    return spec
+
+
+def compile_hof_spec(spec, spark, sf_dir):
+    table = spec["table"]
+    df = load(spark, sf_dir, table)
+    c, m = spec["base_col"], spec["base_mod"]
+    arr_s = F.sequence(F.lit(1), (df[c] % m) + 1)
+    arr_d = f"generate_series(1, ({c} % {m}) + 1)"
+    # closure factories, NOT default-arg lambdas: pyspark derives the HOF
+    # arity from the lambda's parameter count, so `lambda x, a=a: ...`
+    # reads as a 3-arg lambda and fails analysis
+    def _tx(a, b):
+        return lambda x: x * a + b
+
+    def _fl(mm, r):
+        return lambda x: x % mm == r
+
+    for op in spec["chain"]:
+        if op[0] == "transform":
+            _, a, b = op
+            arr_s = F.transform(arr_s, _tx(a, b))
+            arr_d = f"list_transform({arr_d}, x -> x * {a} + {b})"
+        else:
+            _, mm, r = op
+            arr_s = F.filter(arr_s, _fl(mm, r))
+            arr_d = f"list_filter({arr_d}, x -> x % {mm} = {r})"
+    sels, sqls = [], []
+    for i, (k, arg) in enumerate(spec["reds"]):
+        al = f"h{i}"
+        if k == "sumagg":
+            sels.append(
+                F.aggregate(
+                    arr_s, F.lit(0).cast("long"), lambda acc, x: acc + x
+                ).alias(al)
+            )
+            sqls.append(
+                f"CAST(coalesce(list_sum({arr_d}), 0) AS BIGINT) AS {al}"
+            )
+        elif k == "size":
+            sels.append(F.size(arr_s).cast("long").alias(al))
+            sqls.append(f"CAST(len({arr_d}) AS BIGINT) AS {al}")
+        elif k == "amax":
+            sels.append(F.array_max(arr_s).cast("long").alias(al))
+            sqls.append(f"CAST(list_max({arr_d}) AS BIGINT) AS {al}")
+        elif k == "amin":
+            sels.append(F.array_min(arr_s).cast("long").alias(al))
+            sqls.append(f"CAST(list_min({arr_d}) AS BIGINT) AS {al}")
+        elif k == "ajoin":
+            # found by this block's first sweep: DuckDB array_to_string of
+            # an EMPTY list is NULL where Spark array_join is '' - the
+            # coalesce pins the engines to Spark's (SQL-concat-like)
+            # convention
+            sels.append(
+                F.array_join(
+                    F.array_sort(arr_s).cast("array<string>"), ","
+                ).alias(al)
+            )
+            sqls.append(
+                f"coalesce(array_to_string(list_transform(list_sort("
+                f"{arr_d}), x -> x::VARCHAR), ','), '') AS {al}"
+            )
+        elif k == "elem":
+            sels.append(
+                F.try_element_at(arr_s, F.lit(arg)).cast("long").alias(al)
+            )
+            sqls.append(f"CAST(({arr_d})[{arg}] AS BIGINT) AS {al}")
+        else:  # contains
+            sels.append(F.array_contains(arr_s, F.lit(arg)).alias(al))
+            sqls.append(f"list_contains({arr_d}, {arg}) AS {al}")
+    if "map" in spec:
+        c1, c2, key = spec["map"]
+        sels.append(
+            F.element_at(
+                F.create_map(
+                    F.lit("a"), df[c1].cast("long"),
+                    F.lit("b"), df[c2].cast("long"),
+                ),
+                key,
+            ).alias("hm")
+        )
+        sqls.append(
+            f"CAST(map_extract(map(['a','b'], [{c1}, {c2}]),"
+            f" {_sq(key)})[1] AS BIGINT) AS hm"
+        )
+    sdf = df.select(*sels)
+    sql = f"SELECT {', '.join(sqls)} FROM {table}"
+    return sdf, sql
+
+
+HOF_SEED = 0x40F5
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_fuzz_hof_block(spark, ddb, block):
+    per_block = N_HOF_SPECS // 2
+    for i in range(per_block):
+        seed = HOF_SEED + block * per_block + i
+        spec = gen_hof_spec(seed)
+        sdf, sql = compile_hof_spec(spec, spark, SF_DIR)
+        try:
+            spdf = sdf.toPandas()
+            odf = ddb.execute(sql).df()
+        except Exception as ex:  # pragma: no cover - diagnostics only
+            raise AssertionError(
+                f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
+            ) from ex
+        assert_frames_match(spdf, odf, f"hof fuzz seed {seed} ({sql[:120]})")
+
+
+# ---------------------------------------------------------------------------
+# DECIMAL aggregation x rollup/cube/grouping-sets fuzz (round 13): the
+# fixed-point money discipline (quantize -> DECIMAL(18,s) -> exact agg ->
+# VARCHAR render, the agg_decimal_money recipe) swept across the
+# multi-grouping shapes.  grouping_id() == GROUPING(...) disambiguates
+# subtotal NULLs from data NULLs on both engines (probed this round);
+# avg is deliberately absent (Spark widens to DECIMAL(22,6), DuckDB
+# returns DOUBLE - no exact dual).
+# ---------------------------------------------------------------------------
+
+N_DECGRP_SPECS = 60
+
+DEC_TABLES = {t: m for t, m in TABLES.items() if m["floats"]}
+
+
+def gen_decgrp_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    table = rng.choice(sorted(DEC_TABLES))
+    meta = TABLES[table]
+    keys = []
+    for _ in range(rng.choice([1, 1, 2])):
+        if rng.random() < 0.6:
+            k = ("str", rng.choice(meta["strs"]))
+        else:
+            k = ("mod", rng.choice(meta["ints"]), rng.choice([3, 5]))
+        # no duplicate key expressions: ROLLUP(x, x) renders the level-1
+        # subtotal's second column as the VALUE in DuckDB (text-matched to
+        # the still-grouped first x) but NULL in Spark (two distinct
+        # Column objects) - found by this block's first sweep
+        if k not in keys:
+            keys.append(k)
+    aggs = []
+    for _ in range(rng.choice([1, 2, 2])):
+        aggs.append(
+            (
+                rng.choice(["sum", "min", "max"]),
+                rng.choice(meta["floats"]),
+                rng.choice([2, 4]),               # quantization scale
+                rng.choice([1, 1, 3, 7]),         # integer multiplier
+            )
+        )
+    return {
+        "seed": seed,
+        "table": table,
+        "keys": keys,
+        "aggs": aggs,
+        "mode": rng.choice(["group", "rollup", "cube", "sets"]),
+        "filter": gen_pred(rng, meta) if rng.random() < 0.4 else None,
+    }
+
+
+def compile_decgrp_spec(spec, spark, sf_dir):
+    table = spec["table"]
+    df = load(spark, sf_dir, table)
+    cols = {c: df[c] for c in df.columns}
+    where_sql = ""
+    if spec["filter"] is not None:
+        sc, dc = compile_pred(spec["filter"], cols)
+        df = df.filter(sc)
+        where_sql = f" WHERE {dc}"
+    kexprs, kcols, ksql, knames = [], [], [], []
+    for i, k in enumerate(spec["keys"]):
+        al = f"k{i}"
+        if k[0] == "str":
+            ke = df[k[1]]
+            ksql.append(k[1])
+        else:
+            _, c, m = k
+            ke = (df[c] % m).cast("long")
+            ksql.append(f"CAST({c} % {m} AS BIGINT)")
+        kexprs.append(ke)
+        kcols.append(ke.alias(al))
+        knames.append(al)
+    acols, asql = [], []
+    for i, (fn, c, scale, mult) in enumerate(spec["aggs"]):
+        al = f"a{i}"
+        q = 10 ** scale
+        dec_s = (F.floor(df[c] * float(q) + 0.5) / float(q)).cast(
+            f"decimal(18,{scale})"
+        )
+        dec_d = (
+            f"CAST(floor({c} * {q}.0 + 0.5) / {q}.0 AS DECIMAL(18,{scale}))"
+        )
+        if mult != 1:
+            dec_s = dec_s * F.lit(mult)
+            dec_d = f"({dec_d} * {mult})"
+        sfn = {"sum": F.sum, "min": F.min, "max": F.max}[fn]
+        acols.append(sfn(dec_s).cast("string").alias(al))
+        asql.append(f"CAST({fn}({dec_d}) AS VARCHAR) AS {al}")
+    acols.append(F.count("*").alias("n"))
+    asql.append("CAST(count(*) AS BIGINT) AS n")
+    mode = spec["mode"]
+    if mode != "group":
+        acols.append(F.grouping_id().cast("long").alias("g"))
+        asql.append(f"CAST(GROUPING({', '.join(ksql)}) AS BIGINT) AS g")
+    if mode == "group":
+        gd = df.groupBy(*kcols)
+        gb = f" GROUP BY {', '.join(ksql)}"
+    elif mode == "rollup":
+        gd = df.rollup(*kcols)
+        gb = f" GROUP BY ROLLUP({', '.join(ksql)})"
+    elif mode == "cube":
+        gd = df.cube(*kcols)
+        gb = f" GROUP BY CUBE({', '.join(ksql)})"
+    else:  # grouping sets: each key alone plus the grand total.
+        # groupingSets must see the SAME (unaliased) Column objects in the
+        # sets and the grouping columns - aliased copies silently fail to
+        # match and every key comes back NULL with a widened grouping_id
+        # (found by this block's first run); output columns are renamed
+        # positionally below instead
+        sets = [[ke] for ke in kexprs] + [[]]
+        gd = df.groupingSets(sets, *kexprs)
+        sets_sql = ", ".join(f"({s})" for s in ksql) + ", ()"
+        gb = f" GROUP BY GROUPING SETS ({sets_sql})"
+    sdf = gd.agg(*acols)
+    if mode == "sets":
+        out_names = knames + [f"a{i}" for i in range(len(spec["aggs"]))] + [
+            "n", "g",
+        ]
+        sdf = sdf.toDF(*out_names)
+    sel = ", ".join(
+        [f"{s} AS k{i}" for i, s in enumerate(ksql)] + asql
+    )
+    having = ""
+    if mode != "group":
+        # found by this block's first sweep: over EMPTY input (a filter
+        # that matches nothing) DuckDB follows the SQL standard and emits
+        # the () grouping-set row with count 0, while Spark's
+        # rollup/cube/groupingSets return ZERO rows.  Dropping the n=0
+        # row on both sides pins a common semantics without losing
+        # information - on non-empty input every group has n >= 1
+        sdf = sdf.filter(F.col("n") > 0)
+        having = " HAVING count(*) > 0"
+    sql = f"SELECT {sel} FROM {table}{where_sql}{gb}{having}"
+    return sdf, sql
+
+
+DG_SEED = 0xDEC5
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_fuzz_decimal_grouping_block(spark, ddb, block):
+    per_block = N_DECGRP_SPECS // 2
+    for i in range(per_block):
+        seed = DG_SEED + block * per_block + i
+        spec = gen_decgrp_spec(seed)
+        sdf, sql = compile_decgrp_spec(spec, spark, SF_DIR)
+        try:
+            spdf = sdf.toPandas()
+            odf = ddb.execute(sql).df()
+        except Exception as ex:  # pragma: no cover - diagnostics only
+            raise AssertionError(
+                f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
+            ) from ex
+        assert_frames_match(
+            spdf, odf, f"decgrp fuzz seed {seed} ({sql[:120]})"
+        )
+
+
+# ---------------------------------------------------------------------------
+# outer-join x window composition fuzz (round 13): LEFT joins with a
+# PRE-FILTERED build side (so unmatched rows actually occur and the
+# right columns go NULL) feeding window functions whose partition key
+# ranges over the NULL fan-out region.  Order key stays the left table's
+# verified-unique key, so every frame is a total order; NULL partition
+# keys form one partition on both engines.
+# ---------------------------------------------------------------------------
+
+N_OJWIN_SPECS = 40
+
+
+def gen_ojwin_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    # orders LEFT JOIN customer is the only N:1 edge whose left key is
+    # verified-unique (lineitem has no total order; customer->orders
+    # fans out and breaks the window order)
+    build_filter = rng.choice(
+        [
+            ("acctbal", rng.choice([0.0, 1000.0, 5000.0, 9000.0])),
+            ("nation_mod", rng.choice([2, 3, 5]), rng.choice([0, 1])),
+        ]
+    )
+    part = rng.choice(
+        [
+            ("coalesce_seg", "~none~"),
+            ("nation_mod_null", rng.choice([3, 5])),
+            ("status",),
+        ]
+    )
+    funcs = []
+    for _ in range(rng.choice([1, 2, 2, 3])):
+        funcs.append(
+            rng.choice(["row_number", "runsum_price", "lag_bal", "pcount", "pmax_bal"])
+        )
+    return {
+        "seed": seed,
+        "build_filter": build_filter,
+        "part": part,
+        "desc": rng.random() < 0.4,
+        "funcs": funcs,
+    }
+
+
+def compile_ojwin_spec(spec, spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    bf = spec["build_filter"]
+    if bf[0] == "acctbal":
+        c = c.filter(F.col("c_acctbal") > bf[1])
+        build_sql = f"SELECT * FROM customer WHERE c_acctbal > {bf[1]}"
+    else:
+        _, m, r = bf
+        c = c.filter(F.col("c_nationkey") % m == r)
+        build_sql = f"SELECT * FROM customer WHERE c_nationkey % {m} = {r}"
+    df = o.join(c, o["o_custkey"] == c["c_custkey"], "left")
+    from_sql = (
+        f"orders LEFT JOIN ({build_sql}) c ON orders.o_custkey = c.c_custkey"
+    )
+    p = spec["part"]
+    if p[0] == "coalesce_seg":
+        pk_sc = F.coalesce(c["c_mktsegment"], F.lit(p[1]))
+        pk_sql = f"coalesce(c_mktsegment, {_sq(p[1])})"
+    elif p[0] == "nation_mod_null":
+        # NULL-able partition key on purpose: unmatched rows share the
+        # NULL partition on both engines
+        pk_sc = (c["c_nationkey"] % p[1]).cast("long")
+        pk_sql = f"CAST(c_nationkey % {p[1]} AS BIGINT)"
+    else:
+        pk_sc = o["o_orderstatus"]
+        pk_sql = "o_orderstatus"
+    order_sc = o["o_orderkey"].desc() if spec["desc"] else o["o_orderkey"].asc()
+    order_sql = f"o_orderkey {'DESC' if spec['desc'] else 'ASC'}"
+    over = f"(PARTITION BY {pk_sql} ORDER BY {order_sql})"
+    w = Window.partitionBy(pk_sc).orderBy(order_sc)
+    cents_price_s = F.floor(o["o_totalprice"] * 100.0 + 0.5).cast("long")
+    cents_price_d = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+    bal_s = F.coalesce(
+        F.floor(c["c_acctbal"] * 100.0 + 0.5).cast("long"), F.lit(-1)
+    )
+    bal_d = "coalesce(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT), -1)"
+    sels = [
+        o["o_orderkey"].cast("long").alias("uk"),
+        pk_sc.alias("pk"),
+    ]
+    sqls = [f"CAST(o_orderkey AS BIGINT) AS uk", f"{pk_sql} AS pk"]
+    for i, k in enumerate(spec["funcs"]):
+        al = f"w{i}"
+        if k == "row_number":
+            sels.append(F.row_number().over(w).cast("long").alias(al))
+            sqls.append(f"CAST(row_number() OVER {over} AS BIGINT) AS {al}")
+        elif k == "runsum_price":
+            rw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            sels.append(F.sum(cents_price_s).over(rw).cast("long").alias(al))
+            sqls.append(
+                f"CAST(sum({cents_price_d}) OVER ({over[1:-1]} ROWS BETWEEN"
+                f" UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS {al}"
+            )
+        elif k == "lag_bal":
+            sels.append(F.lag(bal_s, 1).over(w).alias(al))
+            sqls.append(f"lag({bal_d}, 1) OVER {over} AS {al}")
+        elif k == "pcount":
+            pw = Window.partitionBy(pk_sc)
+            sels.append(F.count("*").over(pw).cast("long").alias(al))
+            sqls.append(
+                f"CAST(count(*) OVER (PARTITION BY {pk_sql}) AS BIGINT) AS {al}"
+            )
+        else:  # pmax_bal: partition max of the NULL-repaired balance
+            pw = Window.partitionBy(pk_sc)
+            sels.append(F.max(bal_s).over(pw).cast("long").alias(al))
+            sqls.append(
+                f"CAST(max({bal_d}) OVER (PARTITION BY {pk_sql}) AS BIGINT)"
+                f" AS {al}"
+            )
+    sdf = df.select(*sels)
+    sql = f"SELECT {', '.join(sqls)} FROM {from_sql}"
+    return sdf, sql
+
+
+OJ_SEED = 0x01D1
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_fuzz_ojwin_block(spark, ddb, block):
+    per_block = N_OJWIN_SPECS // 2
+    for i in range(per_block):
+        seed = OJ_SEED + block * per_block + i
+        spec = gen_ojwin_spec(seed)
+        sdf, sql = compile_ojwin_spec(spec, spark, SF_DIR)
+        try:
+            spdf = sdf.toPandas()
+            odf = ddb.execute(sql).df()
+        except Exception as ex:  # pragma: no cover - diagnostics only
+            raise AssertionError(
+                f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
+            ) from ex
+        assert_frames_match(spdf, odf, f"ojwin fuzz seed {seed} ({sql[:120]})")
