@@ -205,6 +205,78 @@ def ingest_throughput(
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # high-cardinality stateful leg (VERDICT r12 item 7): the tuned
+        # block above holds ~120 (window, type) groups - a state size
+        # where the RocksDB-off call is obvious but does not generalize.
+        # This leg keys the same watermark+window plan by event_id %
+        # 100_000 (~1 state entry per row - the dedup-shaped worst case,
+        # >= 1e5 keys) and times the SAME rig under BOTH state store
+        # providers, so the store choice is re-justified at the scale
+        # where the HDFS-backed store's in-heap posture could flip.
+        # Shuffle width goes back up with the state (100k entries across
+        # 4 stores would serialize the commit); 8 matches the bench
+        # session width.
+        hk_parts = 8
+        hk = {}
+        prev_store = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", ""
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(hk_parts))
+        try:
+            for store, cls in (
+                ("hdfs", ""),
+                (
+                    "rocksdb",
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider",
+                ),
+            ):
+                if cls:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass", cls
+                    )
+                elif prev_store:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass",
+                        prev_store,
+                    )
+                else:
+                    spark.conf.unset(
+                        "spark.sql.streaming.stateStore.providerClass"
+                    )
+                src_h = spark.readStream.schema(ev.schema).option(
+                    "maxFilesPerTrigger", tuned_mfpt
+                ).parquet(d)
+                agg_h = (
+                    src_h.withWatermark("ts", "10 minutes")
+                    .groupBy(
+                        F.window("ts", "1 hour").alias("w"),
+                        (F.col("event_id") % 100_000).alias("k"),
+                    )
+                    .agg(
+                        F.count("*").alias("n"),
+                        pround(F.sum("value"), 2).alias("value_sum"),
+                    )
+                )
+                t0 = time.perf_counter()
+                qh = (
+                    agg_h.writeStream.outputMode("append")
+                    .format("noop")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                qh.awaitTermination()
+                hk[store] = round(time.perf_counter() - t0, 4)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            if prev_store:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_store
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
         # pass-through normalize leg (the apples-to-apples line against the
         # reference kernel, which is a stateless per-record normalize loop):
         # ONE availableNow batch (no per-trigger floor), a representative
@@ -281,6 +353,31 @@ def ingest_throughput(
                 "32) and 4-file triggers amortizing the per-batch "
                 "plan+commit floor; RocksDB measured slower at this "
                 "state size and stays off"
+            ),
+        },
+        "stateful_highk": {
+            "rows": n_rows,
+            "state_keys": "~1e5 (window x event_id % 100000)",
+            "wall_sec_hdfs": hk.get("hdfs"),
+            "wall_sec_rocksdb": hk.get("rocksdb"),
+            "rec_per_sec_hdfs": (
+                round(n_rows / hk["hdfs"], 1) if hk.get("hdfs") else None
+            ),
+            "rec_per_sec_rocksdb": (
+                round(n_rows / hk["rocksdb"], 1)
+                if hk.get("rocksdb")
+                else None
+            ),
+            "knobs": {
+                "spark.sql.shuffle.partitions": hk_parts,
+                "maxFilesPerTrigger": tuned_mfpt,
+            },
+            "note": (
+                "same watermark+window plan keyed by event_id % 100000 "
+                "(>= 1e5 state entries, the dedup-shaped regime) timed "
+                "under BOTH providers on the same rig - the store choice "
+                "re-justified at the cardinality where the in-heap "
+                "HDFS-backed posture could flip (VERDICT r12 item 7)"
             ),
         },
         "passthrough": {
