@@ -538,10 +538,27 @@ def main() -> None:
     # floor is noise and the slope measures data scaling.  Fixtures are the
     # deterministic 10x derivation of tools/gen_sf1.py (gitignored;
     # regenerate in ~1 min); the sweep is skipped silently when absent.
+    #
+    # Decidability guard (r13): the log-log slope is only MEANINGFUL when
+    # the base-scale time clears the floor by more than the floor's own
+    # intra-run swing.  The per-query floor moved 0.048 -> 0.106 s within
+    # one r13 run; a shape whose t_base sits inside that band has
+    # adj_base clamped to noise, and the computed exponent measures the
+    # clamp, not the data (every one of the six r12/r13 watch entries -
+    # text_fingerprint 1.85, join_anti 1.42, join_semi 1.43,
+    # subq_in_notin 1.51, cast_funcs 1.19, win_percent_rank 1.36 - had
+    # t_base 0.08-0.14 vs floor 0.106, while fresh-JVM best-of-5 probes
+    # read 0.2-0.7 on the same shapes).  Such shapes are recorded as
+    # floor_dominated instead of watch-flagged: with t_hi <= 0.5 s they
+    # are scale-safe by the absolute-time bar one decade up.  A
+    # floor-dominated shape whose t_hi EXCEEDS 0.5 s still lands in the
+    # superlinear list - a real 0.1 -> 5 s blow-up cannot hide here.
+    GROWTH_FLOOR_EPS = 0.05
     sweep_hi: dict = {}
     growth_hi: dict = {}
     superlinear_hi: list = []
     growth_watch_hi: dict = {}
+    floor_dominated_hi: dict = {}
     sf_hi_name = ""
     if os.environ.get("SPARK_GRAFT_SF_SWEEP", "1") != "0":
         hi_dir = os.environ.get("SPARK_GRAFT_SF_HI_DIR") or os.path.join(
@@ -621,6 +638,14 @@ def main() -> None:
                     if g > 1.1:
                         if t_best > 0.5:
                             superlinear_hi.append(n)
+                        elif t_base - floor < GROWTH_FLOOR_EPS:
+                            # slope undecidable: base time inside the
+                            # floor's own swing (see guard comment above)
+                            floor_dominated_hi[n] = {
+                                "exponent": g,
+                                "t_base": round(t_base, 4),
+                                "t_hi": round(t_best, 4),
+                            }
                         else:
                             growth_watch_hi[n] = {
                                 "exponent": g,
@@ -651,6 +676,7 @@ def main() -> None:
     rot_growth: dict = {}
     rot_superlinear: list = []
     rot_watch: dict = {}
+    rot_floor_dominated: dict = {}
     ledger_summary: dict = {}
     ledger_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools",
@@ -681,9 +707,16 @@ def main() -> None:
         # staleness rotation for ~4 rounds (hit by the r12
         # text_token_count_bpe fix, which landed right after the sweep
         # that flagged it)
+        # floor_dominated entries are excluded from the flagged-first
+        # predicate: their recorded exponent is the clamp artifact the
+        # r13 decidability guard names, not a red reading to chase - the
+        # staleness rotation refreshes them on its normal cadence
         pool.sort(
             key=lambda n: (
-                not (ledger.get(n, {}).get("exponent", 0) or 0) > 1.1,
+                not (
+                    (ledger.get(n, {}).get("exponent", 0) or 0) > 1.1
+                    and not ledger.get(n, {}).get("floor_dominated")
+                ),
                 ledger.get(n, {}).get("seq", -1),
                 n,
             )
@@ -697,7 +730,12 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 print(f"bench: rotation warmup failed for {t}: {exc}",
                       file=sys.stderr)
-        floor = max(calib_start, calib_end)
+        # rotation runs LAST in a long JVM (7k+ stages by now): re-measure
+        # the floor here instead of trusting the sweep-time probes - GC
+        # and JIT state have moved it by then, and a stale-low floor is
+        # exactly what turns sub-0.15 s base times into clamped
+        # adj_base values (the r13 decidability guard's failure mode)
+        floor = max(calib_start, calib_end, time_calibration(spark))
         ratio = math.log(hi_v / base_v)
         for n in chosen:
             fn = registry.QUERIES[n]
@@ -715,6 +753,7 @@ def main() -> None:
             adj_hi = max(t_hi - floor, 0.005)
             adj_base = max(t_base - floor, 0.005)
             g = round(math.log(adj_hi / adj_base) / ratio, 3)
+            fdom = False
             if g > 1.1:
                 t_best = confirm_growth_time(n, t_hi, hi_dir)
                 rot_hi[n] = t_best
@@ -723,6 +762,15 @@ def main() -> None:
                 if g > 1.1:
                     if t_best > 0.5:
                         rot_superlinear.append(n)
+                    elif t_base - floor < GROWTH_FLOOR_EPS:
+                        # slope undecidable at this base time (the r13
+                        # decidability guard) - recorded, never flagged
+                        fdom = True
+                        rot_floor_dominated[n] = {
+                            "exponent": g,
+                            "t_base": round(t_base, 4),
+                            "t_hi": round(rot_hi[n], 4),
+                        }
                     else:
                         rot_watch[n] = {
                             "exponent": g,
@@ -737,6 +785,8 @@ def main() -> None:
                 "t_base": round(t_base, 4),
                 "t_hi": round(rot_hi[n], 4),
             }
+            if fdom:
+                ledger[n]["floor_dominated"] = True
         rot_superlinear.sort()
         # headline exponents measured this run land in the same ledger -
         # it is the single record of who carries a measured hi exponent
@@ -747,6 +797,8 @@ def main() -> None:
                     "seq": seq, "exponent": g,
                     "t_base": round(tb, 4), "t_hi": round(th, 4),
                 }
+                if n in floor_dominated_hi:
+                    ledger[n]["floor_dominated"] = True
         for n, reason in HI_SWEEP_SKIP.items():
             ledger[n] = {"seq": seq, "skip": reason}
         try:
@@ -773,7 +825,8 @@ def main() -> None:
             "pending": len(pending),
             "superlinear_ever": sorted(
                 n for n in measured
-                if ledger[n]["exponent"] > 1.1 and ledger[n]["t_hi"] > 0.5
+                if (ledger[n].get("exponent") or 0) > 1.1
+                and ledger[n].get("t_hi", 0) > 0.5
             ),
         }
 
@@ -933,6 +986,7 @@ def main() -> None:
         payload["growth_exponent_hi"] = growth_hi
         payload["superlinear_hi"] = superlinear_hi
         payload["growth_watch_hi"] = growth_watch_hi
+        payload["growth_floor_dominated_hi"] = floor_dominated_hi
         payload["hi_skipped"] = HI_SWEEP_SKIP
     if rot_growth or ledger_summary:
         payload["rotation_base_queries"] = rot_base
@@ -940,6 +994,7 @@ def main() -> None:
         payload["rotation_growth_exponent_hi"] = rot_growth
         payload["rotation_superlinear_hi"] = rot_superlinear
         payload["rotation_growth_watch_hi"] = rot_watch
+        payload["rotation_floor_dominated_hi"] = rot_floor_dominated
         payload["growth_ledger"] = ledger_summary
     if streaming_tel:
         payload["streaming"] = streaming_tel
