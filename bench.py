@@ -308,6 +308,28 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         return min(hi_time, t2) if isinstance(t2, float) else hi_time
 
+    # JIT-warm the DuckDB-anchored sub-second shapes (the first 9 sweep
+    # positions) with one untimed run each: whole-stage-codegen
+    # compilation otherwise lands inside their timed region, and at
+    # sub-300 ms absolute times that IS the drift - r13 measured the
+    # anchored shapes at 1.3-1.7x their idle min-of-5 when timed at sweep
+    # head (win_tumbling_1h 236 ms in-sweep vs 139 ms in probe_anchored,
+    # which runs each shape 10x).  Heavy shapes run deep in the sweep
+    # with a warm JIT and need no pass (~2 s total cost).
+    for _name in HEADLINE[:9]:
+        _fn = registry.QUERIES.get(_name)
+        if _fn is None:
+            continue
+        spark.conf.set(
+            "spark.sql.adaptive.enabled",
+            "true" if _name in AQE_ON else "false",
+        )
+        try:
+            _fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 - warmup must never kill the run
+            pass
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
     calib_start = time_calibration(spark)
     calib_heavy_start = time_calibration_heavy(spark)
     times = sweep()
