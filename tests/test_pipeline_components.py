@@ -1782,3 +1782,24 @@ class TestConvergedTwinQueries:
         # self-vote + single upstream neighbor: every vote ties 1-1 and
         # the smallest label wins, so the directed chain collapses to 1
         assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_pagerank_converged_accepts_bare_edges(self, spark):
+        """ADVICE r12: a bare (src, dst) edge list - no outdeg column -
+        must work (the function joins deg on internally) and produce the
+        same ranks as the degree-annotated adjacency."""
+        from pei_nwdaf_data_ingestion_spark import graph
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        sf = "/root/testdata/sf0.001"
+        ed, deg = corpus_ops._edge_index(spark, sf)
+        bare = ed.select("src", "dst")
+        r_bare, it_b, _ = graph.pagerank_converged(
+            bare, deg, eps_micro=-1, max_iter=3
+        )
+        r_full, it_f, _ = graph.pagerank_converged(
+            ed, deg, eps_micro=-1, max_iter=3
+        )
+        assert it_b == it_f == 3
+        a = sorted(r_bare.collect())
+        b = sorted(r_full.collect())
+        assert a == b
