@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import gated_broadcast, load
 from ..functions import band_join, pround
 from ..registry import query
 
@@ -197,9 +197,14 @@ def join_null_keys(spark: SparkSession, sf: str) -> DataFrame:
 )
 def join_multiway(spark: SparkSession, sf: str) -> DataFrame:
     """5-table star.  supplier/nation/region are tiny dims -> explicit
-    broadcast keeps the big fact table shuffle-free on those hops; the
-    lineitem-orders hop is the only real shuffle (AQE may broadcast it too
-    at small SF)."""
+    broadcast keeps the big fact table shuffle-free on those hops.  The
+    lineitem-orders hop rides the shared gated_broadcast size gate (r13):
+    under the gate the whole star is one shuffle-free broadcast chain
+    ending in a partial agg (the bench runs AQE-off, where the static
+    planner sized the cached orders side past the 10 MB default and fell
+    back to a shuffled join); past the gate the hint drops away and
+    Catalyst/AQE plan the orders hop from real stats - at 100x both
+    fact sides hash-partition on l_orderkey as before."""
     li = load(spark, sf, "lineitem")
     s = load(spark, sf, "supplier")
     n = load(spark, sf, "nation")
@@ -209,7 +214,7 @@ def join_multiway(spark: SparkSession, sf: str) -> DataFrame:
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(gated_broadcast(o, sf, "orders"), li.l_orderkey == o.o_orderkey)
         .groupBy("r_name", "n_name")
         .agg(
             pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -240,13 +240,17 @@ ADDED_IN_ROUND: dict[str, int] = {
 # whose dependency changed - dedup_cluster_components (connected_components'
 # local-solve gate lowered 1M -> 100k edges, ADVICE r12; labels
 # bit-identical at fixture scale where the residue is far under both
-# gates, re-hash for safety).  Budget check: 3 pins << the driver's
-# ~50-slot window, so ~47 slots go to the staleness rotation below.
+# gates, re-hash for safety), plus join_multiway's gated-broadcast
+# strategy change.  Budget check: 4 pins << the driver's ~50-slot
+# window, so ~46 slots go to the staleness rotation below.
 _CHANGED_ROUND = 13
 _CHANGED_THIS_ROUND = [
     "graph_pagerank_converged",
     "graph_lpa_converged",
     "dedup_cluster_components",
+    # join strategy only (gated broadcast on the orders hop) - values
+    # identical by construction, re-hash for safety
+    "join_multiway",
 ]
 
 
