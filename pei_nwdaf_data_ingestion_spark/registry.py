@@ -226,6 +226,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "agg_geometric_mean": 11,
     "graph_pagerank_converged": 13,
     "graph_lpa_converged": 13,
+    "scan_orc_source": 13,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -241,8 +242,9 @@ ADDED_IN_ROUND: dict[str, int] = {
 # local-solve gate lowered 1M -> 100k edges, ADVICE r12; labels
 # bit-identical at fixture scale where the residue is far under both
 # gates, re-hash for safety), plus join_multiway's gated-broadcast
-# strategy change.  Budget check: 4 pins << the driver's ~50-slot
-# window, so ~46 slots go to the staleness rotation below.
+# strategy change and the new scan_orc_source (r13 ORC connector
+# parity).  Budget check: 5 pins << the driver's ~50-slot
+# window, so ~45 slots go to the staleness rotation below.
 _CHANGED_ROUND = 13
 _CHANGED_THIS_ROUND = [
     "graph_pagerank_converged",
@@ -251,6 +253,7 @@ _CHANGED_THIS_ROUND = [
     # join strategy only (gated broadcast on the orders hop) - values
     # identical by construction, re-hash for safety
     "join_multiway",
+    "scan_orc_source",
 ]
 
 
