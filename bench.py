@@ -139,6 +139,25 @@ HEADLINE = [
     "text_keyness_logodds",
 ]
 
+# The nine DuckDB-anchored sub-second shapes BASELINE.md prices directly.
+# Named EXPLICITLY (ADVICE r13: the JIT warmup used to slice HEADLINE[:9]
+# by position, so any insertion at the head of HEADLINE would silently
+# warm the wrong set while the anchored shapes went back to paying codegen
+# compilation inside their timed region).  Everything calibration-gated -
+# the untimed JIT warmup pass AND the retry-on-load republish gate - keys
+# off this list, never off sweep position.
+ANCHORED = [
+    "agg_groupby_hash",
+    "join_multiway",
+    "win_rank_topk",
+    "win_tumbling_1h",
+    "json_extract",
+    "explode_unnest",
+    "agg_distinct",
+    "join_anti",
+    "topk_orderby_limit",
+]
+
 
 # AQE is the right DEFAULT at production scale (session.py keeps it on:
 # runtime coalescing + skew splitting replace manual tuning when volume
@@ -259,6 +278,16 @@ def main() -> None:
     # still splits skewed/oversized partitions when the data says so.
     cores = os.cpu_count() or 4
     spark = get_spark(app_name="bench", shuffle_partitions=max(4, cores // 4))
+    # ratchet pins load up front: the warm sweep's republish gate below
+    # needs them (they double later as the regression-flag thresholds)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "bench_ratchet.json")
+        ) as fh:
+            ratchet = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        ratchet = {}
     # warm the JVM/reader path + materialize table caches once; warmup
     # failures must not kill the sweep (same lesson as the per-query
     # guard: BENCH_r04 shipped zero numbers because one error aborted
@@ -308,15 +337,14 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         return min(hi_time, t2) if isinstance(t2, float) else hi_time
 
-    # JIT-warm the DuckDB-anchored sub-second shapes (the first 9 sweep
-    # positions) with one untimed run each: whole-stage-codegen
-    # compilation otherwise lands inside their timed region, and at
-    # sub-300 ms absolute times that IS the drift - r13 measured the
-    # anchored shapes at 1.3-1.7x their idle min-of-5 when timed at sweep
-    # head (win_tumbling_1h 236 ms in-sweep vs 139 ms in probe_anchored,
-    # which runs each shape 10x).  Heavy shapes run deep in the sweep
-    # with a warm JIT and need no pass (~2 s total cost).
-    for _name in HEADLINE[:9]:
+    # JIT-warm the DuckDB-anchored sub-second shapes with one untimed run
+    # each: whole-stage-codegen compilation otherwise lands inside their
+    # timed region, and at sub-300 ms absolute times that IS the drift -
+    # r13 measured the anchored shapes at 1.3-1.7x their idle min-of-5
+    # when timed at sweep head (win_tumbling_1h 236 ms in-sweep vs 139 ms
+    # in probe_anchored, which runs each shape 10x).  Heavy shapes run
+    # deep in the sweep with a warm JIT and need no pass (~2 s total).
+    for _name in ANCHORED:
         _fn = registry.QUERIES.get(_name)
         if _fn is None:
             continue
@@ -333,6 +361,49 @@ def main() -> None:
     calib_start = time_calibration(spark)
     calib_heavy_start = time_calibration_heavy(spark)
     times = sweep()
+
+    # Calibration-wired republish gate (VERDICT r13 item 1): the r13
+    # end-of-round sweep shipped 1.3-2.4x-inflated anchored times while
+    # the calibration block DETECTED the co-load (heavy_vs_ratchet 1.21)
+    # and did nothing with it.  Detection now acts: any anchored shape
+    # above 1.2x its ratchet pin (+50 ms absolute scheduler-jitter slack)
+    # is re-measured best-of-3 in up to two bounded passes, keeping the
+    # min, with a short settle window between passes so a TRANSIENT
+    # co-load (the r13 failure mode) clears instead of contaminating the
+    # retry too.  A real plan regression reproduces across all three
+    # measurements and still publishes flagged; the retry ledger below
+    # makes every accepted re-measure self-describing in the payload.
+    anchored_retry: dict = {}
+    for _pass in range(2):
+        flagged = [
+            n for n in ANCHORED
+            if isinstance(times.get(n), float)
+            and isinstance(ratchet.get(n), (int, float))
+            and times[n] > 1.2 * ratchet[n] + 0.05
+        ]
+        if not flagged:
+            break
+        if _pass:
+            time.sleep(20)  # settle: let a transient co-load drain
+        retry_calib = time_calibration(spark)
+        for n in flagged:
+            fn = registry.QUERIES.get(n)
+            if fn is None:
+                continue
+            spark.conf.set(
+                "spark.sql.adaptive.enabled",
+                "true" if n in AQE_ON else "false",
+            )
+            t2 = safe_time_query(fn, spark, sf_dir)
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            if isinstance(t2, float) and t2 < times[n]:
+                rec = anchored_retry.setdefault(
+                    n, {"first": times[n], "passes": []}
+                )
+                rec["passes"].append(
+                    {"t": round(t2, 4), "calibration": retry_calib}
+                )
+                times[n] = round(t2, 4)
 
     # second sweep against plain cold parquet scans (catalog.load checks the
     # env var per call, so flipping it here bypasses the cache); JVM and
@@ -867,6 +938,64 @@ def main() -> None:
             )
 
             streaming_tel = _sq.ingest_throughput(spark, sf_dir)
+            # streaming republish gate (VERDICT r13 item 1, second leg):
+            # r13 shipped a 40% streaming drop that was box load, not a
+            # plan change.  The two legs the verdict tracks carry idle-box
+            # floor pins in the ratchet file; a run below either floor is
+            # re-measured (bounded, with a settle window) and the payload
+            # records every retry.  Still-below-floor after retries
+            # publishes WITH the floors and the run's calibration factor
+            # attached, so the artifact attributes its own cause instead
+            # of reading as a silent regression.
+            def _legs(tel: dict) -> dict:
+                return {
+                    "passthrough": (tel.get("passthrough") or {}).get(
+                        "rec_per_sec"
+                    ),
+                    "stateful_tuned": (tel.get("stateful_tuned") or {}).get(
+                        "rec_per_sec"
+                    ),
+                }
+
+            floors = {
+                "passthrough": ratchet.get("_streaming_passthrough_floor"),
+                "stateful_tuned": ratchet.get(
+                    "_streaming_stateful_tuned_floor"
+                ),
+            }
+
+            def _below(tel: dict) -> list:
+                got = _legs(tel)
+                return sorted(
+                    k for k, fl in floors.items()
+                    if isinstance(fl, (int, float))
+                    and isinstance(got.get(k), (int, float))
+                    and got[k] < fl
+                )
+
+            stream_retries = []
+            for _ in range(2):
+                if not _below(streaming_tel):
+                    break
+                time.sleep(20)  # settle: transient co-load drains
+                tel2 = _sq.ingest_throughput(spark, sf_dir)
+                stream_retries.append(_legs(tel2))
+                # adopt the retry when it is the better coherent run
+                # (higher sum over the two gated legs); never splice legs
+                # from different runs into one record
+                def _score(tel: dict) -> float:
+                    return sum(
+                        v for v in _legs(tel).values()
+                        if isinstance(v, (int, float))
+                    )
+
+                if _score(tel2) > _score(streaming_tel):
+                    streaming_tel = tel2
+            streaming_tel["republish"] = {
+                "floors": floors,
+                "retries": stream_retries,
+                "below_floor": _below(streaming_tel),
+            }
             streaming_tel["reference_rec_per_sec_per_core"] = 144_000
             streaming_tel["note"] = (
                 "reference line is a pass-through normalize kernel; this "
@@ -902,14 +1031,6 @@ def main() -> None:
     # additive, not proportional - a pure relative threshold flags noise on
     # every 0.1 s shape while the slack never hides a real plan regression
     # on the multi-second shapes the ratchet exists for.
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "tools", "bench_ratchet.json")
-        ) as fh:
-            ratchet = json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        ratchet = {}
     regressions = {
         n: {"warm": times[n], "best_known": ratchet[n]}
         for n in times
@@ -968,6 +1089,33 @@ def main() -> None:
             "regressions": regressions,
         }
         cache_regressions, regressions = [], {}
+    # anchored self-description (VERDICT r13 item 1): the nine anchored
+    # shapes publish their aggregate against the sum of their ratchet
+    # pins, so BENCH_rN states by itself whether its anchored numbers are
+    # idle-grade (vs_pins <= ~1.2) or load-contaminated - a reader never
+    # again has to re-measure to interpret the file.
+    anchored_pin_total = round(
+        sum(
+            ratchet[n]
+            for n in ANCHORED
+            if isinstance(ratchet.get(n), (int, float))
+        ),
+        4,
+    )
+    anchored_warm_total = round(
+        sum(times[n] for n in ANCHORED if isinstance(times.get(n), float)),
+        4,
+    )
+    anchored_block = {
+        "warm_total": anchored_warm_total,
+        "ratchet_pin_total": anchored_pin_total,
+        "vs_pins": (
+            round(anchored_warm_total / anchored_pin_total, 3)
+            if anchored_pin_total
+            else None
+        ),
+        "retried": anchored_retry,
+    }
     payload = {
         "metric": "headline_queries_total_warm",
         "value": total_ok(times),
@@ -987,6 +1135,7 @@ def main() -> None:
             "vs_ratchet": calib_vs_ratchet,
             "sustained_slowdown": sustained_slowdown,
         },
+        "anchored": anchored_block,
         "cache_regressions": cache_regressions,
         "regressions": regressions,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

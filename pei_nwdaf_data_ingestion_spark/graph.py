@@ -286,11 +286,18 @@ def pagerank_converged(
     Returns (ranks, n_iter, converged): ranks has (node, rank) in micro
     units; converged is True when max |rank - prev_rank| <= eps_micro
     over all nodes BEFORE max_iter ran out.  Per round: one hash join +
-    one combinable sum shuffle (the Pregel step), one localCheckpoint to
-    truncate lineage (without it round N's plan re-derives rounds
-    1..N-1), and one bounded scalar action for the delta - the standard
-    price of a convergence gate, amortized at 100 TB where a converged
-    early exit saves whole rounds of shuffle."""
+    one combinable sum shuffle (the Pregel step) and ONE action - the
+    delta gate rides the rank-update job itself as a CollectMetrics
+    observation on the new-vs-prev full outer join (VERDICT r13 item 3;
+    same df.observe pattern as pipeline_observe_metrics), collected by
+    the eager localCheckpoint that also truncates lineage (without the
+    checkpoint, round N's plan re-derives rounds 1..N-1).  The old
+    spelling ran a separate full-outer-join + max action after each
+    checkpoint materialization - twice the per-round jobs for the same
+    arithmetic, which at 100 TB is a whole extra pass over the rank
+    frame per iteration."""
+    from pyspark.sql import Observation
+
     if "outdeg" not in edges.columns:
         edges = edges.join(deg, "src")
     r = deg.select(
@@ -299,7 +306,7 @@ def pagerank_converged(
     ).localCheckpoint(eager=False)
     it, converged = 0, False
     while it < max_iter:
-        nxt = (
+        upd = (
             edges.join(r, edges["src"] == r["node"])
             .select(
                 F.col("dst").alias("node"),
@@ -313,23 +320,35 @@ def pagerank_converged(
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
         it += 1
         if eps_micro >= 0:
-            delta = (
-                nxt.join(
-                    r.withColumnRenamed("rank", "prev"), "node", "full"
-                )
-                .select(
+            # the full outer join covers BOTH drift directions: a node
+            # that lost all contributions this round (rank NULL) counts
+            # as |0 - prev|, a newly-reached node as |rank - 0| - the
+            # exact arithmetic the old two-job spelling computed
+            obs = Observation()
+            observed = upd.join(
+                r.withColumnRenamed("rank", "prev"), "node", "full"
+            ).observe(
+                obs,
+                F.max(
                     F.abs(
                         F.coalesce("rank", F.lit(0))
                         - F.coalesce("prev", F.lit(0))
-                    ).alias("d")
-                )
-                .agg(F.max("d").alias("mx"))
-                .collect()[0]["mx"]
+                    )
+                ).alias("mx"),
             )
+            # keeping only non-NULL ranks reproduces the old `r = nxt`
+            # (the agg output) row set exactly; eager=True is the one
+            # action per round - it materializes the checkpoint AND
+            # delivers the observed delta
+            nxt = (
+                observed.filter(F.col("rank").isNotNull())
+                .select("node", "rank")
+                .localCheckpoint(eager=True)
+            )
+            delta = obs.get["mx"]
             r = nxt
             # delta is None iff both frames are empty (empty graph) - a
             # trivial fixpoint, not a non-converged loop: without this an
@@ -339,7 +358,7 @@ def pagerank_converged(
                 converged = True
                 break
         else:
-            r = nxt
+            r = upd.localCheckpoint(eager=False)
     return r, it, converged
 
 

@@ -1517,25 +1517,26 @@ def scan_orc_source(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source connector parity (round 13): lineitem round-trips
     through ORC - the other columnar lakehouse format Spark reads
     natively - and the aggregate over the ORC-sourced frame must equal
-    the parquet-sourced DuckDB oracle exactly.  Like the parquet path,
-    the ORC reader gets predicate pushdown and column pruning for free
-    (the scan here prunes to 3 of 16 columns); quantities leave the
-    round-trip as integer cents so the comparison is bit-exact.  The
-    dump happens once per application; the query's own work is the
-    pruned ORC scan + one map-side-combined hash agg."""
-    li = load(spark, sf, "lineitem").select(
-        "l_orderkey",
-        "l_returnflag",
-        "l_linestatus",
-        F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("qty_cents"),
-    )
+    the parquet-sourced DuckDB oracle exactly.  The dump carries ALL 11
+    lineitem columns (ADVICE r13: a pre-projected dump exercised no real
+    pruning on the read side), so the ORC scan genuinely prunes to the 3
+    columns the query reads - ReadSchema on the OrcScan shows only
+    l_returnflag/l_linestatus/l_quantity.  Doubles round-trip ORC
+    bit-exact and the quantity is reduced to integer cents on the read
+    side, so the comparison stays bit-exact.  The dump happens once per
+    application; the query's own work is the pruned ORC scan + one
+    map-side-combined hash agg."""
+    li = load(spark, sf, "lineitem")
     d = _dump_dir(
         spark, sf, "orc",
         lambda p: li.coalesce(1).write.mode("overwrite").orc(p),
     )
     src = spark.read.orc(d)
     return src.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), F.sum("qty_cents").alias("qty_cents")
+        F.count("*").alias("n"),
+        F.sum(
+            F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long")
+        ).alias("qty_cents"),
     )
 
 

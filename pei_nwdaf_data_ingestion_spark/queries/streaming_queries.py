@@ -223,27 +223,26 @@ def ingest_throughput(
         )
         spark.conf.set("spark.sql.shuffle.partitions", str(hk_parts))
         try:
+            # both legs PIN their provider class explicitly (ADVICE r13):
+            # the old 'hdfs' leg restored prev_store/unset, so a session
+            # that arrived with a non-default provider (e.g. RocksDB)
+            # silently ran the 'hdfs'-labeled timing under that provider
+            # and the telemetry keys lied
             for store, cls in (
-                ("hdfs", ""),
+                (
+                    "hdfs",
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "HDFSBackedStateStoreProvider",
+                ),
                 (
                     "rocksdb",
                     "org.apache.spark.sql.execution.streaming.state."
                     "RocksDBStateStoreProvider",
                 ),
             ):
-                if cls:
-                    spark.conf.set(
-                        "spark.sql.streaming.stateStore.providerClass", cls
-                    )
-                elif prev_store:
-                    spark.conf.set(
-                        "spark.sql.streaming.stateStore.providerClass",
-                        prev_store,
-                    )
-                else:
-                    spark.conf.unset(
-                        "spark.sql.streaming.stateStore.providerClass"
-                    )
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", cls
+                )
                 src_h = spark.readStream.schema(ev.schema).option(
                     "maxFilesPerTrigger", tuned_mfpt
                 ).parquet(d)

@@ -1641,6 +1641,41 @@ class TestConvergenceGatedTwins:
         )
         assert delta is not None and delta <= eps
 
+    def test_pagerank_converged_one_job_per_round(self, spark):
+        """VERDICT r13 item 3: the delta gate rides the rank-update job
+        as a CollectMetrics observation - exactly ONE Spark job per
+        iteration (the eager localCheckpoint), not a rank job plus a
+        separate full-outer-join + max action.  AQE is disabled for the
+        count (it splits queries into per-stage jobs nondeterministically)
+        and restored after."""
+        from pyspark.sql import functions as F
+        from pei_nwdaf_data_ingestion_spark import graph
+
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            edges = spark.createDataFrame(
+                [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)],
+                "src long, dst long",
+            )
+            deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+            e2 = edges.join(deg, "src")
+            sc = spark.sparkContext
+            sc.setJobGroup("pr_gate_jobs", "job-count pin")
+            try:
+                r, it, conv = graph.pagerank_converged(
+                    e2, deg, eps_micro=5_000, max_iter=40
+                )
+                n_jobs = len(
+                    sc.statusTracker().getJobIdsForGroup("pr_gate_jobs")
+                )
+            finally:
+                sc.setJobGroup("", "")
+            assert conv is True and 1 < it < 40
+            assert n_jobs == it, f"{n_jobs} jobs for {it} gated rounds"
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
     def test_lpa_converged_matches_unrolled_at_3(self, spark):
         from pyspark.sql import functions as F
         from pei_nwdaf_data_ingestion_spark import graph, registry

@@ -59,6 +59,22 @@ class TestPushdownAndPruning:
         for bad in ("l_comment", "l_shipdate", "l_quantity"):
             assert all(bad not in l for l in schemas)
 
+    def test_orc_scan_prunes_to_query_columns(self, spark):
+        """ADVICE r13: the ORC dump now carries ALL 11 lineitem columns,
+        so the read side must prove real column pruning - the OrcScan's
+        ReadSchema carries exactly the 3 columns the query touches."""
+        plan = plan_of(spark, "scan_orc_source")
+        orc_schemas = [
+            l for l in plan.splitlines()
+            if "ReadSchema" in l and "l_quantity" in l
+        ]
+        assert orc_schemas, "ORC scan schema line not found"
+        for line in orc_schemas:
+            for kept in ("l_quantity", "l_returnflag", "l_linestatus"):
+                assert kept in line
+            for dropped in ("l_orderkey", "l_extendedprice", "l_shipdate"):
+                assert dropped not in line
+
 
 class TestJoinStrategy:
     def test_star_join_broadcasts_all_dims(self, spark):

@@ -69,7 +69,18 @@ def best_of(name: str, at_dir: str, runs: int = 5) -> float:
     return best
 
 
-ratio = math.log(10.0)
+# the exponent denominator comes from the ACTUAL scale pair (ADVICE r13:
+# a hardcoded log(10) silently mis-scales the exponent whenever the env
+# vars point at a non-decade pair) - parsed from the dir names the way
+# bench.py's hi sweep does
+_sf_of = lambda d: float(d.rstrip("/").rsplit("sf", 1)[-1])  # noqa: E731
+try:
+    _base_v, _hi_v = _sf_of(BASE), _sf_of(HI)
+except ValueError:
+    sys.exit(f"probe_growth: cannot parse sf values from {BASE!r} / {HI!r}")
+if not _hi_v > _base_v > 0.0:
+    sys.exit(f"probe_growth: bad scale pair sf{_base_v} -> sf{_hi_v}")
+ratio = math.log(_hi_v / _base_v)
 results = {}
 for name in names:
     t_lo = best_of(name, BASE)
@@ -86,6 +97,14 @@ for name in names:
 if FOLD:
     import json
 
+    # the ledger's entries are one-decade sf0.1 -> sf1 measurements; a
+    # fold from any other pair would write incomparable t_base/t_hi rows
+    # (same gate as bench.py's rotation: 9 < ratio < 11)
+    if not 9.0 < _hi_v / _base_v < 11.0:
+        sys.exit(
+            f"probe_growth: --fold requires a one-decade pair, got "
+            f"sf{_base_v} -> sf{_hi_v} (ratio {_hi_v / _base_v:.2f})"
+        )
     ledger_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "growth_ledger.json"
     )
