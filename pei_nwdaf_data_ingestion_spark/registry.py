@@ -27,15 +27,69 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# un-wrapped builders (no digest column) - the surface pytest duals and
+# batch-equality pins compare against, so the digest plumbing can never
+# mask a real value divergence
+RAW_QUERIES: dict[str, QueryFn] = {}
+
+
+def append_result_digest(df: DataFrame) -> DataFrame:
+    """Append a constant `result_digest` column: one order-insensitive
+    fingerprint of the WHOLE result, stamped onto every row (VERDICT r13
+    item 5 - the driver's rows-only check records only row counts, so a
+    value regression in a rows-only query was invisible to the artifact;
+    the digest surfaces the pytest batch-dual strength driver-side: two
+    runs of unchanged code must print the same digest).
+
+    Construction is scale-safe and deterministic: per-row xxhash64 over
+    the name-sorted columns (map columns ride as to_json - Spark refuses
+    to hash MapType directly), combined by three COMMUTATIVE aggregates
+    (count, bit_xor, overflow-proof decimal sum - xor alone cancels
+    even-multiplicity duplicate rows, the sum breaks that), md5-rendered,
+    then broadcast onto the result.  One extra combinable map-side agg
+    pass, no extra shuffle of the payload, independent of partitioning
+    and task order."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for c, t in sorted(df.dtypes):
+        cols.append(F.to_json(F.col(c)) if t.startswith("map") else F.col(c))
+    h = df.select(F.xxhash64(*cols).alias("h64"))
+    agg = h.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(h64)"), F.lit(0)).alias("x"),
+        F.coalesce(
+            F.sum(F.col("h64").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s"),
+    ).select(F.md5(F.concat_ws(":", "n", "x", "s")).alias("result_digest"))
+    return df.crossJoin(F.broadcast(agg))
+
+
+def _digested(fn: QueryFn) -> QueryFn:
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        return append_result_digest(fn(spark, sf))
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__module__ = getattr(fn, "__module__", wrapped.__module__)
+    return wrapped
 
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query builder; `oracle=None` marks a rows-only query."""
+    """Register a query builder; `oracle=None` marks a rows-only query.
+
+    Rows-only queries (no static-SQL oracle exists: streaming semantics,
+    engine-specific sketches, data-dependent iteration counts) register
+    WRAPPED with append_result_digest, so the driver-visible output
+    carries a deterministic whole-result fingerprint next to the row
+    count; the raw builder stays in RAW_QUERIES for the pytest duals."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query id {name!r}")
-        QUERIES[name] = fn
+        RAW_QUERIES[name] = fn
+        QUERIES[name] = fn if oracle is not None else _digested(fn)
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -234,25 +288,40 @@ ADDED_IN_ROUND: dict[str, int] = {
 # until a CORRECTNESS file of that round exists (after that the derived
 # staleness ordering takes over; a permanent pin would waste window slots
 # every later round).
-# Round 13: two NEW rows-only ids (graph_pagerank_converged /
-# graph_lpa_converged - the convergence twins registered driver-visible,
-# VERDICT r12 item 5; never-sampled, so the staleness ordering already
-# leads with them, pinned here for the audit trail), plus ONE existing id
-# whose dependency changed - dedup_cluster_components (connected_components'
-# local-solve gate lowered 1M -> 100k edges, ADVICE r12; labels
-# bit-identical at fixture scale where the residue is far under both
-# gates, re-hash for safety), plus join_multiway's gated-broadcast
-# strategy change and the new scan_orc_source (r13 ORC connector
-# parity).  Budget check: 5 pins << the driver's ~50-slot
-# window, so ~45 slots go to the staleness rotation below.
-_CHANGED_ROUND = 13
+# Round 14: every rows-only id now registers digest-wrapped (VERDICT r13
+# item 5 - output gains the constant result_digest column; row counts
+# unchanged, underlying values pytest-pinned equal to the raw builders),
+# so all 22 lead the window for a fresh rows-only sample under the new
+# schema.  scan_orc_source's dump widened to all 11 lineitem columns
+# (ADVICE r13; aggregate values identical by construction, re-hash for
+# safety), and graph_pagerank_converged's delta gate folded into the
+# rank-update job via df.observe (bit-equality pinned, re-hash for
+# safety; it is also in the rows-only set).  Budget check: 23 pins <<
+# the driver's ~50-slot window.
+_CHANGED_ROUND = 14
 _CHANGED_THIS_ROUND = [
     "graph_pagerank_converged",
     "graph_lpa_converged",
-    "dedup_cluster_components",
-    # join strategy only (gated broadcast on the orders hop) - values
-    # identical by construction, re-hash for safety
-    "join_multiway",
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_hll_sketch_merge",
+    "stream_attribution_state",
+    "stream_cdc_upsert",
+    "stream_countmin_merge",
+    "stream_dedup",
+    "stream_inactivity_flush",
+    "stream_ingest_pipeline",
+    "stream_late_drop",
+    "stream_media_decode",
+    "stream_minhash_dedup",
+    "stream_ohlc_bars",
+    "stream_session_window",
+    "stream_sliding_hll",
+    "stream_stateful_counts",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_stream_join_outer",
+    "stream_windowed_topk",
     "scan_orc_source",
 ]
 

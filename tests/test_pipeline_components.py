@@ -1769,7 +1769,11 @@ class TestConvergedTwinQueries:
         pdf = registry.QUERIES["graph_pagerank_converged"](spark, sf).toPandas()
         assert list(pdf.columns) == [
             "node", "kind", "rank_micro", "n_iter", "converged",
+            "result_digest",
         ]
+        # the rows-only digest (VERDICT r13 item 5): one constant
+        # whole-result fingerprint stamped on every row
+        assert pdf["result_digest"].nunique() == 1
         assert len(pdf) == 20
         # eps = one initial-rank unit: the damped descent must actually
         # gate (converged True before the 25-round bound), and n_iter is
@@ -1788,8 +1792,9 @@ class TestConvergedTwinQueries:
         pdf = registry.QUERIES["graph_lpa_converged"](spark, sf).toPandas()
         assert list(pdf.columns) == [
             "community", "n_nodes", "n_suppliers", "n_parts",
-            "n_iter", "converged",
+            "n_iter", "converged", "result_digest",
         ]
+        assert pdf["result_digest"].nunique() == 1
         assert len(pdf) > 0
         assert pdf["converged"].all()
         # measured: 4 rounds at sf0.001 - the natural integer fixpoint

@@ -85,7 +85,9 @@ def test_streaming_windowed_ingest_matches_batch(spark):
 
     registry.load_all()
     sf = "/root/testdata/sf0.001"
-    got = registry.QUERIES["stream_ingest_pipeline"](spark, sf)
+    # RAW_QUERIES: the registered rows-only spelling appends the driver-
+    # facing result_digest column; the dual compares raw tuples
+    got = registry.RAW_QUERIES["stream_ingest_pipeline"](spark, sf)
     want = registry.QUERIES["win_tumbling_1h"](spark, sf)
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
@@ -921,8 +923,13 @@ def test_stream_media_decode_matches_batch_dual(spark):
 
     registry.load_all()
     sf = "/root/testdata/sf0.001"
+    # RAW_QUERIES: the registered rows-only spelling appends the driver-
+    # facing result_digest column; the dual compares raw values
     got = sorted(
-        map(tuple, registry.QUERIES["stream_media_decode"](spark, sf).collect())
+        map(
+            tuple,
+            registry.RAW_QUERIES["stream_media_decode"](spark, sf).collect(),
+        )
     )
     want = sorted(
         map(tuple, registry.QUERIES["multimodal_decode"](spark, sf).collect())
