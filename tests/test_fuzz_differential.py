@@ -1476,3 +1476,350 @@ def test_fuzz_ojwin_block(spark, ddb, block):
                 f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
             ) from ex
         assert_frames_match(spdf, odf, f"ojwin fuzz seed {seed} ({sql[:120]})")
+
+
+# ---------------------------------------------------------------------------
+# correlated / IN-subquery decorrelation fuzz (round 14, VERDICT r13
+# item 6): the one rewrite surface the earlier blocks never touched.
+# Specs are compiled to ONE SQL text executed by BOTH engines - for this
+# family that is the point: Spark must DECORRELATE (scalar correlated
+# subqueries become left outer aggregated joins, [NOT] IN becomes
+# [null-aware] semi/anti joins, [NOT] EXISTS becomes semi/anti joins)
+# while DuckDB runs its own unnesting, so any rewrite bug diverges on
+# the same text.  NOT IN draws from a nullif-injected subquery on
+# purpose - one NULL in the subquery must empty the whole result (the
+# UNKNOWN-propagation trap) on both engines identically.
+# ---------------------------------------------------------------------------
+
+N_SUBQ_SPECS = 48
+
+
+def gen_subq_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    kind = rng.choice(
+        ["scalar_cnt", "scalar_max", "in", "not_in", "not_in_null",
+         "exists", "not_exists"]
+    )
+    return {
+        "seed": seed,
+        "kind": kind,
+        # outer-side thinning filter so EXISTS/IN probe full, partial
+        # and empty match regions
+        "mod": rng.choice([2, 3, 5, 7]),
+        "res": rng.choice([0, 1]),
+        # subquery-side predicate constant
+        "bal": rng.choice([0.0, 1000.0, 4500.0, 9000.0]),
+        "qty": rng.choice([10.0, 25.0, 45.0]),
+        # the key nullif-ed into the NOT IN subquery (an existing custkey
+        # guarantees a real NULL at sf0.001; 10**9 never matches so that
+        # branch also exercises the no-NULL path)
+        "null_key": rng.choice([1, 2, 3, 10**9]),
+    }
+
+
+def compile_subq_spec(spec, spark, sf_dir):
+    # same text, two engines: Spark's analyzer must decorrelate it
+    for t in ("orders", "customer", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    outer = f"o_custkey % {spec['mod']} = {spec['res']}"
+    k = spec["kind"]
+    if k == "scalar_cnt":
+        sql = (
+            "SELECT CAST(o_orderkey AS BIGINT) AS uk, "
+            "CAST((SELECT count(*) FROM lineitem "
+            f"WHERE l_orderkey = o_orderkey AND l_quantity > {spec['qty']})"
+            " AS BIGINT) AS sub "
+            f"FROM orders WHERE {outer}"
+        )
+    elif k == "scalar_max":
+        # scalar correlated MAX over a quantized measure; empty group ->
+        # NULL on both engines
+        sql = (
+            "SELECT CAST(o_orderkey AS BIGINT) AS uk, "
+            "(SELECT max(CAST(floor(l_extendedprice * 100.0 + 0.5) AS "
+            "BIGINT)) FROM lineitem WHERE l_orderkey = o_orderkey) AS sub "
+            f"FROM orders WHERE {outer}"
+        )
+    elif k in ("in", "not_in"):
+        neg = "NOT " if k == "not_in" else ""
+        sql = (
+            "SELECT CAST(o_orderkey AS BIGINT) AS uk, o_orderstatus AS st "
+            f"FROM orders WHERE {outer} AND o_custkey {neg}IN "
+            f"(SELECT c_custkey FROM customer WHERE c_acctbal > {spec['bal']})"
+        )
+    elif k == "not_in_null":
+        sql = (
+            "SELECT CAST(o_orderkey AS BIGINT) AS uk "
+            f"FROM orders WHERE {outer} AND o_custkey NOT IN "
+            f"(SELECT nullif(c_custkey, {spec['null_key']}) FROM customer "
+            f"WHERE c_acctbal > {spec['bal']})"
+        )
+    else:
+        neg = "NOT " if k == "not_exists" else ""
+        sql = (
+            "SELECT CAST(o_orderkey AS BIGINT) AS uk "
+            f"FROM orders WHERE {outer} AND {neg}EXISTS "
+            "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            f"AND l_quantity > {spec['qty']})"
+        )
+    return spark.sql(sql), sql
+
+
+SQ_SEED = 0x5B0C
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_fuzz_subquery_block(spark, ddb, block):
+    per_block = N_SUBQ_SPECS // 2
+    for i in range(per_block):
+        seed = SQ_SEED + block * per_block + i
+        spec = gen_subq_spec(seed)
+        sdf, sql = compile_subq_spec(spec, spark, SF_DIR)
+        try:
+            spdf = sdf.toPandas()
+            odf = ddb.execute(sql).df()
+        except Exception as ex:  # pragma: no cover - diagnostics only
+            raise AssertionError(
+                f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
+            ) from ex
+        assert_frames_match(spdf, odf, f"subq fuzz seed {seed} ({sql[:120]})")
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot fuzz (round 14): Spark's relational pivot (groupBy +
+# .pivot(values) + agg) against the portable conditional-aggregation
+# spelling, and DataFrame.unpivot (melt) against its UNION ALL dual.
+# Pinned semantics this block enforces (probed before writing it):
+#   - a pivot CELL is NULL when the (group, value) combination has NO
+#     rows; count() over a present-but-all-NULL measure is 0, NOT NULL -
+#     the SQL dual needs the two-level CASE below, a plain
+#     count(CASE...) conflates the two;
+#   - Spark unpivot KEEPS NULL measure values (melt semantics), unlike
+#     SQL-standard UNPIVOT which drops them - the UNION ALL dual keeps
+#     them too.
+# ---------------------------------------------------------------------------
+
+N_PIVOT_SPECS = 40
+
+PIVOT_TABLES = {
+    "events": ("user_id", "event_type", "value",
+               ["click", "view", "purchase", "signup"]),
+    "orders": ("o_custkey", "o_orderstatus", "o_totalprice",
+               ["O", "F", "P"]),
+    "lineitem": ("l_orderkey", "l_returnflag", "l_quantity",
+                 ["A", "N", "R"]),
+}
+
+
+def gen_pivot_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    table = rng.choice(sorted(PIVOT_TABLES))
+    return {
+        "seed": seed,
+        "table": table,
+        "mode": rng.choice(["pivot", "pivot", "unpivot"]),
+        "agg": rng.choice(["sum", "max", "count"]),
+        # nullif-inject NULLs into the measure so count's 0-vs-NULL cell
+        # semantics and unpivot's NULL retention are actually exercised
+        "null_mod": rng.choice([0, 3, 5]),
+        "mod": rng.choice([2, 3, 5]),
+        "res": rng.choice([0, 1]),
+        "n_vals": rng.choice([2, 3]),
+    }
+
+
+def compile_pivot_spec(spec, spark, sf_dir):
+    table = spec["table"]
+    key, pcol, measure, all_vals = PIVOT_TABLES[table]
+    vals = all_vals[: spec["n_vals"]]
+    df = load(spark, sf_dir, table).filter(
+        F.col(key) % spec["mod"] == spec["res"]
+    )
+    where = f"WHERE {key} % {spec['mod']} = {spec['res']}"
+    cents_s = F.floor(F.col(measure) * 100.0 + 0.5).cast("long")
+    cents_d = f"CAST(floor({measure} * 100.0 + 0.5) AS BIGINT)"
+    if spec["null_mod"]:
+        cents_s = F.when(
+            cents_s % spec["null_mod"] != 0, cents_s
+        )  # NULL otherwise
+        cents_d = (
+            f"CASE WHEN {cents_d} % {spec['null_mod']} <> 0 "
+            f"THEN {cents_d} END"
+        )
+    if spec["mode"] == "unpivot":
+        base = df.select(
+            F.col(key).cast("long").alias("k"),
+            cents_s.alias("m0"),
+            (cents_s * 2).alias("m1"),
+        )
+        sdf = base.unpivot(["k"], ["m0", "m1"], "name", "val")
+        sql = (
+            f"WITH b AS (SELECT CAST({key} AS BIGINT) AS k, "
+            f"{cents_d} AS m0, ({cents_d}) * 2 AS m1 FROM {table} {where}) "
+            "SELECT k, 'm0' AS name, m0 AS val FROM b "
+            "UNION ALL SELECT k, 'm1' AS name, m1 AS val FROM b"
+        )
+        return sdf, sql
+    agg = spec["agg"]
+    sfn = {"sum": F.sum, "max": F.max, "count": F.count}[agg]
+    sdf = (
+        df.select(F.col(key).cast("long").alias("k"), F.col(pcol), cents_s.alias("c"))
+        .groupBy("k")
+        .pivot(pcol, vals)
+        .agg(sfn(F.col("c")).cast("long"))
+    )
+    cells = []
+    for v in vals:
+        inner = f"CASE WHEN {pcol} = '{v}' THEN {cents_d} END"
+        if agg == "count":
+            # NULL iff the (k, v) combination has no rows AT ALL; else
+            # the count of non-NULL measures (0 allowed)
+            cell = (
+                f"CASE WHEN count(CASE WHEN {pcol} = '{v}' THEN 1 END) = 0 "
+                f"THEN NULL ELSE count({inner}) END"
+            )
+        else:
+            cell = f"{agg}({inner})"
+        cells.append(f'CAST({cell} AS BIGINT) AS "{v}"')
+    sql = (
+        f"SELECT CAST({key} AS BIGINT) AS k, {', '.join(cells)} "
+        f"FROM {table} {where} GROUP BY 1"
+    )
+    return sdf, sql
+
+
+PV_SEED = 0x9140
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_fuzz_pivot_block(spark, ddb, block):
+    per_block = N_PIVOT_SPECS // 2
+    for i in range(per_block):
+        seed = PV_SEED + block * per_block + i
+        spec = gen_pivot_spec(seed)
+        sdf, sql = compile_pivot_spec(spec, spark, SF_DIR)
+        try:
+            spdf = sdf.toPandas()
+            odf = ddb.execute(sql).df()
+        except Exception as ex:  # pragma: no cover - diagnostics only
+            raise AssertionError(
+                f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
+            ) from ex
+        assert_frames_match(spdf, odf, f"pivot fuzz seed {seed} ({sql[:120]})")
+
+
+# ---------------------------------------------------------------------------
+# unionByName-with-missing-columns fuzz (round 14): branches project
+# DIFFERENT, differently-ORDERED column subsets of one table and meet in
+# unionByName(allowMissingColumns=True); the oracle NULL-pads each
+# branch explicitly.  Name-matching (not positional) is the surface
+# under test, so every branch shuffles its projection order.  An
+# optional distinct on top exercises set semantics over the NULL-padded
+# frame (NULLs compare equal in DISTINCT on both engines).
+# ---------------------------------------------------------------------------
+
+N_UNION_SPECS = 32
+
+UB_COLS = {
+    "orders": [("uk", "CAST(o_orderkey AS BIGINT)", "long"),
+               ("ck", "CAST(o_custkey AS BIGINT)", "long"),
+               ("st", "o_orderstatus", "string"),
+               ("cents", "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)",
+                "long")],
+    "events": [("uk", "CAST(event_id AS BIGINT)", "long"),
+               ("ck", "CAST(user_id AS BIGINT)", "long"),
+               ("st", "event_type", "string"),
+               ("cents", "CAST(floor(value * 100.0 + 0.5) AS BIGINT)",
+                "long")],
+}
+UB_KEYS = {"orders": "o_orderkey", "events": "event_id"}
+
+
+def gen_union_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    table = rng.choice(sorted(UB_COLS))
+    n_branches = rng.choice([2, 2, 3])
+    branches = []
+    for _ in range(n_branches):
+        names = [c[0] for c in UB_COLS[table]]
+        # every branch keeps the key (so rows stay distinguishable) plus
+        # a random non-empty subset of the rest, in shuffled order
+        rest = [n for n in names[1:] if rng.random() < 0.6]
+        cols = ["uk"] + (rest or [names[1]])
+        rng.shuffle(cols)
+        branches.append({
+            "cols": cols,
+            "mod": rng.choice([2, 3, 4]),
+            "res": rng.choice([0, 1]),
+        })
+    return {
+        "seed": seed,
+        "table": table,
+        "branches": branches,
+        "distinct": rng.random() < 0.3,
+    }
+
+
+def compile_union_spec(spec, spark, sf_dir):
+    table = spec["table"]
+    meta = {c[0]: c for c in UB_COLS[table]}
+    all_names = [c[0] for c in UB_COLS[table]]
+    key = UB_KEYS[table]
+    base = load(spark, sf_dir, table)
+    # build the Spark side from the SAME SQL expressions via expr() so
+    # the two compilations cannot drift
+    sdf_branches = []
+    sql_branches = []
+    union_names: list = []
+    for b in spec["branches"]:
+        for c in b["cols"]:
+            if c not in union_names:
+                union_names.append(c)
+    for b in spec["branches"]:
+        cols = b["cols"]
+        where = f"{key} % {b['mod']} = {b['res']}"
+        sdf_b = base.filter(F.expr(where)).select(
+            *[F.expr(meta[c][1]).alias(c) for c in cols]
+        )
+        sdf_branches.append(sdf_b)
+        padded = []
+        # oracle pads to the FULL union schema in a fixed order; Spark's
+        # unionByName(allowMissingColumns=True) must produce the same
+        # NULL fill regardless of each branch's projection order
+        for c in union_names:
+            if c in cols:
+                padded.append(f"{meta[c][1]} AS {c}")
+            else:
+                dt = {"long": "BIGINT", "string": "VARCHAR"}[meta[c][2]]
+                padded.append(f"CAST(NULL AS {dt}) AS {c}")
+        sql_branches.append(
+            f"SELECT {', '.join(padded)} FROM {table} WHERE {where}"
+        )
+    sdf = sdf_branches[0]
+    for nxt in sdf_branches[1:]:
+        sdf = sdf.unionByName(nxt, allowMissingColumns=True)
+    sql = " UNION ALL ".join(sql_branches)
+    if spec["distinct"]:
+        sdf = sdf.distinct()
+        sql = f"SELECT DISTINCT * FROM ({sql})"
+    return sdf, sql
+
+
+UB_SEED = 0x0B1A
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_fuzz_unionbyname_block(spark, ddb, block):
+    per_block = N_UNION_SPECS // 2
+    for i in range(per_block):
+        seed = UB_SEED + block * per_block + i
+        spec = gen_union_spec(seed)
+        sdf, sql = compile_union_spec(spec, spark, SF_DIR)
+        try:
+            spdf = sdf.toPandas()
+            odf = ddb.execute(sql).df()
+        except Exception as ex:  # pragma: no cover - diagnostics only
+            raise AssertionError(
+                f"seed {seed}: engine error on spec {spec}: {ex}\nSQL: {sql}"
+            ) from ex
+        assert_frames_match(spdf, odf, f"union fuzz seed {seed} ({sql[:120]})")
