@@ -54,13 +54,28 @@ KEY_SHIFTS = {
 COPY_ONLY = {"region", "nation", "part", "supplier"}
 
 
+# multipliers coprime with 26 for the affine letter map below; index 0
+# (a=1) makes replicas 1..25 pure Caesar shifts, so sf1 (factor 10)
+# regenerates byte-identical to every earlier round's fixtures
+_AFFINE_A = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
 def _caesar_table(k: int) -> dict:
-    """str.translate table rotating a-z / A-Z by k (token bijection)."""
+    """str.translate table for the affine letter bijection
+    i -> (a*i + k) mod 26 on a-z / A-Z (a coprime with 26, chosen by
+    k // 26).  A plain Caesar shift only has 25 non-identity values: at
+    factor > 26 replica k and replica k-26 would share every token,
+    making all their documents mutual near-duplicates and manufacturing
+    a quadratic pair blow-up the real corpus does not have.  The affine
+    family gives 312 distinct bijections - enough for the sf3 fixtures
+    (factor 30) and far beyond - while preserving within-replica token
+    structure exactly, like the Caesar map it generalizes."""
+    a = _AFFINE_A[(k // 26) % len(_AFFINE_A)]
     src = "abcdefghijklmnopqrstuvwxyz"
     t = {}
     for base in (src, src.upper()):
         for i, ch in enumerate(base):
-            t[ord(ch)] = ord(base[(i + k) % 26])
+            t[ord(ch)] = ord(base[(a * i + k) % 26])
     return t
 
 
