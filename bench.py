@@ -375,11 +375,27 @@ def main() -> None:
     # makes every accepted re-measure self-describing in the payload.
     anchored_retry: dict = {}
     for _pass in range(2):
-        flagged = [
+        # two gates: per-shape (a single spiked shape, generous absolute
+        # slack because sub-0.3 s times carry 50-100 ms host jitter) and
+        # AGGREGATE (the sum over nine shapes washes per-shape jitter
+        # out, so a tighter relative bound with NO absolute slack is the
+        # right detector for uniform co-load - the first hardened run
+        # measured two shapes at 1.4-1.7x their pins that the per-shape
+        # slack alone let through while the aggregate sat at 1.194x)
+        pin_ok = [
             n for n in ANCHORED
             if isinstance(times.get(n), float)
             and isinstance(ratchet.get(n), (int, float))
-            and times[n] > 1.2 * ratchet[n] + 0.05
+        ]
+        agg_over = (
+            len(pin_ok) == len(ANCHORED)
+            and sum(times[n] for n in pin_ok)
+            > 1.15 * sum(ratchet[n] for n in pin_ok)
+        )
+        flagged = [
+            n for n in pin_ok
+            if times[n] > 1.2 * ratchet[n] + 0.05
+            or (agg_over and times[n] > 1.1 * ratchet[n])
         ]
         if not flagged:
             break
@@ -825,10 +841,13 @@ def main() -> None:
                     "spark.sql.adaptive.enabled",
                     "true" if n in AQE_ON else "false",
                 )
-                a = sweep_hi.get(n)
-                if not isinstance(a, float):
-                    # the three non-headline ids measure their sf1 leg here
-                    a = safe_time_query(fn, spark, hi_dir, runs=2)
+                # BOTH legs measure fresh, back-to-back, under the same
+                # cache/JIT state - the first sf3 run reused sweep_hi's
+                # mid-sweep sf1 reading for the headline ids and produced
+                # an artifact-grade inconsistency (LPA 6.12 s from deep in
+                # the hi sweep vs 1.90 s fresh at sf3: exponent -1.09,
+                # pure measurement-context skew, not data)
+                a = safe_time_query(fn, spark, hi_dir, runs=2)
                 b = safe_time_query(fn, spark, sf3_dir, runs=2)
                 spark.conf.set("spark.sql.adaptive.enabled", "true")
                 t_sf1[n], t_sf3[n] = a, b
@@ -863,6 +882,23 @@ def main() -> None:
                 "t_sf3": t_sf3,
                 "exponent": g_sf3,
                 "superlinear": sorted(sup_sf3),
+                # no-silent-caps disclosure: these are WARM exponents
+                # under bench's per-application amortization convention -
+                # the MinHash pair index, IVF centroids and graph
+                # adjacency build once per (app, sf) and the best-of-2
+                # takes the post-build run, so the exponents price the
+                # recurring per-query work (probe/band joins, iteration
+                # shuffles), not the one-time index scans.  The graph
+                # shapes additionally run on a near-constant |E|: the
+                # fixture replication repeats (supplier, part) pairs, so
+                # their distinct edge set does not grow with the factor -
+                # their scan-side growth is priced by the decade sweep's
+                # full-pipeline timings, not here.
+                "note": (
+                    "warm per-app-amortized timings (index builds outside "
+                    "the timed runs, bench convention); graph shapes run "
+                    "at near-constant |E| by fixture construction"
+                ),
             }
             # free the sf3 table cache and the sf3 graph adjacency before
             # the rotation re-warms the base tables (same hygiene as the
