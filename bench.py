@@ -828,11 +828,14 @@ def main() -> None:
                 except Exception as exc:  # noqa: BLE001
                     print(f"bench: sf3 warmup failed for {t}: {exc}",
                           file=sys.stderr)
-            floor = max(calib_start, calib_end)
+            # sf3 runs LATE in a long JVM, like the rotation: re-measure
+            # the floor here instead of trusting the sweep-time probes
+            floor = max(calib_start, calib_end, time_calibration(spark))
             t_sf1: dict = {}
             t_sf3: dict = {}
             g_sf3: dict = {}
             sup_sf3: list = []
+            fdom_sf3: dict = {}
             for n in SF3_BANDED:
                 fn = registry.QUERIES.get(n)
                 if fn is None:
@@ -873,8 +876,21 @@ def main() -> None:
                             3,
                         )
                 g_sf3[n] = g
-                if g > 1.1 and b > 0.5:
-                    sup_sf3.append(n)
+                if g > 1.1:
+                    if b > 0.5:
+                        sup_sf3.append(n)
+                    else:
+                        # same decidability rule as the decade sweeps: a
+                        # sub-0.5 s shape whose slope is driven by times
+                        # inside the floor's own swing is recorded, not
+                        # flagged (run-2 artifact: dedup_minhash_lsh read
+                        # exponent 2.29 on 0.09 -> 0.24 s absolute times
+                        # under a measured sustained_slowdown)
+                        fdom_sf3[n] = {
+                            "exponent": g,
+                            "t_sf1": round(t_sf1[n], 4),
+                            "t_sf3": round(b, 4),
+                        }
             sf3_block = {
                 "sf": 3.0,
                 "base_sf": 1.0,
@@ -882,6 +898,7 @@ def main() -> None:
                 "t_sf3": t_sf3,
                 "exponent": g_sf3,
                 "superlinear": sorted(sup_sf3),
+                "floor_dominated": fdom_sf3,
                 # no-silent-caps disclosure: these are WARM exponents
                 # under bench's per-application amortization convention -
                 # the MinHash pair index, IVF centroids and graph

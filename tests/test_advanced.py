@@ -146,10 +146,14 @@ class TestStreamStreamJoin:
         of the same join run statically (batch) over the same fixture -
         availableNow processes everything, and no row is near the stream
         tail enough to be watermark-dropped in this bounded replay."""
+        # RAW_QUERIES: the registered rows-only spelling appends the
+        # driver-facing result_digest column; the dual compares raw tuples
         stream_rows = set(
             map(
                 tuple,
-                registry.QUERIES["stream_stream_join"](spark, SF_DIR).collect(),
+                registry.RAW_QUERIES["stream_stream_join"](
+                    spark, SF_DIR
+                ).collect(),
             )
         )
         ev = load(spark, SF_DIR, "events")
