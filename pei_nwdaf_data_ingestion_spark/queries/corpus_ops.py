@@ -1541,6 +1541,67 @@ def scan_orc_source(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "scan_xml_source",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS first_order_us
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def scan_xml_source(spark: SparkSession, sf: str) -> DataFrame:
+    """XML source connector parity (round 14): orders round-trips through
+    the XML datasource built into Spark since 4.0 (rowTag records - the
+    B2B/legacy interchange format an ingestion edge still receives) and
+    the per-(status, priority) rollup over the XML-sourced frame must
+    equal the parquet-sourced DuckDB oracle exactly.  Same discipline as
+    the JSON/CSV connectors: the reader gets an EXPLICIT schema (XML
+    schema inference is a full extra parse pass - at 100 TB that is the
+    whole job twice), and timestamps/money ride the text format as epoch
+    micros / integer cents, the locale-proof encoding that makes the
+    round-trip bit-exact.  The dump happens once per application; the
+    query's own work is the schema-bound XML scan + one
+    map-side-combined hash agg.  (Avro remains environment-blocked -
+    TESTDATA.md; XML closes the last natively-readable format.)"""
+    od = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias(
+            "price_cents"
+        ),
+        F.unix_micros("o_orderdate").alias("odate_us"),
+        "o_orderpriority",
+    )
+    d = _dump_dir(
+        spark, sf, "xml",
+        lambda p: od.coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(p),
+    )
+    src = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "price_cents long, odate_us long, o_orderpriority string"
+        )
+        .option("rowTag", "order")
+        .format("xml")
+        .load(d)
+    )
+    return src.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("price_cents").alias("price_cents"),
+        F.min("odate_us").alias("first_order_us"),
+    )
+
+
+@query(
     "scan_csv_source",
     oracle="""
     SELECT lang, source,

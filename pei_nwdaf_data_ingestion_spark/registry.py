@@ -281,6 +281,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "graph_pagerank_converged": 13,
     "graph_lpa_converged": 13,
     "scan_orc_source": 13,
+    "scan_xml_source": 14,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -323,6 +324,7 @@ _CHANGED_THIS_ROUND = [
     "stream_stream_join_outer",
     "stream_windowed_topk",
     "scan_orc_source",
+    "scan_xml_source",
 ]
 
 
