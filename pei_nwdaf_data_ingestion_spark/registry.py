@@ -297,8 +297,9 @@ ADDED_IN_ROUND: dict[str, int] = {
 # (ADVICE r13; aggregate values identical by construction, re-hash for
 # safety), and graph_pagerank_converged's delta gate folded into the
 # rank-update job via df.observe (bit-equality pinned, re-hash for
-# safety; it is also in the rows-only set).  Budget check: 23 pins <<
-# the driver's ~50-slot window.
+# safety; it is also in the rows-only set).  scan_xml_source is NEW this
+# round (r14 XML connector parity).  Budget check: the pin count is
+# len(_CHANGED_THIS_ROUND) == 24 << the driver's ~50-slot window.
 _CHANGED_ROUND = 14
 _CHANGED_THIS_ROUND = [
     "graph_pagerank_converged",

@@ -484,6 +484,25 @@ class TestRound6NonVacuous:
         assert row["n_triangles"] > 0
         assert row["n_proj_edges"] >= 3  # a triangle needs at least 3 edges
 
+    def test_triangle_count_regimes_agree(self, spark, monkeypatch):
+        """r14 rework: under the broadcast gate the triangles are COUNTED
+        via the edge-iterator (sorted forward-adjacency arrays +
+        array_intersect - 36 s -> ~5 s at sf0.1 on the fixture's complete
+        K1000 projection); past the gate the shuffle compact-forward
+        enumeration is the 100 TB fallback.  Both regimes must produce
+        the identical (n_triangles, n_proj_edges) row - pinned by forcing
+        the gate shut."""
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        fast = registry.QUERIES["graph_triangle_count"](spark, sf).collect()
+        monkeypatch.setattr(corpus_ops, "_TRI_BCAST_CAP", 0)
+        slow = registry.QUERIES["graph_triangle_count"](spark, sf).collect()
+        assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+        assert fast[0]["n_triangles"] > 0
+
 
 class TestAnalyticsOpsSession2:
     """Semantic invariants for the round-6 session-2 analytics batch
