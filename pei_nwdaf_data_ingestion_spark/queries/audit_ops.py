@@ -520,7 +520,16 @@ def graph_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
     Plan: the per-order pair fan-out is bounded by basket size (~4
     items/order -> 6 pairs), the support filter is a HAVING on the pair
     agg (map-side combinable), and every downstream agg is combinable;
-    the bucket report is <= 10 rows."""
+    the bucket report is <= 10 rows.  The projection MATERIALIZES once
+    (r14: its four consumers - deg and the three triangle roles - each
+    re-ran the order-blocked pair fan-out + support agg, the dominant
+    cost a decade up: 15.3 -> ~4 s at sf1), and under the same
+    broadcast-regime gate as graph_triangle_count the two closing joins
+    take broadcast build sides so the ordered-wedge stream never hits an
+    exchange; past the gate the shuffle spelling is the 100 TB
+    fallback."""
+    from .corpus_ops import _TRI_BCAST_CAP
+
     li = (
         load(spark, sf, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -535,6 +544,7 @@ def graph_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("p1", "p2")
+        .localCheckpoint(eager=True)
     )
     deg = (
         proj.select(F.col("p1").alias("v"))
@@ -545,6 +555,8 @@ def graph_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
     ab = proj.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
     bc = proj.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
     ac = proj.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
+    if proj.count() <= _TRI_BCAST_CAP:
+        bc, ac = F.broadcast(bc), F.broadcast(ac)
     tri3 = ab.join(bc, "b").join(ac, ["a", "c"])
     tv = (
         tri3.select(F.explode(F.array("a", "b", "c")).alias("v"))

@@ -299,7 +299,7 @@ ADDED_IN_ROUND: dict[str, int] = {
 # rank-update job via df.observe (bit-equality pinned, re-hash for
 # safety; it is also in the rows-only set).  scan_xml_source is NEW this
 # round (r14 XML connector parity).  Budget check: the pin count is
-# len(_CHANGED_THIS_ROUND) == 24 << the driver's ~50-slot window.
+# len(_CHANGED_THIS_ROUND) == 26 << the driver's ~50-slot window.
 _CHANGED_ROUND = 14
 _CHANGED_THIS_ROUND = [
     "graph_pagerank_converged",
@@ -326,6 +326,11 @@ _CHANGED_THIS_ROUND = [
     "stream_windowed_topk",
     "scan_orc_source",
     "scan_xml_source",
+    # r14 plan reworks (values identical by construction, re-hash for
+    # safety): gated edge-iterator triangle counting + checkpointed
+    # projections
+    "graph_triangle_count",
+    "graph_clustering_coeff",
 ]
 
 
