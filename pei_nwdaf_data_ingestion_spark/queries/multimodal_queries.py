@@ -678,27 +678,46 @@ def multimodal_ahash_neardup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("media_type") == "image"
     )
     units = decode_media_units(assets)
-    m = units.groupBy("asset_id").agg(
-        F.expr("sum(unit) div count(*)").alias("mean_v")
+    # single pass over the decoded pixel stream (r14: the old mean-join
+    # spelling scanned `units` twice, and the un-materialized hash frame
+    # re-ran the whole Python decode chain in every self-join branch -
+    # ~6 decodes of every blob, 10.5 s at sf1): ONE groupBy collects the
+    # running mean AND the <=16 bit-eligible pixels (tiny struct array),
+    # the hash bits then fold map-side against the mean - the decode
+    # happens exactly once per blob
+    agg = units.groupBy("asset_id").agg(
+        F.expr("sum(unit) div count(*)").alias("mean_v"),
+        F.collect_list(
+            F.when(
+                F.col("unit_idx") < 16,
+                F.struct(
+                    F.col("unit"),
+                    F.expr("shiftleft(1, cast(unit_idx AS int))")
+                    .cast("long")
+                    .alias("bit"),
+                ),
+            )
+        ).alias("first16"),
     )
-    h = (
-        units.join(m, "asset_id")
-        .groupBy("asset_id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN unit > mean_v AND unit_idx < 16"
-                    " THEN shiftleft(1, cast(unit_idx AS int)) ELSE 0 END"
-                )
-            ).alias("ah")
-        )
+    h = agg.select(
+        "asset_id",
+        F.aggregate(
+            "first16",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(x["unit"] > F.col("mean_v"), x["bit"]).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ).alias("ah"),
     )
+    # one row of (id, 16-bit hash, two band bytes) per image: materialize
+    # so the two banding self-joins scan blocks, never the decode
     b = h.select(
         "asset_id",
         "ah",
         F.expr("ah div 256").alias("hi"),
         (F.col("ah") % 256).alias("lo"),
-    )
+    ).localCheckpoint(eager=False)
     a, c = b.alias("a"), b.alias("c")
     pair_cols = [
         F.col("a.asset_id").alias("da"),
