@@ -166,9 +166,19 @@ def global_rank(df, sort_cols, out: str = "rn", ascending=None):
         "_pid", F.shiftright("_mid", 33)
     ).withColumn("_lrn", F.col("_mid") % F.lit(1 << 33))
     counts = tagged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # the prefix-offset self-join is non-equi over a P-row frame: the
+    # build side MUST be an explicit broadcast (BroadcastNestedLoopJoin)
+    # - without the hint, AQE-off plans it as a CartesianProduct of
+    # P x P partitions (measured: three ~1000-task stages of trivial
+    # work per call at P=32, ~7 s of pure scheduling in every
+    # global_rank consumer - r14)
     offsets = (
         counts.alias("a")
-        .join(counts.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .join(
+            F.broadcast(counts.alias("b")),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
+        )
         .groupBy(F.col("a._pid").alias("_pid"))
         .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
     )
@@ -196,7 +206,14 @@ def global_running_sum(df, val_col: str, sort_cols, out: str = "cum"):
     sums = ranged.groupBy("_pid").agg(F.sum(val_col).alias("_psum"))
     offsets = (
         sums.alias("a")
-        .join(sums.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        # explicit broadcast for the same reason as global_rank's
+        # offsets join: non-equi + AQE-off otherwise plans a P x P
+        # CartesianProduct of trivial tasks
+        .join(
+            F.broadcast(sums.alias("b")),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
+        )
         .groupBy(F.col("a._pid").alias("_pid"))
         .agg(F.coalesce(F.sum("b._psum"), F.lit(0)).alias("_off"))
     )

