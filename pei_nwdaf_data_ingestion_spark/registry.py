@@ -299,7 +299,7 @@ ADDED_IN_ROUND: dict[str, int] = {
 # rank-update job via df.observe (bit-equality pinned, re-hash for
 # safety; it is also in the rows-only set).  scan_xml_source is NEW this
 # round (r14 XML connector parity).  Budget check: the pin count is
-# len(_CHANGED_THIS_ROUND) == 28 << the driver's ~50-slot window.
+# len(_CHANGED_THIS_ROUND) == 31 << the driver's ~50-slot window.
 _CHANGED_ROUND = 14
 _CHANGED_THIS_ROUND = [
     "graph_pagerank_converged",
@@ -333,6 +333,9 @@ _CHANGED_THIS_ROUND = [
     "graph_clustering_coeff",
     "multimodal_ahash_neardup",
     "text_vocab_coverage_curve",
+    "dedup_two_stage",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
 ]
 
 
