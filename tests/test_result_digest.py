@@ -141,3 +141,41 @@ class TestRowsOnlyWrap:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert again == digest
+
+
+class TestDigestPins:
+    """tools/rows_only_digests.json is the committed cross-round record
+    (regenerated by tools/pin_digests.py at the driver's sf0.01 scale):
+    two rounds over unchanged code must produce the identical file.
+    The suite re-checks a cheap subset on every run so an accidental
+    rows-only value change is caught before the round ends, not by the
+    next round's diff."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["agg_approx_distinct", "agg_hll_sketch_merge",
+         "graph_pagerank_converged"],
+    )
+    def test_pinned_digest_reproduces(self, spark, name):
+        import json
+        import os
+
+        pin_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "rows_only_digests.json",
+        )
+        if not os.path.exists(pin_path):
+            pytest.skip("digest pin file not generated yet")
+        pins = json.load(open(pin_path))
+        if name not in pins:
+            pytest.skip(f"{name} not pinned")
+        df = registry.QUERIES[name](spark, pins["_sf_dir"])
+        first = df.select("result_digest").limit(1).collect()
+        got = {"result_digest": first[0][0] if first else None,
+               "rows": df.count()}
+        assert got == pins[name], (
+            f"{name}: rows-only result drifted from the committed pin - "
+            "if intentional, regenerate tools/rows_only_digests.json via "
+            "tools/pin_digests.py and commit it with the change"
+        )
