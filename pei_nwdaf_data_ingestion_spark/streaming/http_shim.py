@@ -27,12 +27,13 @@ delete - closing what was previously a documented omission (round 8):
   - GET    /nef/subscriptions        -> 200 {"subscriptions": [...]}
   - DELETE /nef/subscriptions/{id}   -> 204, or 404 "Subscription not found"
 
-Auth (optional, enabled by passing `auth=`): HmacTokenAuth mirrors the
-reference's AuthMiddleware check sequence (auth_middleware.py:22-59) -
-DEV_MODE bypass, /nef/notify skip, Bearer extraction, signature/expiry
-validation, realm-role intersection - with the RS256+JWKS step replaced by
-a shared-secret HMAC (stdlib-only image; the contract under test is the
-status-code behavior, not the key distribution).
+Auth (optional, enabled by passing `auth=`): Rs256TokenAuth is the full
+dual of the reference's AuthMiddleware (auth_middleware.py:22-59) - DEV_MODE
+bypass, /nef/notify skip, Bearer extraction, kid-based JWKS key lookup
+(JwksClient, the PyJWKClient dual), real RS256 signature verification via
+the `cryptography` library, expiry validation, realm-role intersection.
+HmacTokenAuth remains as the stdlib-only fallback with the same check order
+and status contract (shared-secret HMAC in place of the IdP's RSA keys).
 
 Stdlib-only (http.server) so it runs in this image; a production deployment
 would put any ASGI server here - the contract is the test surface, not the
@@ -133,6 +134,202 @@ class HmacTokenAuth:
         if not roles & self.required_roles:
             return 403, "Insufficient permissions"  # :49-51
         return None
+
+
+def _b64url_decode(data: str | bytes) -> bytes:
+    """Unpadded base64url decode (JWT/JWKS wire format, RFC 7515 §2)."""
+    if isinstance(data, str):
+        data = data.encode()
+    return base64.urlsafe_b64decode(data + b"=" * (-len(data) % 4))
+
+
+def _b64url_encode(data: bytes) -> str:
+    return base64.urlsafe_b64encode(data).rstrip(b"=").decode()
+
+
+class JwksClient:
+    """Minimal dual of PyJWKClient (the reference's key source,
+    auth_middleware.py:16-19): fetch the realm's JWKS document over HTTP,
+    build RSA public keys from the (n, e) members, cache by kid, and
+    refresh the document once when an unknown kid shows up (key rotation).
+
+    Only RSA keys are materialized - the reference pins algorithms=["RS256"]
+    (auth_middleware.py:41), so non-RSA JWKS entries are skipped.
+    """
+
+    def __init__(self, jwks_url: str, timeout: float = 5.0) -> None:
+        self.jwks_url = jwks_url
+        self.timeout = timeout
+        self.fetch_count = 0  # observable for cache tests
+        self._keys: dict[str, object] = {}
+        self._lock = threading.Lock()
+
+    def _fetch(self) -> None:
+        import urllib.request
+
+        from cryptography.hazmat.primitives.asymmetric import rsa
+
+        with urllib.request.urlopen(self.jwks_url, timeout=self.timeout) as r:
+            doc = json.loads(r.read())
+        self.fetch_count += 1
+        keys: dict[str, object] = {}
+        for jwk in doc.get("keys", []):
+            if jwk.get("kty") != "RSA" or "kid" not in jwk:
+                continue
+            n = int.from_bytes(_b64url_decode(jwk["n"]), "big")
+            e = int.from_bytes(_b64url_decode(jwk["e"]), "big")
+            keys[jwk["kid"]] = rsa.RSAPublicNumbers(e, n).public_key()
+        self._keys = keys
+
+    def get_signing_key(self, kid: str):
+        """Public key for `kid`; refreshes the JWKS doc once on a miss
+        (PyJWKClient's rotation behavior), raises KeyError if still absent."""
+        with self._lock:
+            if kid not in self._keys:
+                self._fetch()
+            return self._keys[kid]
+
+
+class Rs256TokenAuth:
+    """RS256/JWKS dual of the reference's AuthMiddleware
+    (auth_middleware.py:22-59) - the real thing, not the HMAC stand-in:
+    compact JWS tokens (base64url header.payload.signature), kid-based JWKS
+    key lookup, RSASSA-PKCS1-v1_5/SHA-256 signature verification via the
+    `cryptography` library (PyJWT is absent from this image; its RS256
+    verify is exactly this primitive).
+
+    check() mirrors the reference's order and statuses precisely:
+      DEV_MODE bypass                                          (:24-25)
+      skip-path bypass (/nef/notify)                           (:27-28)
+      401 "Missing authorization token" - no Bearer header     (:31-32)
+      401 "Invalid token"  - malformed/unknown kid/bad alg/bad signature
+                             (PyJWT's catch-all, :45-47)
+      401 "Token expired"  - exp in the past, checked AFTER the signature
+                             verifies (PyJWT validates claims only on a
+                             good signature, so expired+tampered maps to
+                             "Invalid token", :43-44)
+      403 "Insufficient permissions" - realm_access.roles disjoint from
+                             REQUIRED_ROLES (:49-51)
+    """
+
+    def __init__(
+        self,
+        jwks: JwksClient | str,
+        dev_mode: bool = False,
+        required_roles: Iterable[str] = REQUIRED_ROLES,
+        skip_paths: Iterable[str] = SKIP_PATHS,
+        now: Callable[[], float] = time.time,
+    ) -> None:
+        self.jwks = JwksClient(jwks) if isinstance(jwks, str) else jwks
+        self.dev_mode = dev_mode
+        self.required_roles = set(required_roles)
+        self.skip_paths = set(skip_paths)
+        self._now = now
+
+    def _verify(self, token: str) -> dict:
+        """Decode+verify; returns claims or raises ValueError (any shape of
+        invalid token) / _Expired (valid signature, stale exp)."""
+        from cryptography.exceptions import InvalidSignature
+        from cryptography.hazmat.primitives import hashes
+        from cryptography.hazmat.primitives.asymmetric import padding
+
+        try:
+            enc_header, enc_payload, enc_sig = token.split(".")
+            header = json.loads(_b64url_decode(enc_header))
+            signature = _b64url_decode(enc_sig)
+        except Exception as e:
+            raise ValueError(f"malformed token: {e}") from e
+        # pinned algorithm list, like jwt.decode(algorithms=["RS256"])
+        # (auth_middleware.py:41) - refuses alg=none and HS256 confusion
+        if header.get("alg") != "RS256":
+            raise ValueError(f"disallowed alg {header.get('alg')!r}")
+        kid = header.get("kid")
+        try:
+            key = self.jwks.get_signing_key(kid)
+        except Exception as e:
+            raise ValueError(f"no JWKS key for kid {kid!r}: {e}") from e
+        signing_input = f"{enc_header}.{enc_payload}".encode()
+        try:
+            key.verify(signature, signing_input, padding.PKCS1v15(), hashes.SHA256())
+        except InvalidSignature as e:
+            raise ValueError("bad signature") from e
+        try:
+            claims = json.loads(_b64url_decode(enc_payload))
+        except Exception as e:
+            raise ValueError(f"malformed claims: {e}") from e
+        # exp checked only after the signature verified, and only when the
+        # claim is present (PyJWT accepts exp-less tokens)
+        if "exp" in claims and float(claims["exp"]) < self._now():
+            raise _Expired()
+        return claims
+
+    def check(self, path: str, headers) -> tuple[int, str] | None:
+        if self.dev_mode:  # auth_middleware.py:24-25
+            return None
+        if path in self.skip_paths:  # :27-28
+            return None
+        header = headers.get("Authorization", "")
+        if not header.startswith("Bearer "):  # :31-32
+            return 401, "Missing authorization token"
+        try:
+            claims = self._verify(header[7:])
+        except _Expired:
+            return 401, "Token expired"  # :43-44
+        except ValueError:
+            return 401, "Invalid token"  # :45-47
+        roles = set(claims.get("realm_access", {}).get("roles", []))
+        if not roles & self.required_roles:
+            return 403, "Insufficient permissions"  # :49-51
+        return None
+
+
+class _Expired(Exception):
+    """Signature-valid token past its exp (PyJWT's ExpiredSignatureError)."""
+
+
+def issue_rs256_token(
+    private_key,
+    kid: str,
+    roles: Iterable[str],
+    username: str = "tester",
+    exp: float | None = None,
+    now: Callable[[], float] = time.time,
+) -> str:
+    """Mint an RS256 compact JWS (test/ops helper - in production Keycloak
+    does this).  `private_key` is a cryptography RSAPrivateKey whose public
+    half is published in the JWKS doc under `kid`."""
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    header = _b64url_encode(
+        json.dumps({"alg": "RS256", "typ": "JWT", "kid": kid}).encode()
+    )
+    claims = {
+        "realm_access": {"roles": sorted(roles)},
+        "preferred_username": username,
+        "name": username,
+        "exp": now() + 3600 if exp is None else exp,
+    }
+    payload = _b64url_encode(json.dumps(claims).encode())
+    signing_input = f"{header}.{payload}".encode()
+    sig = private_key.sign(signing_input, padding.PKCS1v15(), hashes.SHA256())
+    return f"{header}.{payload}.{_b64url_encode(sig)}"
+
+
+def rsa_jwk(public_key, kid: str) -> dict:
+    """Serialize an RSA public key as a JWKS entry (RFC 7517) - the shape
+    Keycloak publishes at /protocol/openid-connect/certs."""
+    nums = public_key.public_numbers()
+    n_bytes = nums.n.to_bytes((nums.n.bit_length() + 7) // 8, "big")
+    e_bytes = nums.e.to_bytes((nums.e.bit_length() + 7) // 8, "big")
+    return {
+        "kty": "RSA",
+        "use": "sig",
+        "alg": "RS256",
+        "kid": kid,
+        "n": _b64url_encode(n_bytes),
+        "e": _b64url_encode(e_bytes),
+    }
 
 
 class NefClient:

@@ -423,3 +423,202 @@ def test_outbound_nef_unsubscribe_best_effort(tmp_path):
             assert client.warnings  # the reference logs a warning here
     finally:
         nef.stop()
+
+
+# -- RS256/JWKS auth (round 15: the HMAC stand-in upgraded to the real
+# verification primitive the reference uses) ----------------------------------
+
+
+class _FakeJwksIdp:
+    """Stdlib stand-in for Keycloak's JWKS endpoint
+    (/realms/{realm}/protocol/openid-connect/certs): serves a JWKS doc
+    built from generated RSA keypairs and counts fetches.  Keys can be
+    rotated mid-flight to exercise the JwksClient refresh path."""
+
+    def __init__(self, kids: list[str]):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from cryptography.hazmat.primitives.asymmetric import rsa
+
+        from pei_nwdaf_data_ingestion_spark.streaming.http_shim import rsa_jwk
+
+        self.keys = {
+            kid: rsa.generate_private_key(public_exponent=65537, key_size=2048)
+            for kid in kids
+        }
+        idp = self
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def do_GET(self):
+                doc = {
+                    "keys": [
+                        rsa_jwk(pk.public_key(), kid)
+                        for kid, pk in idp.keys.items()
+                    ]
+                }
+                body = json.dumps(doc).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    @property
+    def jwks_url(self) -> str:
+        host, port = self._server.server_address[:2]
+        return f"http://{host}:{port}/realms/aion/protocol/openid-connect/certs"
+
+    def stop(self):
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def test_rs256_auth_status_contract(tmp_path):
+    """The reference AuthMiddleware verbatim (auth_middleware.py:22-59):
+    RS256-signed JWTs validated against a JWKS endpoint - accept on good
+    sig + live exp + required role; 401 on missing/expired/tampered/
+    wrong-key/unknown-kid/alg-confusion; 403 on missing role; notify-path
+    skip and DEV_MODE bypass."""
+    from pei_nwdaf_data_ingestion_spark.streaming.http_shim import (
+        Rs256TokenAuth,
+        issue_rs256_token,
+    )
+
+    idp = _FakeJwksIdp(["key-1"])
+    pk = idp.keys["key-1"]
+    try:
+        auth = Rs256TokenAuth(idp.jwks_url)
+        store = _DictStore()
+        with NotifyHTTPShim(
+            str(tmp_path / "spool"), {"test-notif-001"}, auth=auth, store=store
+        ) as shim:
+            base = shim.url.rsplit("/nef/notify", 1)[0]
+            # 401: no token
+            code, body = _request(base, "/nef/subscriptions")
+            assert (code, body["detail"]) == (401, "Missing authorization token")
+            # 200: properly signed token with a required realm role
+            good = issue_rs256_token(pk, "key-1", ["network_engineer"])
+            code, _ = _request(base, "/nef/subscriptions", token=good)
+            assert code == 200
+            # 401: signature-valid but expired (PyJWT ExpiredSignatureError)
+            expired = issue_rs256_token(pk, "key-1", ["network_engineer"], exp=0)
+            code, body = _request(base, "/nef/subscriptions", token=expired)
+            assert (code, body["detail"]) == (401, "Token expired")
+            # 401: tampered payload (signature no longer matches)
+            h, p, s = good.split(".")
+            forged_payload = p[:-4] + ("AAAA" if p[-4:] != "AAAA" else "BBBB")
+            code, body = _request(
+                base, "/nef/subscriptions", token=f"{h}.{forged_payload}.{s}"
+            )
+            assert (code, body["detail"]) == (401, "Invalid token")
+            # 401: expired AND tampered -> sig checked first, so Invalid
+            # (PyJWT validates claims only after the signature verifies)
+            eh, ep, es = expired.split(".")
+            code, body = _request(
+                base, "/nef/subscriptions", token=f"{eh}.{ep}.{s}"
+            )
+            assert (code, body["detail"]) == (401, "Invalid token")
+            # 401: token signed by a key NOT in the JWKS doc
+            from cryptography.hazmat.primitives.asymmetric import rsa
+
+            rogue = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+            code, body = _request(
+                base,
+                "/nef/subscriptions",
+                token=issue_rs256_token(rogue, "key-1", ["debug_admin"]),
+            )
+            assert (code, body["detail"]) == (401, "Invalid token")
+            # 401: unknown kid (still absent after a JWKS refresh)
+            code, body = _request(
+                base,
+                "/nef/subscriptions",
+                token=issue_rs256_token(pk, "no-such-kid", ["debug_admin"]),
+            )
+            assert (code, body["detail"]) == (401, "Invalid token")
+            # 401: alg-confusion - header alg swapped to none/HS256 is
+            # refused by the pinned algorithms=["RS256"] list
+            import base64 as b64
+
+            for alg in ("none", "HS256"):
+                hdr = (
+                    b64.urlsafe_b64encode(
+                        json.dumps({"alg": alg, "kid": "key-1"}).encode()
+                    )
+                    .rstrip(b"=")
+                    .decode()
+                )
+                code, body = _request(
+                    base, "/nef/subscriptions", token=f"{hdr}.{p}.{s}"
+                )
+                assert (code, body["detail"]) == (401, "Invalid token")
+            # 403: valid token, no required role
+            peasant = issue_rs256_token(pk, "key-1", ["observer"])
+            code, body = _request(base, "/nef/subscriptions", token=peasant)
+            assert (code, body["detail"]) == (403, "Insufficient permissions")
+            # either required role passes (ANY-of set)
+            for role in ("network_engineer", "debug_admin"):
+                code, _ = _request(
+                    base,
+                    "/nef/subscriptions",
+                    token=issue_rs256_token(pk, "key-1", [role]),
+                )
+                assert code == 200
+            # /nef/notify skipped even with auth on (SKIP_PATHS)
+            assert _post(shim.url, {"notifId": "test-notif-001"}) == 204
+
+        # DEV_MODE bypass (auth_middleware.py:24-25)
+        dev = Rs256TokenAuth(idp.jwks_url, dev_mode=True)
+        with NotifyHTTPShim(
+            str(tmp_path / "spool2"), set(), auth=dev, store=_DictStore()
+        ) as shim:
+            base = shim.url.rsplit("/nef/notify", 1)[0]
+            code, _ = _request(base, "/nef/subscriptions")
+            assert code == 200
+    finally:
+        idp.stop()
+
+
+def test_jwks_client_caches_and_refreshes_on_rotation(tmp_path):
+    """PyJWKClient(cache_keys=True) behavior (auth_middleware.py:19): the
+    JWKS doc is fetched once and cached by kid; an unknown kid triggers
+    exactly one refresh, which picks up rotated keys."""
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    from pei_nwdaf_data_ingestion_spark.streaming.http_shim import (
+        JwksClient,
+        Rs256TokenAuth,
+        issue_rs256_token,
+    )
+
+    idp = _FakeJwksIdp(["key-1"])
+    try:
+        client = JwksClient(idp.jwks_url)
+        auth = Rs256TokenAuth(client)
+        headers_for = lambda tok: {"Authorization": f"Bearer {tok}"}
+
+        t1 = issue_rs256_token(idp.keys["key-1"], "key-1", ["debug_admin"])
+        assert auth.check("/x", headers_for(t1)) is None
+        assert auth.check("/x", headers_for(t1)) is None
+        assert client.fetch_count == 1  # cached across checks
+
+        # rotate: IdP publishes key-2, signs with it
+        idp.keys["key-2"] = rsa.generate_private_key(
+            public_exponent=65537, key_size=2048
+        )
+        t2 = issue_rs256_token(idp.keys["key-2"], "key-2", ["debug_admin"])
+        assert auth.check("/x", headers_for(t2)) is None  # refresh on miss
+        assert client.fetch_count == 2
+        assert auth.check("/x", headers_for(t2)) is None
+        assert client.fetch_count == 2  # rotated key now cached
+    finally:
+        idp.stop()
