@@ -1755,6 +1755,40 @@ class TestConvergenceGatedTwins:
         )
         assert changed == 0
 
+    def test_lpa_converged_one_job_per_round(self, spark):
+        """VERDICT r14 item 2: the changed-node count rides the vote job
+        as a CollectMetrics observation - exactly ONE Spark job per
+        iteration (the eager localCheckpoint), not a vote job plus a
+        separate join + count action.  AQE disabled for the count (it
+        splits queries into per-stage jobs nondeterministically)."""
+        from pei_nwdaf_data_ingestion_spark import graph
+
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            # path 1-2-3-4-5 plus a 6-7 pair: labels cascade down to the
+            # component min over several rounds, then one no-change round
+            edges = spark.createDataFrame(
+                [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3),
+                 (4, 5), (5, 4), (6, 7), (7, 6)],
+                "src long, dst long",
+            )
+            sc = spark.sparkContext
+            sc.setJobGroup("lpa_gate_jobs", "job-count pin")
+            try:
+                lbl, it, conv = graph.label_propagation_converged(
+                    edges, max_iter=40
+                )
+                n_jobs = len(
+                    sc.statusTracker().getJobIdsForGroup("lpa_gate_jobs")
+                )
+            finally:
+                sc.setJobGroup("", "")
+            assert conv is True and 1 < it < 40
+            assert n_jobs == it, f"{n_jobs} jobs for {it} gated rounds"
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
 
 class TestConvergedTwinQueries:
     """Round 13 (VERDICT r12 item 5): the convergence twins are registered
