@@ -43,17 +43,25 @@ def append_result_digest(df: DataFrame) -> DataFrame:
 
     Construction is scale-safe and deterministic: per-row xxhash64 over
     the name-sorted columns (map columns ride as to_json - Spark refuses
-    to hash MapType directly), combined by three COMMUTATIVE aggregates
-    (count, bit_xor, overflow-proof decimal sum - xor alone cancels
-    even-multiplicity duplicate rows, the sum breaks that), md5-rendered,
-    then broadcast onto the result.  One extra combinable map-side agg
-    pass, no extra shuffle of the payload, independent of partitioning
-    and task order."""
+    to hash MapType directly) PLUS a per-column isnull indicator (ADVICE
+    r14: xxhash64 skips NULL inputs entirely - the seed passes through -
+    so without the indicators two rows differing only in WHICH same-typed
+    column holds the NULL, e.g. (NULL, x) vs (x, NULL), hash identically
+    and a class of value regressions goes undetected; the never-NULL
+    indicator sequence encodes null positions while keeping the whole
+    expression in codegen-able primitives), combined by three COMMUTATIVE
+    aggregates (count, bit_xor, overflow-proof decimal sum - xor alone
+    cancels even-multiplicity duplicate rows, the sum breaks that),
+    md5-rendered, then broadcast onto the result.  One extra combinable
+    map-side agg pass, no extra shuffle of the payload, independent of
+    partitioning and task order."""
     from pyspark.sql import functions as F
 
     cols = []
     for c, t in sorted(df.dtypes):
-        cols.append(F.to_json(F.col(c)) if t.startswith("map") else F.col(c))
+        v = F.to_json(F.col(c)) if t.startswith("map") else F.col(c)
+        cols.append(v)
+        cols.append(F.isnull(c).cast("int"))
     h = df.select(F.xxhash64(*cols).alias("h64"))
     agg = h.agg(
         F.count(F.lit(1)).alias("n"),

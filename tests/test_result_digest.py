@@ -68,6 +68,21 @@ class TestDigestAlgebra:
         db = append_result_digest(b).select("result_digest").first()[0]
         assert da != db
 
+    def test_null_position_changes_digest(self, spark):
+        """ADVICE r14: xxhash64 passes the seed through NULL inputs, so
+        without per-column isnull indicators (NULL, x) and (x, NULL)
+        would hash identically - the digest must distinguish WHICH
+        column holds the NULL."""
+        from pei_nwdaf_data_ingestion_spark.registry import (
+            append_result_digest,
+        )
+
+        a = spark.createDataFrame([(None, "x")], "a string, b string")
+        b = spark.createDataFrame([("x", None)], "a string, b string")
+        da = append_result_digest(a).select("result_digest").first()[0]
+        db = append_result_digest(b).select("result_digest").first()[0]
+        assert da != db
+
     def test_map_columns_ride_as_json(self, spark):
         """Spark refuses xxhash64 over MapType; the digest serializes map
         columns through to_json instead of erroring."""
