@@ -448,6 +448,12 @@ def main() -> None:
     for _ed, _deg in corpus_ops._EDGE_INDEX.values():
         _ed.unpersist(blocking=True)
     corpus_ops._EDGE_INDEX.clear()
+    # the checkpointed graph projections (r15) drop like _MH_PAIRS_CACHE:
+    # clearing the dict releases the blocks via the ContextCleaner
+    corpus_ops._TRI_PROJ_CACHE.clear()
+    from pei_nwdaf_data_ingestion_spark.queries import audit_ops
+
+    audit_ops._BASKET_PROJ_CACHE.clear()
     for df in catalog._CACHE.values():
         df.unpersist(blocking=True)
     catalog._CACHE.clear()
@@ -929,11 +935,15 @@ def main() -> None:
             for key in [k for k in _co._EDGE_INDEX if sf3_dir in str(k)]:
                 _co._EDGE_INDEX.pop(key)[0].unpersist(blocking=True)
             from pei_nwdaf_data_ingestion_spark.queries import llm as _llm
+            from pei_nwdaf_data_ingestion_spark.queries import (
+                audit_ops as _ao,
+            )
 
             for cache in (
                 _llm._IVF_CENTROIDS, _llm._IVF_INDEX_CACHE,
                 _llm._PQ_CODEBOOK, _llm._PQ_CODES_CACHE,
-                _llm._MH_PAIRS_CACHE,
+                _llm._MH_PAIRS_CACHE, _co._TRI_PROJ_CACHE,
+                _ao._BASKET_PROJ_CACHE,
             ):
                 for key in [k for k in cache if sf3_dir in str(k)]:
                     cache.pop(key)

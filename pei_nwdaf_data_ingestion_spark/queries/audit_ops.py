@@ -459,6 +459,11 @@ def time_pacf_lags(spark: SparkSession, sf: str) -> DataFrame:
 # local clustering coefficient over the supplier co-part projection
 # ---------------------------------------------------------------------------
 
+# support-2 market-basket projection + its edge count, built once per
+# (application, sf) like corpus_ops._TRI_PROJ_CACHE (bench.py clears both
+# next to the other index caches)
+_BASKET_PROJ_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+
 
 @query(
     "graph_clustering_coeff",
@@ -524,28 +529,40 @@ def graph_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
     (r14: its four consumers - deg and the three triangle roles - each
     re-ran the order-blocked pair fan-out + support agg, the dominant
     cost a decade up: 15.3 -> ~4 s at sf1), and under the same
-    broadcast-regime gate as graph_triangle_count the two closing joins
-    take broadcast build sides so the ordered-wedge stream never hits an
-    exchange; past the gate the shuffle spelling is the 100 TB
-    fallback."""
-    from .corpus_ops import _TRI_BCAST_CAP
+    broadcast-regime gate as graph_triangle_count (the shared public
+    corpus_ops.TRI_BCAST_CAP - ADVICE r14 decoupled the private import)
+    the two closing joins take broadcast build sides so the ordered-wedge
+    stream never hits an exchange; past the gate the shuffle spelling is
+    the 100 TB fallback.  Projection + edge count cache per (application,
+    sf), so repeat invocations skip both the build and the gate-count job
+    that previously re-ran every time (ADVICE r14)."""
+    from .corpus_ops import TRI_BCAST_CAP
 
-    li = (
-        load(spark, sf, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = li.select("o", F.col("p").alias("p1"))
-    b = li.select("o", F.col("p").alias("p2"))
-    proj = (
-        a.join(b, "o")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("p1", "p2")
-        .localCheckpoint(eager=True)
-    )
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _BASKET_PROJ_CACHE.get(key)
+    if cached is None:
+        li = (
+            load(spark, sf, "lineitem")
+            .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+            .distinct()
+        )
+        a = li.select("o", F.col("p").alias("p1"))
+        b = li.select("o", F.col("p").alias("p2"))
+        proj = (
+            a.join(b, "o")
+            .filter(F.col("p1") < F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count("*").alias("sup"))
+            .filter(F.col("sup") >= 2)
+            .select("p1", "p2")
+            .localCheckpoint(eager=True)
+        )
+        # one cheap scan over the checkpointed blocks, reused by every
+        # later invocation as the broadcast-regime gate
+        n_edges = proj.count()
+        _BASKET_PROJ_CACHE[key] = (proj, n_edges)
+    else:
+        proj, n_edges = cached
     deg = (
         proj.select(F.col("p1").alias("v"))
         .unionAll(proj.select(F.col("p2").alias("v")))
@@ -555,7 +572,7 @@ def graph_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
     ab = proj.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
     bc = proj.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
     ac = proj.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
-    if proj.count() <= _TRI_BCAST_CAP:
+    if n_edges <= TRI_BCAST_CAP:
         bc, ac = F.broadcast(bc), F.broadcast(ac)
     tri3 = ab.join(bc, "b").join(ac, ["a", "c"])
     tv = (

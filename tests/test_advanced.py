@@ -498,10 +498,41 @@ class TestRound6NonVacuous:
         registry.load_all()
         sf = "/root/testdata/sf0.001"
         fast = registry.QUERIES["graph_triangle_count"](spark, sf).collect()
-        monkeypatch.setattr(corpus_ops, "_TRI_BCAST_CAP", 0)
+        monkeypatch.setattr(corpus_ops, "TRI_BCAST_CAP", 0)
         slow = registry.QUERIES["graph_triangle_count"](spark, sf).collect()
         assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
         assert fast[0]["n_triangles"] > 0
+        # ADVICE r14: the gate also checks max forward degree (a hub
+        # whose neighbor array would not fit a row must not broadcast) -
+        # forcing the degree cap shut flips to the shuffle regime too
+        monkeypatch.setattr(corpus_ops, "TRI_BCAST_CAP", 2_000_000)
+        monkeypatch.setattr(corpus_ops, "TRI_MAX_DEG_CAP", 0)
+        degslow = registry.QUERIES["graph_triangle_count"](spark, sf).collect()
+        assert [tuple(r) for r in fast] == [tuple(r) for r in degslow]
+
+    def test_triangle_projection_cached_per_app(self, spark):
+        """r15: the projection + gate scalars cache per (application, sf)
+        - a second invocation reuses the checkpointed frame and runs no
+        gate job (ADVICE r14: the per-invocation count was pure
+        overhead)."""
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.queries import audit_ops, corpus_ops
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        registry.QUERIES["graph_triangle_count"](spark, sf).collect()
+        key = (spark.sparkContext.applicationId, sf)
+        assert key in corpus_ops._TRI_PROJ_CACHE
+        proj1, n1, mx1 = corpus_ops._TRI_PROJ_CACHE[key]
+        assert n1 >= 3 and mx1 >= 1
+        registry.QUERIES["graph_triangle_count"](spark, sf).collect()
+        assert corpus_ops._TRI_PROJ_CACHE[key][0] is proj1  # not rebuilt
+        registry.QUERIES["graph_clustering_coeff"](spark, sf).collect()
+        assert key in audit_ops._BASKET_PROJ_CACHE
+        bproj, bn = audit_ops._BASKET_PROJ_CACHE[key]
+        assert bn > 0
+        registry.QUERIES["graph_clustering_coeff"](spark, sf).collect()
+        assert audit_ops._BASKET_PROJ_CACHE[key][0] is bproj
 
 
 class TestAnalyticsOpsSession2:
