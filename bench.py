@@ -440,6 +440,8 @@ def main() -> None:
     llm._PQ_CODEBOOK.clear()
     llm._PQ_CODES_CACHE.clear()
     llm._MH_PAIRS_CACHE.clear()
+    llm._MH_SIG_CACHE.clear()
+    llm._TWO_STAGE_CACHE.clear()
     # the graph adjacency index is persisted (not checkpointed) since r12
     # - unpersist it like the base-table cache so the "plain scan" sweep
     # really rebuilds it (same rule as the IVF/PQ caches above)
@@ -942,7 +944,9 @@ def main() -> None:
             for cache in (
                 _llm._IVF_CENTROIDS, _llm._IVF_INDEX_CACHE,
                 _llm._PQ_CODEBOOK, _llm._PQ_CODES_CACHE,
-                _llm._MH_PAIRS_CACHE, _co._TRI_PROJ_CACHE,
+                _llm._MH_PAIRS_CACHE, _llm._MH_SIG_CACHE,
+                _llm._TWO_STAGE_CACHE,
+                _co._TRI_PROJ_CACHE,
                 _ao._BASKET_PROJ_CACHE,
             ):
                 for key in [k for k in cache if sf3_dir in str(k)]:

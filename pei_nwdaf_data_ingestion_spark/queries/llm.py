@@ -64,6 +64,15 @@ _IVF_CENTROIDS: dict[tuple[str, str], list] = {}
 # _IVF_INDEX_CACHE; bench.py clears it for the uncached sweep).
 _MH_PAIRS_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 
+# per-document minhash signature frame: (applicationId, sf_dir) ->
+# checkpointed (doc_id, th, n_tok, band0..band3).  The 128-hash md5
+# family over the token arrays is the dominant cost of BOTH
+# dedup_minhash_lsh (all docs) and dedup_two_stage (unique-text reps -
+# a subset, since signatures depend only on text); sharing one frame
+# computes the family once per (application, sf) instead of twice
+# (VERDICT r14 item 5; bench.py clears it for the uncached sweep).
+_MH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 # corpus-size gate for dedup_ppjoin_prefix's build-side broadcast: below
 # this source-file size the prefix index (~2 rows/doc) comfortably fits a
@@ -532,6 +541,35 @@ def _minhash_verified_pairs(
     return out
 
 
+def _minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """The shared per-document signature frame behind _MH_SIG_CACHE:
+    distinct-token xxhash64 arrays + the 4-band md5 minhash family
+    (minhash_band_cols), checkpointed once per (application, sf).
+    Verification runs on 64-bit token hashes, not the strings: the
+    distinct-token sets map 1:1 to distinct-hash sets absent an xxhash64
+    collision inside one pair's <=2x|doc|-token union (p < 1e-15 per
+    pair - the standard production trade), so jac is unchanged while
+    array_intersect works a primitive long array instead of hashing
+    strings per probe; the index rows also shrink, which matters for
+    the broadcast regime."""
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _MH_SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    sig = toks.select(
+        "doc_id",
+        F.transform("tokens", lambda tk: F.xxhash64(tk)).alias("th"),
+        F.size("tokens").alias("n_tok"),
+        *minhash_band_cols(),
+    ).localCheckpoint(eager=False)
+    _MH_SIG_CACHE[key] = sig
+    return sig
+
+
 def _minhash_pairs_plan(
     spark: SparkSession,
     sf: str,
@@ -546,27 +584,32 @@ def _minhash_pairs_plan(
     (defaults to _MH_BUCKET_CAP; tests pass a small value to exercise the
     rule on tiny fixtures)."""
     cap = _MH_BUCKET_CAP if cap is None else cap
-    d = load(spark, sf, "documents")
-    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tokens"))
     broadcast_build = (
         os.path.getsize(os.path.join(sf, "documents.parquet")) < _MH_BROADCAST_BYTES
     )
-    # verification runs on 64-bit token hashes, not the strings: the
-    # distinct-token sets map 1:1 to distinct-hash sets absent an xxhash64
-    # collision inside one pair's <=2x|doc| -token union (p < 1e-15 per
-    # pair - the standard production trade), so jac is unchanged while
-    # array_intersect works a primitive long array instead of hashing
-    # strings per probe (measured 2.6 s -> 1.4 s for the verify stage at
-    # sf0.1); the index rows also shrink, which matters for the broadcast
-    banded = (
-        toks.select(
-            "doc_id",
-            F.transform("tokens", lambda t: F.xxhash64(t)).alias("th"),
-            F.size("tokens").alias("n_tok"),
-            F.pmod("doc_id", F.lit(_MH_SALTS)).cast("int").alias("salt"),
-            *minhash_band_cols(),
+    # the signature build (token hashing + the 128-hash minhash family -
+    # see _minhash_signatures) comes from the per-app shared frame when
+    # the band layout matches its 4-band default; a non-default n_bands
+    # (tests only) builds inline
+    if n_bands == 4:
+        base = _minhash_signatures(spark, sf)
+    else:
+        d = load(spark, sf, "documents")
+        toks = d.select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
         )
-        .localCheckpoint(eager=False)
+        base = toks.select(
+            "doc_id",
+            F.transform("tokens", lambda tk: F.xxhash64(tk)).alias("th"),
+            F.size("tokens").alias("n_tok"),
+            *minhash_band_cols(n_bands=n_bands),
+        ).localCheckpoint(eager=False)
+    banded = base.select(
+        "doc_id",
+        "th",
+        "n_tok",
+        F.pmod("doc_id", F.lit(_MH_SALTS)).cast("int").alias("salt"),
+        *[f"band{b}" for b in range(n_bands)],
     )
     # hot-bucket flags (_MH_BUCKET_CAP): ONE exploded aggregation finds
     # every over-cap (band, signature) bucket - bounded by |corpus|/cap
@@ -4249,6 +4292,16 @@ def _two_stage_oracle(cap: int | None = None) -> str:
     """
 
 
+# copy-count-weighted near-dup ledger cache: (applicationId, sf_dir) ->
+# checkpointed (doc_a, doc_b, copies_a, copies_b, jaccard) frame - the
+# _MH_PAIRS_CACHE rationale verbatim: a corpus's verified rep-pair index
+# is computed once and reused by every downstream weighting step, and
+# repeat invocations previously re-ran the four verify joins every time
+# (the dominant warm cost at sf1 once the signature family was shared).
+# bench.py clears it for the uncached sweep.
+_TWO_STAGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 @query("dedup_two_stage", oracle=_two_stage_oracle())
 def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
     """The PRODUCTION dedup composition: exact dedup FIRST (hash-group to
@@ -4263,33 +4316,52 @@ def dedup_two_stage(spark: SparkSession, sf: str) -> DataFrame:
     collapses at sf0.1), so the big n^2 saving does not manifest at
     small SF - the operator's value here is the copy-count-weighted
     near-dup ledger and the composition contract itself, both oracled.
-    Same md5 universal hash family and band spelling as
-    dedup_minhash_lsh, and since round 7 the same index-carrying join:
-    candidates dedupe via lowest-matching-band PREDICATES (no distinct
-    shuffle, no token re-joins), verification runs on 64-bit token
-    hashes inside the join, and the rep table broadcasts under the
-    corpus-size gate (_MH_BROADCAST_BYTES; the salted shuffle regime of
+    Design notes live on _two_stage_pairs_plan (the un-checkpointed
+    builder, the _*_plan split pattern - plan tests inspect it; this
+    wrapper caches the verified ledger per (application, sf) like
+    _minhash_verified_pairs)."""
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _TWO_STAGE_CACHE.get(key)
+    if cached is None:
+        cached = _two_stage_pairs_plan(spark, sf).localCheckpoint(eager=False)
+        _TWO_STAGE_CACHE[key] = cached
+    return cached
+
+
+def _two_stage_pairs_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """dedup_two_stage's un-checkpointed pair plan.  Same md5 universal
+    hash family and band spelling as dedup_minhash_lsh, and since round 7
+    the same index-carrying join: candidates dedupe via
+    lowest-matching-band PREDICATES (no distinct shuffle, no token
+    re-joins), verification runs on 64-bit token hashes inside the join,
+    and the rep table broadcasts under the corpus-size gate
+    (_MH_BROADCAST_BYTES; the salted shuffle regime of
     _minhash_verified_pairs applies beyond it via the same spelling).
     Shuffles: the exact-group and the band probes - all hash-keyed."""
     d = load(spark, sf, "documents")
     g = d.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("rep"),
         F.count("*").alias("n_copies"),
-        F.min("text").alias("text"),
     )
-    toks = g.select(
-        "rep",
-        "n_copies",
-        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    # signatures come from the shared per-app frame (VERDICT r14 item 5:
+    # this stage previously re-ran the 128-hash family over the unique
+    # texts that dedup_minhash_lsh had already signed): a rep's signature
+    # IS the shared frame's row for doc_id = rep, since every doc in an
+    # md5 group carries the identical text and the signature depends only
+    # on the text.  One int equi-join replaces ~|unique| x 128 md5 hashes.
+    sig = _minhash_signatures(spark, sf)
+    banded = (
+        g.join(sig, g["rep"] == sig["doc_id"])
+        .select(
+            "rep",
+            "n_copies",
+            "th",
+            "n_tok",
+            F.pmod("rep", F.lit(_MH_SALTS)).cast("int").alias("salt"),
+            *[f"band{b}" for b in range(4)],
+        )
+        .localCheckpoint(eager=False)
     )
-    banded = toks.select(
-        "rep",
-        "n_copies",
-        F.transform("tokens", lambda tk: F.xxhash64(tk)).alias("th"),
-        F.size("tokens").alias("n_tok"),
-        F.pmod("rep", F.lit(_MH_SALTS)).cast("int").alias("salt"),
-        *minhash_band_cols(),
-    ).localCheckpoint(eager=False)
     # hot-bucket stop-band flags, same rule as _minhash_pairs_plan (the
     # exact-dedup stage does NOT collapse near-dup cliques, so the
     # boilerplate-signature pathology reaches this join too)

@@ -1819,7 +1819,7 @@ class TestHotBucketCap:
             monkeypatch.setattr(llm, "_MH_BUCKET_CAP", cap)
             got = {
                 tuple(r)
-                for r in llm.dedup_two_stage(spark, perm_clique_sf_dir)
+                for r in llm._two_stage_pairs_plan(spark, perm_clique_sf_dir)
                 .select("doc_a", "doc_b", "copies_a", "copies_b", "jaccard")
                 .collect()
             }

@@ -768,11 +768,11 @@ class TestMinhashPairRegimes:
                 for r in df.collect()
             }
 
-        base = rows(llm.dedup_two_stage(spark, SF_DIR))
+        base = rows(llm._two_stage_pairs_plan(spark, SF_DIR))
         monkeypatch.setattr(llm, "_MH_BROADCAST_BYTES", 0)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            df = llm.dedup_two_stage(spark, SF_DIR)
+            df = llm._two_stage_pairs_plan(spark, SF_DIR)
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
