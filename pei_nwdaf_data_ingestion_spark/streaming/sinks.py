@@ -10,7 +10,10 @@ Kafka itself is gated behind an import-try (no broker/client in this image);
 the JSON-batch *shape* - one array of records per (notif) key, matching
 receiver.py:443 - is produced by pure column expressions and tested without
 a broker.  The keyed fan-out writes one stream per key to a directory tree,
-the file-system dual of topic-per-key / WS-per-subscription.
+the file-system dual of topic-per-key / WS-per-subscription.  The Arrow
+Flight writer (flight_foreach_batch, r15) is the wire-level egress this
+image CAN exercise end-to-end: executor-side DoPut over a real gRPC
+socket, same packed payload contract as the Kafka path.
 """
 
 from __future__ import annotations
@@ -27,6 +30,13 @@ try:  # confluent-kafka / kafka-python are not in this image
     HAVE_KAFKA = True
 except ImportError:
     HAVE_KAFKA = False
+
+try:  # pyarrow.flight ships with the image's pyarrow (verified r15)
+    import pyarrow.flight  # noqa: F401
+
+    HAVE_FLIGHT = True
+except ImportError:
+    HAVE_FLIGHT = False
 
 
 def pack_batches(records: DataFrame, key: str = "notifId") -> DataFrame:
@@ -105,6 +115,105 @@ def kafka_foreach_batch(topic: str, bootstrap: str, producer_factory=None):
         pack_batches(batch).foreachPartition(_send)
 
     return _write
+
+
+def flight_foreach_batch(location: str, key: str = "notifId"):
+    """Arrow Flight egress writer - the WIRE-level dual of the Kafka
+    produce (receiver.py:442-456) that this image can actually exercise:
+    no Kafka client or broker installs here (TESTDATA.md), but
+    pyarrow.flight ships with the bundled pyarrow, so the packed
+    one-JSON-array-per-key batches flow executor -> gRPC socket ->
+    receiver as Arrow record batches, closing the previously
+    environment-blocked wire-egress story with a real-socket test
+    (tests/test_pipeline_components.py::TestFlightSink).
+
+    EXECUTOR-SIDE like kafka_foreach_batch: each partition of the packed
+    frame opens its own FlightClient and DoPuts one stream under
+    descriptor path (key-root, epoch) - payload bytes never transit the
+    driver.  A DoPut failure raises -> the task retries -> the epoch
+    replays: at-least-once, deduplicable downstream by (epoch, key)
+    exactly like the file fan-out's epoch layout.
+
+    `location`: gRPC URI, e.g. "grpc://host:port".  The server side is
+    any Flight endpoint accepting DoPut; FlightSpoolServer below is the
+    in-process receiver used by tests and local ops."""
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        if not HAVE_FLIGHT:
+            raise NotImplementedError(
+                "pyarrow.flight unavailable; use file_fanout_foreach_batch"
+            )
+        loc, k, ep = location, key, int(epoch_id)
+
+        def _send(rows) -> None:
+            # worker-side: pyarrow imported ON the executor; everything in
+            # the closure is serialized by value (loc, k, ep)
+            import pyarrow as _pa
+            import pyarrow.flight as _fl
+
+            cols = {k: [], "payload": [], "n_records": []}
+            for row in rows:
+                cols[k].append(row[k])
+                cols["payload"].append(row["payload"])
+                cols["n_records"].append(row["n_records"])
+            if not cols[k]:
+                return
+            tbl = _pa.table(
+                {
+                    k: _pa.array(cols[k], _pa.string()),
+                    "payload": _pa.array(cols["payload"], _pa.string()),
+                    "n_records": _pa.array(cols["n_records"], _pa.int64()),
+                }
+            )
+            client = _fl.connect(loc)
+            try:
+                desc = _fl.FlightDescriptor.for_path(k, f"epoch={ep}")
+                writer, _meta = client.do_put(desc, tbl.schema)
+                writer.write_table(tbl)
+                writer.close()  # raises on server/socket failure -> retry
+            finally:
+                client.close()
+
+        pack_batches(batch, key).foreachPartition(_send)
+
+    return _write
+
+
+class FlightSpoolServer:
+    """In-process Arrow Flight receiver for the egress tests and local
+    ops: accepts DoPut streams and spools them per descriptor path -
+    the broker stand-in on the far side of a REAL gRPC socket (unlike
+    the injected fake producer the Kafka test must use)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+        import pyarrow.flight as fl
+
+        spool = self
+
+        class _Srv(fl.FlightServerBase):
+            def do_put(self, context, descriptor, reader, writer):
+                path = "/".join(p.decode() for p in descriptor.path)
+                spool.tables.setdefault(path, []).append(reader.read_all())
+
+        self.tables: dict[str, list] = {}
+        self._server = _Srv(f"grpc://{host}:{port}")
+        self.location = f"grpc://{host}:{self._server.port}"
+
+    def rows(self, path: str) -> list[dict]:
+        """All received rows under a descriptor path, as dicts."""
+        out: list[dict] = []
+        for t in self.tables.get(path, []):
+            out.extend(t.to_pylist())
+        return out
+
+    def close(self) -> None:
+        self._server.shutdown()
+
+    def __enter__(self) -> "FlightSpoolServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def file_fanout_foreach_batch(out_dir: str, key: str = "notifId"):
