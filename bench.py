@@ -797,6 +797,12 @@ def main() -> None:
         "dedup_cluster_components",
         "graph_label_propagation",
         "text_paragraph_dedup",
+        # r15 (VERDICT r14 item 7): the two graph-audit shapes joined the
+        # sweep after their r14/r15 plan changes (edge-iterator + degree
+        # gate + per-app projection cache) - their first-decade exponents
+        # (0.83 at sf0.1 -> sf1) are measured, the second decade was not
+        "graph_triangle_count",
+        "graph_clustering_coeff",
     ]
     sf3_block: dict = {}
     # restricted to the canonical sf0.1 -> sf1 layout (like the rotation):
