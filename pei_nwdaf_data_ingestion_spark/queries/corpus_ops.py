@@ -1616,6 +1616,138 @@ def scan_xml_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Arrow Flight source: one server per (application, sf) serving the
+# customer table as N DoGet endpoints - shut down at interpreter exit
+_FLIGHT_SRC: dict[tuple[str, str], str] = {}
+_FLIGHT_SRC_SERVERS: list = []
+_FLIGHT_SRC_SLICES = 4
+
+
+def _flight_source_location(spark: SparkSession, sf: str) -> str:
+    """Start (once per application, sf) an Arrow Flight server exposing
+    the customer table as _FLIGHT_SRC_SLICES row-slice endpoints; return
+    its gRPC location.  The server reads the parquet with pyarrow
+    directly - it stands in for the external Flight-speaking system
+    (Dremio, an ADBC service, another Spark cluster) a production
+    deployment would read from."""
+    import atexit
+    import os
+
+    import pyarrow.flight as fl
+    import pyarrow.parquet as pq
+
+    key = (spark.sparkContext.applicationId, sf)
+    loc = _FLIGHT_SRC.get(key)
+    if loc is not None:
+        return loc
+    path = os.path.join(sf, "customer.parquet")
+    n_slices = _FLIGHT_SRC_SLICES
+
+    class _Srv(fl.FlightServerBase):
+        def __init__(self):
+            super().__init__("grpc://127.0.0.1:0")
+            self._table = None
+
+        def _tbl(self):
+            if self._table is None:
+                self._table = pq.read_table(
+                    path, columns=["c_custkey", "c_nationkey", "c_acctbal"]
+                )
+            return self._table
+
+        def get_flight_info(self, context, descriptor):
+            t = self._tbl()
+            endpoints = [
+                fl.FlightEndpoint(
+                    f"slice-{i}".encode(),
+                    [fl.Location.for_grpc_tcp("127.0.0.1", self.port)],
+                )
+                for i in range(n_slices)
+            ]
+            return fl.FlightInfo(
+                t.schema, descriptor, endpoints, t.num_rows, -1
+            )
+
+        def do_get(self, context, ticket):
+            i = int(ticket.ticket.decode().split("-")[1])
+            t = self._tbl()
+            step = -(-t.num_rows // n_slices)  # ceil
+            return fl.RecordBatchStream(t.slice(i * step, step))
+
+    srv = _Srv()
+    loc = f"grpc://127.0.0.1:{srv.port}"
+    _FLIGHT_SRC[key] = loc
+    _FLIGHT_SRC_SERVERS.append(srv)
+    atexit.register(srv.shutdown)
+    return loc
+
+
+@query(
+    "scan_flight_source",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS bal_cents
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def scan_flight_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow Flight source connector parity (round 15): the customer
+    table is served by an Arrow Flight endpoint (pyarrow.flight ships
+    with this image's pyarrow - the egress half landed as
+    flight_foreach_batch) and read back DISTRIBUTED, the way every
+    production Flight consumer works: the driver's one get_flight_info
+    call fetches the endpoint list (N tickets), the tickets fan out one
+    per task, and each task DoGets its own slice over its own gRPC
+    connection inside mapInPandas - record batches flow server ->
+    executor as Arrow both on the wire and into pandas, no driver
+    materialization, no Python row loop.  At 100 TB the endpoint list is
+    the unit of parallelism (a real Flight service returns one endpoint
+    per shard/split); the per-(nation) rollup over the Flight-sourced
+    frame must equal the parquet-sourced DuckDB oracle exactly - doubles
+    round-trip Arrow bit-exact, money reduces to integer cents
+    Spark-side."""
+    loc = _flight_source_location(spark, sf)
+    import pyarrow.flight as fl
+
+    client = fl.connect(loc)
+    try:
+        info = client.get_flight_info(fl.FlightDescriptor.for_path("customer"))
+        tickets = [ep.ticket.ticket.decode() for ep in info.endpoints]
+    finally:
+        client.close()
+
+    tdf = spark.createDataFrame(
+        [(t,) for t in tickets], "ticket string"
+    ).repartition(len(tickets))
+
+    def _fetch(batches):
+        import pyarrow.flight as _fl
+
+        for pdf in batches:
+            for t in pdf["ticket"]:
+                cli = _fl.connect(loc)
+                try:
+                    for chunk in cli.do_get(_fl.Ticket(t.encode())):
+                        yield chunk.data.to_pandas()
+                finally:
+                    cli.close()
+
+    # schema mirrors the parquet file exactly (c_nationkey is int32 there;
+    # widening it would dtype-mismatch the oracle)
+    src = tdf.mapInPandas(
+        _fetch, schema="c_custkey long, c_nationkey int, c_acctbal double"
+    )
+    return src.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        F.sum(
+            F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")
+        ).alias("bal_cents"),
+    )
+
+
 @query(
     "scan_csv_source",
     oracle="""

@@ -290,6 +290,7 @@ ADDED_IN_ROUND: dict[str, int] = {
     "graph_lpa_converged": 13,
     "scan_orc_source": 13,
     "scan_xml_source": 14,
+    "scan_flight_source": 15,
 }
 
 # Ids whose code or semantics changed in round _CHANGED_ROUND - they lead
@@ -297,19 +298,21 @@ ADDED_IN_ROUND: dict[str, int] = {
 # until a CORRECTNESS file of that round exists (after that the derived
 # staleness ordering takes over; a permanent pin would waste window slots
 # every later round).
-# Round 14: every rows-only id now registers digest-wrapped (VERDICT r13
-# item 5 - output gains the constant result_digest column; row counts
-# unchanged, underlying values pytest-pinned equal to the raw builders),
-# so all 22 lead the window for a fresh rows-only sample under the new
-# schema.  scan_orc_source's dump widened to all 11 lineitem columns
-# (ADVICE r13; aggregate values identical by construction, re-hash for
-# safety), and graph_pagerank_converged's delta gate folded into the
-# rank-update job via df.observe (bit-equality pinned, re-hash for
-# safety; it is also in the rows-only set).  scan_xml_source is NEW this
-# round (r14 XML connector parity).  Budget check: the pin count is
-# len(_CHANGED_THIS_ROUND) == 31 << the driver's ~50-slot window.
-_CHANGED_ROUND = 14
+# Round 15: the rows-only digest became null-position-sensitive (ADVICE
+# r14 - per-column isnull indicators in the hash input), so every one of
+# the 22 digest-wrapped ids re-pins under the new digest and leads the
+# window for a fresh sample (row counts and underlying values unchanged;
+# the OLD pins were reproduced byte-for-byte first - stability proven).
+# graph_lpa_converged additionally folded its change count into the vote
+# job via df.observe (bit-equality pinned).  scan_flight_source is NEW
+# (Arrow Flight distributed source).  Plan reworks re-hashed for safety:
+# graph_triangle_count / graph_clustering_coeff (degree-aware gate +
+# per-app projection cache), dedup_two_stage / dedup_minhash_lsh (shared
+# signature frame + pair-ledger cache).  Budget check: the pin count is
+# len(_CHANGED_THIS_ROUND) == 27 << the driver's ~50-slot window.
+_CHANGED_ROUND = 15
 _CHANGED_THIS_ROUND = [
+    "scan_flight_source",
     "graph_pagerank_converged",
     "graph_lpa_converged",
     "agg_approx_distinct",
@@ -332,17 +335,9 @@ _CHANGED_THIS_ROUND = [
     "stream_stream_join",
     "stream_stream_join_outer",
     "stream_windowed_topk",
-    "scan_orc_source",
-    "scan_xml_source",
-    # r14 plan reworks (values identical by construction, re-hash for
-    # safety): gated edge-iterator triangle counting + checkpointed
-    # projections
     "graph_triangle_count",
     "graph_clustering_coeff",
-    "multimodal_ahash_neardup",
-    "text_vocab_coverage_curve",
     "dedup_two_stage",
-    "dedup_simhash",
     "dedup_minhash_lsh",
 ]
 

@@ -76,6 +76,57 @@ class TestPushdownAndPruning:
                 assert dropped not in line
 
 
+    def test_flight_source_fans_out_one_ticket_per_task(self, spark):
+        """scan_flight_source (r15): the endpoint list is the unit of
+        parallelism - each Flight ticket lands in its own task, each task
+        DoGets its own slice, and the union of slices is exactly the
+        parquet table (no overlap, no loss).  The read side is
+        mapInPandas (Arrow batches end-to-end), never a driver collect."""
+        from pyspark.sql import functions as F
+
+        from pei_nwdaf_data_ingestion_spark import registry
+        from pei_nwdaf_data_ingestion_spark.catalog import load
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        registry.load_all()
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r["c_nationkey"], r["n_cust"], r["bal_cents"])
+            for r in registry.QUERIES["scan_flight_source"](spark, sf).collect()
+        }
+        want = {
+            tuple(r)
+            for r in load(spark, sf, "customer")
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").alias("n_cust"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")
+                ).alias("bal_cents"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+        # endpoint fan-out: the server advertises _FLIGHT_SRC_SLICES
+        # tickets and every slice arrives (row counts add up exactly)
+        import pyarrow.flight as fl
+
+        loc = corpus_ops._flight_source_location(spark, sf)
+        client = fl.connect(loc)
+        try:
+            info = client.get_flight_info(
+                fl.FlightDescriptor.for_path("customer")
+            )
+            assert len(info.endpoints) == corpus_ops._FLIGHT_SRC_SLICES
+            n_rows = sum(
+                sum(c.data.num_rows for c in client.do_get(ep.ticket))
+                for ep in info.endpoints
+            )
+        finally:
+            client.close()
+        assert n_rows == load(spark, sf, "customer").count()
+
+
 class TestJoinStrategy:
     def test_star_join_broadcasts_all_dims(self, spark):
         """5-way star: every dim side fits the broadcast threshold, so the
