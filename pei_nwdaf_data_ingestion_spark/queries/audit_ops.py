@@ -516,27 +516,33 @@ def graph_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
     fixture's supplier overlap makes it complete (cc identically 1000,
     measured r11), where the support-2 basket graph stays sparse.
 
-    Exactness: triangles come from the ordered (a < b < c) two-join
-    enumeration with the three node roles exploded in ONE pass of the
-    join (a unionAll of three selects would recompute the join three
-    times - measured 5x at sf0.1); degrees, triangle credits, and cc are
-    exact BIGINTs, one integer division to milli.
+    Exactness: per-node triangle credits come from the EDGE-ITERATOR
+    (r15, the same kill graph_triangle_count got in r14): for each
+    projected edge (a, b), I = N+(a) intersect N+(b) closes exactly the
+    ordered triangles (a < b < c); a and b each earn |I| credits and
+    every c in I earns 1 (explode), so total credits = 3x triangles with
+    NO wedge enumeration - the old ab-bc-ac two-join spelling streamed
+    every ordered wedge through the closing join (measured 6.2 s warm at
+    sf1; the wedge count of the support-2 basket graph dwarfs its
+    triangle count).  Degrees, credits, and cc stay exact BIGINTs, one
+    integer division to milli.
 
     Plan: the per-order pair fan-out is bounded by basket size (~4
     items/order -> 6 pairs), the support filter is a HAVING on the pair
     agg (map-side combinable), and every downstream agg is combinable;
     the bucket report is <= 10 rows.  The projection MATERIALIZES once
-    (r14: its four consumers - deg and the three triangle roles - each
-    re-ran the order-blocked pair fan-out + support agg, the dominant
-    cost a decade up: 15.3 -> ~4 s at sf1), and under the same
-    broadcast-regime gate as graph_triangle_count (the shared public
-    corpus_ops.TRI_BCAST_CAP - ADVICE r14 decoupled the private import)
-    the two closing joins take broadcast build sides so the ordered-wedge
-    stream never hits an exchange; past the gate the shuffle spelling is
-    the 100 TB fallback.  Projection + edge count cache per (application,
-    sf), so repeat invocations skip both the build and the gate-count job
-    that previously re-ran every time (ADVICE r14)."""
-    from .corpus_ops import TRI_BCAST_CAP
+    (r14: its consumers each re-ran the order-blocked pair fan-out +
+    support agg, the dominant cost a decade up), and under the shared
+    broadcast-regime gate (corpus_ops.TRI_BCAST_CAP on total edges AND
+    TRI_MAX_DEG_CAP on the widest forward-neighbor array, both scalars
+    from one combinable degree agg at build time - same gate as
+    graph_triangle_count) the adjacency broadcasts to both edge
+    endpoints, so the credit stream never hits an exchange before its
+    map-side-combinable sum; past the gate the wedge-enumeration
+    shuffle spelling is the 100 TB fallback.  Projection + gate scalars
+    cache per (application, sf), so repeat invocations skip both the
+    build and the gate job (ADVICE r14)."""
+    from .corpus_ops import TRI_BCAST_CAP, TRI_MAX_DEG_CAP
 
     key = (spark.sparkContext.applicationId, sf)
     cached = _BASKET_PROJ_CACHE.get(key)
@@ -557,29 +563,74 @@ def graph_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
             .select("p1", "p2")
             .localCheckpoint(eager=True)
         )
-        # one cheap scan over the checkpointed blocks, reused by every
-        # later invocation as the broadcast-regime gate
-        n_edges = proj.count()
-        _BASKET_PROJ_CACHE[key] = (proj, n_edges)
+        # one combinable agg over the checkpointed blocks delivers BOTH
+        # gate scalars (sum of forward degrees = total edges, max forward
+        # degree = widest broadcast adjacency row), reused by every later
+        # invocation
+        # the forward adjacency is both the gate source and the
+        # edge-iterator's broadcast build side - checkpoint it next to
+        # the projection so repeat invocations skip the collect_list agg
+        adj = proj.groupBy("p1").agg(
+            F.sort_array(F.collect_list("p2")).alias("nbrs")
+        ).localCheckpoint(eager=True)
+        stats = adj.agg(
+            F.sum(F.size("nbrs")).alias("n"),
+            F.max(F.size("nbrs")).alias("mx"),
+        ).first()
+        n_edges = int(stats["n"] or 0)
+        max_deg = int(stats["mx"] or 0)
+        _BASKET_PROJ_CACHE[key] = (proj, adj, n_edges, max_deg)
     else:
-        proj, n_edges = cached
+        proj, adj, n_edges, max_deg = cached
     deg = (
         proj.select(F.col("p1").alias("v"))
         .unionAll(proj.select(F.col("p2").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )
-    ab = proj.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
-    bc = proj.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
-    ac = proj.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
-    if n_edges <= TRI_BCAST_CAP:
-        bc, ac = F.broadcast(bc), F.broadcast(ac)
-    tri3 = ab.join(bc, "b").join(ac, ["a", "c"])
-    tv = (
-        tri3.select(F.explode(F.array("a", "b", "c")).alias("v"))
-        .groupBy("v")
-        .agg(F.count("*").alias("tri"))
-    )
+    if n_edges <= TRI_BCAST_CAP and max_deg <= TRI_MAX_DEG_CAP:
+        # edge-iterator credits: per edge (a, b) the forward-neighbor
+        # intersection I closes the ordered triangles; a and b earn |I|,
+        # each c in I earns 1 - no wedge stream, no closing join
+        e = (
+            proj.join(
+                F.broadcast(
+                    adj.select(F.col("p1").alias("u"), F.col("nbrs").alias("nu"))
+                ),
+                F.col("p1") == F.col("u"),
+            )
+            .join(
+                F.broadcast(
+                    adj.select(F.col("p1").alias("w"), F.col("nbrs").alias("nv"))
+                ),
+                F.col("p2") == F.col("w"),
+                "left",  # a p2 with no forward neighbors has empty N+
+            )
+            .select(
+                "p1",
+                "p2",
+                F.array_intersect(
+                    "nu", F.coalesce("nv", F.array().cast("array<bigint>"))
+                ).alias("i"),
+            )
+            .filter(F.size("i") > 0)
+        )
+        credits = (
+            e.select(F.col("p1").alias("v"), F.size("i").alias("c"))
+            .unionAll(e.select(F.col("p2").alias("v"), F.size("i").alias("c")))
+            .unionAll(e.select(F.explode("i").alias("v"), F.lit(1).alias("c")))
+        )
+        tv = credits.groupBy("v").agg(F.sum("c").cast("long").alias("tri"))
+    else:
+        ab = proj.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+        bc = proj.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
+        ac = proj.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
+        tri3 = ab.join(bc, "b").join(ac, ["a", "c"])
+        tv = (
+            tri3.select(F.explode(F.array("a", "b", "c")).alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("tri"))
+        )
     cc = (
         deg.filter(F.col("deg") >= 2)
         .join(tv, "v", "left")

@@ -529,8 +529,8 @@ class TestRound6NonVacuous:
         assert corpus_ops._TRI_PROJ_CACHE[key][0] is proj1  # not rebuilt
         registry.QUERIES["graph_clustering_coeff"](spark, sf).collect()
         assert key in audit_ops._BASKET_PROJ_CACHE
-        bproj, bn = audit_ops._BASKET_PROJ_CACHE[key]
-        assert bn > 0
+        bproj, badj, bn, bmx = audit_ops._BASKET_PROJ_CACHE[key]
+        assert bn > 0 and bmx >= 1
         registry.QUERIES["graph_clustering_coeff"](spark, sf).collect()
         assert audit_ops._BASKET_PROJ_CACHE[key][0] is bproj
 

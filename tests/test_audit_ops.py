@@ -192,6 +192,24 @@ class TestPACF:
 
 
 class TestClusteringCoeff:
+    def test_edge_iterator_and_wedge_regimes_agree(self, spark, monkeypatch):
+        """r15: under the broadcast gate the per-node triangle credits
+        come from the edge-iterator (|I| to both endpoints + explode(I)
+        - no wedge enumeration); past the gate the ordered two-join
+        wedge spelling is the 100 TB fallback.  Both regimes must
+        produce the identical bucket table."""
+        from pei_nwdaf_data_ingestion_spark.queries import corpus_ops
+
+        fast = registry.QUERIES["graph_clustering_coeff"](spark, SF).collect()
+        monkeypatch.setattr(corpus_ops, "TRI_BCAST_CAP", 0)
+        slow = registry.QUERIES["graph_clustering_coeff"](spark, SF).collect()
+        assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+        monkeypatch.setattr(corpus_ops, "TRI_BCAST_CAP", 2_000_000)
+        monkeypatch.setattr(corpus_ops, "TRI_MAX_DEG_CAP", 0)
+        degslow = registry.QUERIES["graph_clustering_coeff"](spark, SF).collect()
+        assert sorted(map(tuple, fast)) == sorted(map(tuple, degslow))
+        assert len(fast) > 0
+
     def test_matches_set_arithmetic(self, spark):
         got = (
             registry.QUERIES["graph_clustering_coeff"](spark, SF)
