@@ -670,40 +670,48 @@ def events_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     occurrence - the property that separates funnel analysis from plain
     per-type counts - and the day grain makes the funnel repeatable (all
     four stages populated on the fixture: 2395/1278/286/47 at sf0.01).
-    Three conditional-min hash aggregations keyed by (user, day), each
-    joining the per-instance frame back to events on the same key - every
-    stage is key-partitioned, state per instance is one timestamp per
-    step, so the shape survives any event volume."""
+    ONE hash aggregation keyed by (user, day) computes all three stage
+    timestamps: the signup min plus per-instance click/purchase
+    timestamp lists, with the later-step dependency (only events
+    strictly after the previous step's first occurrence count) resolved
+    by array_min over a filtered list instead of a join back to events.
+    The r15 rewrite: the previous spelling joined events back to the
+    per-instance frame twice (three scans of events, five exchanges of
+    event-scale data); this one shuffles events ONCE, and the per-key
+    lists are bounded by one user-day's events, so the shape survives
+    any event volume.  NULL-key (user, day) groups are filtered up
+    front to reproduce the join spelling exactly (equi-joins drop NULL
+    keys; so does the oracle's)."""
     ev = load(spark, sf, "events").select(
         "user_id", "event_type", "ts", F.col("ts").cast("date").alias("d")
     )
-    s = ev.groupBy("user_id", "d").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts")
-    )
-    c = (
-        ev.join(s, ["user_id", "d"])
-        .groupBy("user_id", "d", "s_ts")
+    g = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("d").isNotNull())
+        .groupBy("user_id", "d")
         .agg(
             F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
-                    F.col("ts"),
-                )
-            ).alias("c_ts")
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("s_ts"),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("clicks"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("purchases"),
         )
     )
-    p = (
-        ev.join(c, ["user_id", "d"])
-        .groupBy("user_id", "d", "s_ts", "c_ts")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("c_ts")),
-                    F.col("ts"),
-                )
-            ).alias("p_ts")
-        )
+    # min click strictly after s_ts; filter drops non-true predicates, so
+    # a NULL s_ts yields an empty list and array_min([]) = NULL - exactly
+    # the join spelling's min(when(ts > NULL)) = NULL
+    c_ts = F.array_min(F.filter(F.col("clicks"), lambda t: t > F.col("s_ts")))
+    p = g.withColumn("c_ts", c_ts).select(
+        "user_id",
+        "d",
+        "s_ts",
+        "c_ts",
+        F.array_min(
+            F.filter(F.col("purchases"), lambda t: t > F.col("c_ts"))
+        ).alias("p_ts"),
     )
     stage = (
         F.when(F.col("s_ts").isNull(), 0)

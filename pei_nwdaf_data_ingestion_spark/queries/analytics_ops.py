@@ -378,12 +378,15 @@ def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     hash agg fanned into 4 report rows with stack().  Pass rates are
     integer micro-units (floor div).  Zero joins, one tiny shuffle."""
     d = load(spark, sf, "documents")
-    toks = F.split("text", " ")
-    t = d.select(
+    # tokenize ONCE into a materialized column: the bigram lambda below
+    # otherwise re-evaluates split(text) per element (the _bigrams lesson
+    # - ~2 re-tokenizations per bigram position per row)
+    tk = d.select("lang", "text", F.split("text", " ").alias("tk"))
+    t = tk.select(
         "lang",
-        F.size(toks).cast("long").alias("nt"),
+        F.size("tk").cast("long").alias("nt"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias("sumlen"),
-        F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("long").alias("n_stop"),
+        F.size(F.filter(F.col("tk"), lambda x: x.isin("the", "a"))).cast("long").alias("n_stop"),
         F.size(
             F.array_distinct(
                 F.expr(
@@ -391,9 +394,9 @@ def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
                     # semantics and [i+1] would index past the array under
                     # ANSI mode, so 1-token docs must short-circuit to an
                     # empty bigram set exactly like the oracle's range(1,1)
-                    "CASE WHEN size(split(text, ' ')) >= 2 THEN"
-                    " transform(sequence(0, size(split(text, ' ')) - 2),"
-                    " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1]))"
+                    "CASE WHEN size(tk) >= 2 THEN"
+                    " transform(sequence(0, size(tk) - 2),"
+                    " i -> concat(tk[i], ' ', tk[i+1]))"
                     " ELSE array() END"
                 )
             )
@@ -485,7 +488,11 @@ def dedup_span_repeats(spark: SparkSession, sf: str) -> DataFrame:
     semi join on the same hash key (co-partitioned under AQE); the
     per-doc and per-source rollups reuse small frames.  All integer."""
     d = load(spark, sf, "documents")
-    spans = d.select(
+    # tokenize ONCE into a materialized column before the span lambda:
+    # higher-order lambdas re-evaluate embedded expression subtrees PER
+    # ELEMENT (the _bigrams lesson), so inlining split(text) into the
+    # slice re-tokenized each doc ~nt times per row
+    spans = d.select("doc_id", "source", F.split("text", " ").alias("tk")).select(
         "doc_id",
         "source",
         F.explode(
@@ -496,9 +503,9 @@ def dedup_span_repeats(spark: SparkSession, sf: str) -> DataFrame:
                 # range(1, len-6) yields zero spans there, so short docs
                 # must contribute an empty span list (explode drops them,
                 # matching the oracle's LATERAL producing no rows)
-                f"CASE WHEN size(split(text, ' ')) >= {_SPAN_W} THEN"
-                f" transform(sequence(1, size(split(text, ' ')) - {_SPAN_W - 1}),"
-                f" i -> md5(array_join(slice(split(text, ' '), i, {_SPAN_W}), ' ')))"
+                f"CASE WHEN size(tk) >= {_SPAN_W} THEN"
+                f" transform(sequence(1, size(tk) - {_SPAN_W - 1}),"
+                f" i -> md5(array_join(slice(tk, i, {_SPAN_W}), ' ')))"
                 f" ELSE array() END"
             )
         ).alias("h"),

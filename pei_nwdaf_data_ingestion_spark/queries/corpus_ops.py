@@ -281,27 +281,43 @@ def dedup_phash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     candidate stage is hash-partitioned and never all-pairs.  Output is
     the verified-candidate histogram by Hamming distance."""
     d = load(spark, sf, "documents")
+    # one exploded (band_idx, band_val) row per band per doc, so BOTH
+    # banding joins collapse into ONE equi self-join on the composite
+    # key: the two sides' exchange subtrees are then textually identical
+    # and ReuseExchange evaluates the 16-letter parity fingerprint (32
+    # string traversals per doc) ONCE for the whole query - the previous
+    # two-join + union spelling planned two distinct exchanges per side
+    # and re-ran _phash16 under each (4 evaluations).  Candidate set is
+    # unchanged: a pair sharing either band meets itself on that band's
+    # row, and the distinct() already deduped both-band matches.
     b = d.select(
         "doc_id",
         _phash16(F.col("text")).alias("ph"),
     ).select(
-        "doc_id", "ph", F.expr("ph div 256").alias("hi"), (F.col("ph") % 256).alias("lo")
-    )
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"), F.expr("ph div 256").alias("bv")
+                ),
+                F.struct(F.lit(1).alias("band"), (F.col("ph") % 256).alias("bv")),
+            )
+        ).alias("bd"),
+    ).select("doc_id", "ph", F.col("bd.band").alias("band"), F.col("bd.bv").alias("bv"))
     a, c = b.alias("a"), b.alias("c")
-    pair_cols = [
-        F.col("a.doc_id").alias("da"),
-        F.col("c.doc_id").alias("db"),
-        F.col("a.ph").alias("pa"),
-        F.col("c.ph").alias("pb"),
-    ]
     cand = (
-        a.join(c, (F.col("a.hi") == F.col("c.hi")) & (F.col("a.doc_id") < F.col("c.doc_id")))
-        .select(*pair_cols)
-        .union(
-            a.join(
-                c,
-                (F.col("a.lo") == F.col("c.lo")) & (F.col("a.doc_id") < F.col("c.doc_id")),
-            ).select(*pair_cols)
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("c.doc_id").alias("db"),
+            F.col("a.ph").alias("pa"),
+            F.col("c.ph").alias("pb"),
         )
         .distinct()
     )
@@ -2857,6 +2873,11 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     - pytest-pinned bit-equal to this query at the same iteration count
     (tests/test_pipeline_components.py, TestConvergenceGatedTwins)."""
     ed, _deg = _edge_index(spark, sf)
+    # label init: the distinct() over the persisted edge rows LOOKS
+    # redundant next to the one-row-per-node deg table, but its closing
+    # exchange is what ReuseExchange collapses when the 3-round unroll
+    # embeds this subtree 2^k times across the rounds - an r15 attempt to
+    # init from the deg checkpoint instead measured 1.86 -> 4.46 s.
     nodes = ed.select(F.col("src").alias("node")).distinct()
     lbl = nodes.select("node", F.col("node").cast("long").alias("lbl"))
     for _ in range(3):

@@ -338,23 +338,25 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("ord"))
     )
     prefix_len = (F.col("n_tok") - F.ceil(F.col("n_tok") * F.lit(t)) + 1).cast("int")
-    prefixes = ordered.select(
-        "doc_id",
-        "n_tok",
-        F.slice(F.col("ord.token"), F.lit(1), prefix_len).alias("prefix"),
-    )
     # the index row CARRIES the token array: at ~prefix_len (= 2 here) rows
     # per doc the duplication is bounded by the prefix length, and having
     # the arrays inside the join stage means the candidate pairs are
     # generated, position-filtered, AND Jaccard-verified within one task -
     # only true matches ever leave the stage (the previous spelling
     # shuffled every candidate through a distinct plus two array joins:
-    # 19 s vs ~2 s at sf0.1 for the same 190k-pair answer).
-    inv = prefixes.join(toks.select("doc_id", "tokens"), "doc_id").select(
+    # 19 s vs ~2 s at sf0.1 for the same 190k-pair answer).  The carried
+    # array is ord.token itself - the SAME token set in rarest-first order
+    # (r15: the old spelling joined back to `toks` on doc_id just to fetch
+    # the original-order array, one whole extra shuffle of the corpus
+    # tokens; array_intersect is order-insensitive, so the verified
+    # Jaccard is bit-identical either way).
+    inv = ordered.select(
         "doc_id",
         "n_tok",
-        "tokens",
-        F.posexplode("prefix").alias("pos0", "token"),
+        F.col("ord.token").alias("tokens"),
+        F.posexplode(
+            F.slice(F.col("ord.token"), F.lit(1), prefix_len)
+        ).alias("pos0", "token"),
     ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
     # the probe and broadcast branches would otherwise each rebuild the
     # whole index pipeline (freq agg + rarest-first sort + explode, ~0.6 s
@@ -2657,6 +2659,15 @@ def text_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     toks = F.split("text", " ")
     base = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+    # r15 (guide 8: decide with small rows, move big rows once): the
+    # winner join and the per-doc rollup shuffle ONLY (doc_id, start, h,
+    # occ_key) - the 10-token chunk TEXT never leaves its row.  The old
+    # spelling carried the chunk string through the md5-keyed join
+    # exchange AND the doc_id rollup exchange (the corpus shuffled ~2x);
+    # now the rebuild re-slices the token array after ONE doc_id join of
+    # the kept-start lists back onto base - corpus bytes cross one
+    # exchange, metadata crosses the rest.  Values are identical: the
+    # kept chunks are the same slices in the same start order.
     occ = base.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(10))).alias("start"),
@@ -2664,29 +2675,32 @@ def text_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "doc_id",
         "start",
-        F.concat_ws(" ", F.slice(F.col("t"), F.col("start"), F.lit(10))).alias("c"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("start"), F.lit(10)))
+        ).alias("h"),
         (F.col("doc_id") * 100000 + F.col("start")).alias("occ_key"),
     )
-    win = occ.groupBy(F.md5("c").alias("h")).agg(F.min("occ_key").alias("w"))
-    j = occ.join(win, F.md5(occ["c"]) == win["h"]).select(
-        "doc_id",
-        "start",
-        "c",
-        (F.col("occ_key") == F.col("w")).alias("keep"),
+    win = occ.groupBy("h").agg(F.min("occ_key").alias("w"))
+    keep = F.col("occ_key") == F.col("w")
+    agged = (
+        occ.join(win, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.array_sort(
+                # collect_list drops NULLs: kept starts only
+                F.collect_list(F.when(keep, F.col("start")))
+            ).alias("ss"),
+        )
     )
-    agged = j.groupBy("doc_id").agg(
-        F.count("*").alias("n_chunks"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.array_sort(
-            F.collect_list(  # collect_list drops NULLs: kept chunks only
-                F.when(
-                    F.col("keep"), F.struct(F.col("start").alias("s"), F.col("c").alias("c"))
-                )
-            )
-        ).alias("ks"),
+    rebuilt = F.concat_ws(
+        " ",
+        F.transform(
+            "ss", lambda s: F.concat_ws(" ", F.slice(F.col("t"), s, F.lit(10)))
+        ),
     )
-    rebuilt = F.concat_ws(" ", F.transform("ks", lambda x: x["c"]))
-    return agged.select(
+    return base.join(agged, "doc_id").select(
         "doc_id",
         "n_chunks",
         "n_kept",
@@ -4894,10 +4908,17 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf: str) -> DataFrame:
     p, ranked = _ivf_probe_cells(e, cent_rows, k_cells)  # full cell ranking
     idx = _ivf_index(spark, sf, vecs, cent_rows).select("vec_id", "cell", "v")
     p_lit = F.array(*[F.lit(float(x)) for x in p])
+    # the four curve points and the recall joins are FIVE consumers of the
+    # same two frames; without a lineage cut each union branch re-ran the
+    # whole cosine projection (4x) and the exact brute-force top-10 (5x)
+    # inside the one final action.  Both lazy checkpoints materialize once:
+    # `scan` is 3 narrow columns per vector, `exact` is the 10-row answer.
     scan = idx.select(
         "vec_id", "cell", _cos_or_null(F.col("v"), p_lit).alias("_cos")
+    ).localCheckpoint(eager=False)
+    exact = (
+        sim_cosine_topk(spark, sf).select("vec_id").localCheckpoint(eager=False)
     )
-    exact = sim_cosine_topk(spark, sf).select("vec_id")
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     points = []
     for np_ in probes:

@@ -341,10 +341,18 @@ def multimodal_audio_vad(spark: SparkSession, sf: str) -> DataFrame:
     assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
         F.col("media_type") == "audio"
     )
-    units = decode_media_units(assets)
+    units = decode_media_units(assets, columns=('asset_id', 'unit_idx', 'unit'))
     w = units.groupBy(
         "asset_id", F.expr("unit_idx div 4").alias("win")
     ).agg(F.sum(F.abs("unit")).alias("energy"))
+    # the window-energy frame feeds TWO branches (per-asset rollup and the
+    # gaps-and-islands segment chain); their exchange subtrees differ (a
+    # pushed activity filter sits above the decode in one), so ReuseExchange
+    # does NOT collapse them and the synth+decode PYTHON pair ran once per
+    # branch (plan showed 4 MapInPandas nodes).  Checkpointing the tiny
+    # (asset_id, win, energy) frame decodes every blob exactly once - the
+    # r14 ahash lesson applied to the last double-decoding consumer.
+    w = w.localCheckpoint(eager=False)
     a = w.select(
         "asset_id", "win", "energy", (F.col("energy") >= 65536).alias("act")
     )
@@ -433,7 +441,7 @@ def multimodal_audio_zcr(spark: SparkSession, sf: str) -> DataFrame:
     assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
         F.col("media_type") == "audio"
     )
-    units = decode_media_units(assets)
+    units = decode_media_units(assets, columns=('asset_id', 'unit_idx', 'unit'))
     w = W.partitionBy("asset_id").orderBy("unit_idx")
     l_ = units.select(
         "asset_id",
@@ -509,7 +517,7 @@ def multimodal_image_entropy(spark: SparkSession, sf: str) -> DataFrame:
     assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
         F.col("media_type") == "image"
     )
-    units = decode_media_units(assets)
+    units = decode_media_units(assets, columns=('asset_id', 'unit'))
     c = units.groupBy(
         "asset_id", F.expr("unit div 32").alias("bin")
     ).agg(F.count("*").alias("cnt"))
@@ -594,7 +602,7 @@ def multimodal_duplicate_frames(spark: SparkSession, sf: str) -> DataFrame:
     assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
         F.col("media_type") == "video"
     )
-    units = decode_media_units(assets)
+    units = decode_media_units(assets, columns=('asset_id', 'frame_idx', 'frame_unit_idx', 'unit'))
     fp = units.groupBy("asset_id", "frame_idx").agg(
         F.sum(
             F.expr("unit * (frame_unit_idx + 1) % 1000003")
@@ -677,7 +685,7 @@ def multimodal_ahash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
         F.col("media_type") == "image"
     )
-    units = decode_media_units(assets)
+    units = decode_media_units(assets, columns=('asset_id', 'unit_idx', 'unit'))
     # single pass over the decoded pixel stream (r14: the old mean-join
     # spelling scanned `units` twice, and the un-materialized hash frame
     # re-ran the whole Python decode chain in every self-join branch -
@@ -790,7 +798,7 @@ def multimodal_image_hist(spark: SparkSession, sf: str) -> DataFrame:
     assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
         F.col("media_type") == "image"
     )
-    units = decode_media_units(assets)
+    units = decode_media_units(assets, columns=('asset_id', 'unit_idx', 'unit'))
     channel = F.element_at(
         F.array(F.lit("b"), F.lit("g"), F.lit("r")),
         (F.col("unit_idx") % 3 + 1).cast("int"),
@@ -855,7 +863,7 @@ def multimodal_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
     assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
         F.col("media_type") == "video"
     )
-    units = decode_media_units(assets)
+    units = decode_media_units(assets, columns=('asset_id', 'frame_idx', 'unit'))
     fm = units.groupBy("asset_id", "frame_idx").agg(
         F.expr("sum(unit) * 1000 div count(*)").alias("mean_milli")
     )
@@ -920,7 +928,7 @@ def multimodal_audio_clipping(spark: SparkSession, sf: str) -> DataFrame:
     assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
         F.col("media_type") == "audio"
     )
-    units = decode_media_units(assets)
+    units = decode_media_units(assets, columns=('asset_id', 'unit'))
     c = units.groupBy("asset_id").agg(
         F.count("*").alias("n_samples"),
         F.sum((F.abs("unit") >= 30000).cast("long")).alias("n_clipped"),
@@ -1000,7 +1008,7 @@ def multimodal_image_sharpness(spark: SparkSession, sf: str) -> DataFrame:
     assets = synthesize_media_assets(load(spark, sf, "documents")).filter(
         F.col("media_type") == "image"
     )
-    units = decode_media_units(assets)
+    units = decode_media_units(assets, columns=('asset_id', 'unit_idx', 'unit'))
     w = W.partitionBy("asset_id").orderBy("unit_idx")
     l_ = units.select(
         "asset_id",
