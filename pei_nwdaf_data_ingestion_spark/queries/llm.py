@@ -5031,6 +5031,15 @@ def text_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         + F.lit(0.25) * (F.col("nu") / F.col("tt").cast("double"))
     )
     micro = F.floor(-F.log(p_mix) * 1000000.0 + F.lit(0.5)).cast("long")
+    # r15 negative result, kept as the measured reason this stays the
+    # three-probe spelling: folding the mixture weight onto the bigram
+    # model first (big JOIN ctx JOIN uni, then ONE (w1, w2) scoring join)
+    # looks like the quality-classifier discipline, but the static
+    # planner sized the three-way model chain ABOVE the checkpointed gram
+    # stream and built the BroadcastHashJoin on the CORPUS side
+    # (BuildLeft over the ExistingRDD scan) - 1.23 -> 1.99 s at sf0.1,
+    # and a broadcast-the-corpus plan at 100 TB.  Each atomic model agg
+    # below keeps a sane estimate and broadcasts as the build side.
     nll = (
         g.join(big, ["w1", "w2"])
         .join(ctx, "w1")

@@ -308,8 +308,9 @@ ADDED_IN_ROUND: dict[str, int] = {
 # (Arrow Flight distributed source).  Plan reworks re-hashed for safety:
 # graph_triangle_count / graph_clustering_coeff (degree-aware gate +
 # per-app projection cache), dedup_two_stage / dedup_minhash_lsh (shared
-# signature frame + pair-ledger cache).  Budget check: the pin count is
-# len(_CHANGED_THIS_ROUND) == 27 << the driver's ~50-slot window.
+# signature frame + pair-ledger cache), plus the 16 optimization-round
+# plan reworks appended at the list tail.  Budget check: the pin count
+# is len(_CHANGED_THIS_ROUND) == 43 < the driver's ~50-slot window.
 _CHANGED_ROUND = 15
 _CHANGED_THIS_ROUND = [
     "scan_flight_source",
@@ -339,6 +340,28 @@ _CHANGED_THIS_ROUND = [
     "graph_clustering_coeff",
     "dedup_two_stage",
     "dedup_minhash_lsh",
+    # r15 optimization-round plan reworks (values identical by
+    # construction, every id probed hash-green at sf0.01 AND sf0.1;
+    # re-hash for safety): decode column pruning + vad decode-once
+    # (multimodal family), the one-pass funnel, HOF split hoists,
+    # exploded-band phash join, checkpointed nprobe curve, index-carried
+    # ppjoin tokens, metadata-only paragraph-dedup shuffle
+    "multimodal_audio_vad",
+    "multimodal_audio_zcr",
+    "multimodal_image_entropy",
+    "multimodal_duplicate_frames",
+    "multimodal_ahash_neardup",
+    "multimodal_image_hist",
+    "multimodal_scene_cuts",
+    "multimodal_audio_clipping",
+    "multimodal_image_sharpness",
+    "dedup_span_repeats",
+    "text_gopher_rules",
+    "dedup_phash_hamming",
+    "events_funnel_conversion",
+    "sim_ivf_nprobe_curve",
+    "dedup_ppjoin_prefix",
+    "text_paragraph_dedup",
 ]
 
 
