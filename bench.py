@@ -749,6 +749,13 @@ def main() -> None:
                 # watched, never silently dropped.
                 if g > 1.1:
                     t_best = confirm_growth_time(n, t_hi, hi_dir)
+                    # the confirmed (min) hi time IS the measurement - the
+                    # ledger fold below reads sweep_hi, and leaving the
+                    # unconfirmed first read there let a floor-dominated
+                    # shape enter superlinear_ever on a hi time its own
+                    # confirm pass had already halved (r15: join_anti
+                    # 0.718 unconfirmed vs 0.270 confirmed)
+                    sweep_hi[n] = t_best
                     adj_hi = max(t_best - floor, 0.005)
                     g = round(math.log(adj_hi / adj_base) / ratio, 3)
                     growth_hi[n] = g
@@ -1128,6 +1135,10 @@ def main() -> None:
                 n for n in measured
                 if (ledger[n].get("exponent") or 0) > 1.1
                 and ledger[n].get("t_hi", 0) > 0.5
+                # floor-dominated slopes are "recorded, never flagged"
+                # (the r13 decidability guard) - without this exclusion a
+                # clamped 5 ms adj_base manufactures the exponent
+                and not ledger[n].get("floor_dominated")
             ),
         }
 
