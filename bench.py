@@ -21,11 +21,19 @@ carries `lo_queries`, per-query `growth_exponent` (overhead-adjusted
 log-log slope between the two scales - the empirical scale-up evidence)
 and a `superlinear` flag list.  SPARK_GRAFT_SF_SWEEP=0 disables.
 
-Artifact contract (round-9 ask): the FULL payload (all four per-query
-dicts) is written to the `BENCH_full.json` sidecar; the ONE stdout JSON
-line is a COMPACT summary (totals, calibration, every flag list, plus the
-warm `queries` dict while it fits under the driver's ~2000-char tail
-capture) printed LAST, so the driver's parse never truncates again.
+Artifact contract (round-9 ask, re-fixed round 16 per VERDICT r15 item 1):
+the FULL payload (all four per-query dicts, anchored retry ledger, growth
+ledger, streaming telemetry) is written to the `BENCH_full.json` sidecar;
+the ONE stdout JSON line is machine-first and ALWAYS carries the warm
+`queries` dict (the driver's per-query comparison input) plus totals, a
+compact calibration block and the streaming rec/s numbers.  The r15 line
+grew past bench.py's own 1800-char inclusion guard (anchored retries +
+ledgers + streaming notes), so the guard dropped `queries` and the driver's
+PERF per_query/scaling blocks came back empty two rounds running.  Now the
+bulky diagnostic blocks stay sidecar-only and `queries` is never dropped:
+if the line still outgrows the ~2000-char tail capture, the OPTIONAL blocks
+are shed one by one (streaming -> calibration -> flag lists) before the
+per-query map is ever touched.
 """
 
 from __future__ import annotations
@@ -1432,20 +1440,54 @@ def main() -> None:
                 json.dump(payload, fh, indent=1, sort_keys=True)
         except OSError as exc:
             print(f"bench: snapshot write failed: {exc}", file=sys.stderr)
-    summary = {
-        k: v
-        for k, v in payload.items()
-        if k not in ("queries", "uncached_queries", "lo_queries",
-                     "growth_exponent", "hi_queries", "growth_exponent_hi",
-                     "rotation_base_queries", "rotation_hi_queries",
-                     "rotation_growth_exponent_hi")
+    # Stdout line (VERDICT r15 item 1): `queries` is the driver's per-query
+    # comparison input and is NEVER dropped.  Everything bulky (anchored
+    # retry passes, growth/rotation ledgers, sf3 band, full streaming
+    # telemetry with notes) lives only in the sidecar; the line keeps a
+    # compact calibration block and the three streaming throughput numbers.
+    # If the line still outgrows the driver's ~2000-char tail capture the
+    # optional blocks are shed in order - the per-query map survives last.
+    line_payload = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        # 3-decimal (1 ms) precision on the line keeps 56+ entries under the
+        # tail capture; the sidecar keeps the full 4-decimal readings.
+        "queries": {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in times.items()
+        },
+        "uncached_value": payload["uncached_value"],
+        "sf": payload["sf"],
+        "calibration": {
+            "start": calib_start,
+            "end": calib_end,
+            "vs_ratchet": calib_vs_ratchet,
+            "noisy_host": noisy_host,
+            "sustained_slowdown": sustained_slowdown,
+        },
+        "superlinear": payload.get("superlinear", []),
+        "superlinear_hi": payload.get("superlinear_hi", []),
+        "full": "BENCH_full.json",
     }
-    summary["full"] = "BENCH_full.json"
-    with_queries = dict(summary)
-    with_queries["queries"] = times
-    line = json.dumps(with_queries, separators=(",", ":"))
-    if len(line) > 1800:
-        line = json.dumps(summary, separators=(",", ":"))
+    if streaming_tel:
+        line_payload["streaming"] = {
+            "rec_per_sec": streaming_tel.get("rec_per_sec"),
+            "passthrough_rec_per_sec": (
+                streaming_tel.get("passthrough", {}).get("rec_per_sec")
+            ),
+            "stateful_tuned_rec_per_sec": (
+                streaming_tel.get("stateful_tuned", {}).get("rec_per_sec")
+            ),
+        }
+    if errors:
+        line_payload["errors"] = sorted(errors)
+    line = json.dumps(line_payload, separators=(",", ":"))
+    for shed in ("streaming", "calibration", "superlinear_hi", "superlinear"):
+        if len(line) <= 1950:
+            break
+        line_payload.pop(shed, None)
+        line = json.dumps(line_payload, separators=(",", ":"))
     print(line)
     spark.stop()
 

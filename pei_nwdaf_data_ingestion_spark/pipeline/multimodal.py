@@ -451,7 +451,19 @@ def decode_media_units(
     the index columns are built as numpy vectors, never Python loops."""
     decoder_factory = _make_media_decoder
     all_names = [f.name for f in MEDIA_UNITS_SCHEMA.fields]
-    want = all_names if columns is None else [c for c in all_names if c in columns]
+    if columns is None:
+        want = all_names
+    else:
+        # Reject unknown names (and, via set(), a bare-string argument whose
+        # characters would otherwise substring-match real column names): a
+        # silent empty/extra schema fails far from the call site.
+        unknown = set(columns) - set(all_names)
+        if unknown:
+            raise ValueError(
+                f"decode_media_units: unknown columns {sorted(unknown)}; "
+                f"valid names are {all_names}"
+            )
+        want = [c for c in all_names if c in set(columns)]
     schema = T.StructType(
         [f for f in MEDIA_UNITS_SCHEMA.fields if f.name in want]
     )
@@ -471,6 +483,15 @@ def decode_media_units(
                 n = len(u)
                 nf = d["n_frames"] or 1
                 flen = n // nf  # builder frames are equal-sized
+                if n and not flen:
+                    # n < nf would make flen 0 and // flen emit silent
+                    # zeros under a numpy RuntimeWarning; unreachable for
+                    # valid decodes (every frame has >= 3 units) so fail
+                    # loudly on a malformed decoder result.
+                    raise ValueError(
+                        f"decode_media_units: {n} units < {nf} frames "
+                        f"for asset {int(aid)}"
+                    )
                 if "asset_id" in parts:
                     parts["asset_id"].append(np.full(n, int(aid), dtype=np.int64))
                 if "media_type" in parts:

@@ -678,8 +678,12 @@ def events_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     The r15 rewrite: the previous spelling joined events back to the
     per-instance frame twice (three scans of events, five exchanges of
     event-scale data); this one shuffles events ONCE, and the per-key
-    lists are bounded by one user-day's events, so the shape survives
-    any event volume.  NULL-key (user, day) groups are filtered up
+    lists are bounded by one user-day's events.  Skew bound (ADVICE
+    r15): a pathological hot key (a bot with millions of same-day
+    clicks) still materializes its whole timestamp list in one row -
+    at that regime switch to a two-pass conditional min-agg (aggregate
+    s_ts, then min(ts > s_ts) keyed a second time) instead of
+    collected lists.  NULL-key (user, day) groups are filtered up
     front to reproduce the join spelling exactly (equi-joins drop NULL
     keys; so does the oracle's)."""
     ev = load(spark, sf, "events").select(

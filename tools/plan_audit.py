@@ -62,10 +62,18 @@ def main() -> None:
         # name-paren pattern would never match)
         cart = plan.count("CartesianProduct") // 2
         bnlj = plan.count("BroadcastNestedLoopJoin") // 2
-        bep = plan.count("BatchEvalPython")
-        aep = plan.count("ArrowEvalPython")
-        mip = plan.count("MapInPandas") + plan.count("MapInArrow")
-        exch = plan.count("Exchange (")  # detail entries = true node count
+        bep = plan.count("BatchEvalPython") // 2
+        aep = plan.count("ArrowEvalPython") // 2
+        mip = (plan.count("MapInPandas") + plan.count("MapInArrow")) // 2
+        # shuffle exchanges only (ADVICE r15 item 4): "Exchange (" also
+        # substring-matches BroadcastExchange/ReusedExchange detail
+        # headers, which conflated shuffle, broadcast and reused nodes in
+        # the informational budget column
+        exch = (
+            plan.count("Exchange (")
+            - plan.count("BroadcastExchange (")
+            - plan.count("ReusedExchange (")
+        )
         rows.append((name, exch, cart, bep, aep, mip, bnlj))
         flags = []
         if cart and name not in CARTESIAN_ALLOW:
