@@ -322,10 +322,24 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf: str) -> DataFrame:
     alone cannot."""
     t = 0.95
     d = load(spark, sf, "documents")
+    # r16 (guide 2.3, narrower types): the whole pipeline runs on xxhash64
+    # TOKEN HASHES, not strings - the _minhash_signatures discipline.  The
+    # distinct-token sets map 1:1 to distinct-hash sets absent a collision
+    # inside one pair's <= 2x|doc|-token union (p < 1e-15 per pair, the
+    # standard production trade), so every verified Jaccard is unchanged
+    # while (a) array_intersect probes a primitive long array instead of
+    # hashing strings per candidate (the 18M-candidate verify at sf1 is
+    # this query's wall), and (b) the freq join + regroup shuffle carries
+    # 8-byte longs instead of strings.  The rarest-first order becomes
+    # (df, hash) - prefix filtering is lossless under ANY common total
+    # order (pigeonhole needs only that both docs sort the same way).
     toks = d.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda tk: F.xxhash64(tk)
+        ).alias("tokens"),
     ).withColumn("n_tok", F.size("tokens"))
-    # global rarest-first order: (document frequency, token) ascending
+    # global rarest-first order: (document frequency, token hash) ascending
     freq = (
         toks.select(F.explode("tokens").alias("token"))
         .groupBy("token")
